@@ -1,0 +1,51 @@
+"""Table access for a scale-factor directory of parquet tables.
+
+All batch queries take ``(spark, sf_dir)`` and load via :func:`table` so the
+parquet scan gets Catalyst's predicate pushdown + column pruning for free.
+Nothing is cached here — each query owns its plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (used in expr strings)
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns written as parquet TIMESTAMP(NANOS) — Spark's reader rejects the
+# physical type, so we read them as raw nano longs (legacy conf) and rebuild
+# a TIMESTAMP_NTZ arithmetically. NTZ keeps the value a pure UTC wall time:
+# no session-timezone dependence, and micros truncation matches how DuckDB
+# reads the same files (its timestamps are micros).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name in _NANO_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"timestampadd(MICROSECOND, {col} div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+    return df

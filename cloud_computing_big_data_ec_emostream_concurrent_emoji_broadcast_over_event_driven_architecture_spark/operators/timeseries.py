@@ -1,0 +1,389 @@
+"""Event-time time-series operators — the reference's core query surface.
+
+Batch forms of the reference's two aggregation engines:
+- the PySpark job (reference spark_consumer.py:40-47): per-minute tumbling
+  count per type + conditional scaling;
+- the Python analytics service (reference analytical_server.py:12-109):
+  per-minute buckets, 3-minute rolling window, stats rollup, last-N
+  time-series, dashboard pivot/zero-fill (templates + JS at
+  analytical_server.py:444-512).
+
+All are pure built-in DataFrame ops — whole-stage-codegen'd, no Python in
+the hot path. Streaming re-bindings live in ``..streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import register
+from ..schemas import ISO_MICROS_FMT
+
+# The driver's events table has exactly these types (FIXTURES.md §1); the
+# reference's analogue is the fixed 10-emoji list (reference client.py:29).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# The reference's emoji vocabulary (client.py:29) — multi-codepoint UTF-8
+# grouping keys that must survive shuffle (SURVEY.md §7 hard-part 4).
+EMOJIS = ("👍", "❤️", "😂", "🎉", "😢", "🔥", "👏", "🏆", "😮", "💔")
+
+
+def minute_counts(events: DataFrame) -> DataFrame:
+    """Per-(event_type, minute) counts — reference spark_consumer.py:40-42
+    (streaming tumbling window) in batch form: ``date_trunc`` is the batch
+    twin of ``window(ts, "1 minute")``."""
+    return events.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q_window_count_scaled",
+    headline=True,
+    tags=("reference-core", "agg", "time"),
+    oracle="""
+        SELECT event_type,
+               date_trunc('minute', ts)                    AS minute,
+               COUNT(*)                                    AS cnt,
+               CASE WHEN COUNT(*) <= 1000 THEN 1
+                    ELSE COUNT(*) / 1000.0 END             AS scaled_count
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_count_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's whole query (spark_consumer.py:40-47) —
+    per-minute count per type with the conditional scaling expression
+    ``1 if cnt<=1000 else cnt/1000`` (spark_consumer.py:43-46)."""
+    return minute_counts(table(spark, sf_dir, "events")).withColumn(
+        "scaled_count",
+        F.when(F.col("cnt") <= 1000, F.lit(1)).otherwise(F.col("cnt") / F.lit(1000.0)),
+    )
+
+
+@register(
+    "q_total_per_minute",
+    tags=("reference-core", "agg", "time"),
+    oracle="""
+        SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+)
+def q_total_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global per-minute totals — reference analytical_server.py:54-61
+    (``total_counts`` deque) as a grouped aggregation."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q_rolling_3min",
+    headline=True,
+    tags=("reference-core", "window", "time"),
+    oracle="""
+        WITH m AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, minute, cnt,
+               SUM(cnt) OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(epoch(minute) AS BIGINT)
+                   RANGE BETWEEN 120 PRECEDING AND CURRENT ROW
+               ) AS rolling_3min
+        FROM m
+    """,
+)
+def q_rolling_3min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-minute rolling sum over minute buckets per type — the Python
+    analytics service's deque window (reference analytical_server.py:42-61,
+    96-109) done right: an event-time range frame, gap-correct (a missing
+    minute contributes nothing — the deque version assumed dense arrival,
+    SURVEY.md §2 ST4)."""
+    m = minute_counts(table(spark, sf_dir, "events"))
+    epoch = F.unix_timestamp(F.col("minute").cast("timestamp"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch)
+        .rangeBetween(-120, Window.currentRow)
+    )
+    return m.select(
+        "event_type", "minute", "cnt", F.sum("cnt").over(w).alias("rolling_3min")
+    )
+
+
+@register(
+    "q_stats_breakdown",
+    tags=("reference-core", "agg"),
+    oracle="""
+        WITH b AS (
+            SELECT event_type, COUNT(*) AS cnt,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, cnt, sum_value, avg_value,
+               ROUND(cnt / SUM(cnt) OVER (), 6) AS share
+        FROM b
+    """,
+)
+def q_stats_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats rollup — the ``/api/stats`` ``emoji_breakdown``
+    payload (reference analytical_server.py:96-109) as a grouped agg plus a
+    global-share window."""
+    b = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    return b.withColumn(
+        "share",
+        F.round(F.col("cnt") / F.sum("cnt").over(Window.partitionBy()), 6),
+    )
+
+
+@register(
+    "q_unique_types",
+    tags=("reference-core", "agg"),
+    oracle="SELECT COUNT(DISTINCT event_type) AS unique_types FROM events",
+)
+def q_unique_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-distinct of the grouping key — the dashboard's "Unique Types"
+    tile (reference analytical_server.py:473)."""
+    return (
+        table(spark, sf_dir, "events")
+        .agg(F.countDistinct("event_type").alias("unique_types"))
+    )
+
+
+@register(
+    "q_approx_unique_users",
+    tags=("scale", "agg"),
+    oracle=None,  # HLL sketches differ across engines — rows-only check
+)
+def q_approx_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of q_unique_types: ``approx_count_distinct`` (HLL++)
+    over users — a single pass, no exact-distinct shuffle explosion."""
+    return (
+        table(spark, sf_dir, "events")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "q_last10",
+    tags=("reference-core", "sort", "limit"),
+    oracle="""
+        SELECT minute, cnt FROM (
+            SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        ) ORDER BY minute DESC LIMIT 10
+    """,
+)
+def q_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-10 minute buckets — the dashboard's ``slice(-10)`` (reference
+    analytical_server.py:444). ``orderBy(desc).limit`` plans as
+    ``TakeOrderedAndProject`` — no global sort at scale."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("minute"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_pivot_timeseries",
+    tags=("reference-core", "pivot"),
+    oracle="""
+        SELECT date_trunc('minute', ts) AS minute,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY 1
+    """,
+)
+def q_pivot_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series alignment: one row per minute, one column per type,
+    zero-filled — the dashboard's chart alignment loop (reference
+    analytical_server.py:496-512). Explicit pivot values keep the plan a
+    single pass (no extra distinct job) and the schema stable at scale."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "q_distinct_minutes",
+    tags=("reference-core", "distinct"),
+    oracle="SELECT DISTINCT date_trunc('minute', ts) AS minute FROM events",
+)
+def q_distinct_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct minute buckets — the dashboard's ``[...new Set(timestamps)]``
+    (reference analytical_server.py:497-499)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .distinct()
+    )
+
+
+@register(
+    "q_topk_per_minute",
+    tags=("window", "topk"),
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('minute', ts) AS minute, event_type,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT minute, event_type, cnt, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY minute ORDER BY cnt DESC, event_type
+            ) AS rn
+            FROM m
+        ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 types per minute — rank-filter (SURVEY.md §2.6). Deterministic
+    tie-break on event_type (hard-part 7)."""
+    m = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("minute").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "q_json_extract",
+    tags=("reference-core", "json"),
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction — the engine's ``get_json_object`` twin of the
+    reference's ``json_tuple`` decode (reference spark_consumer.py:28-30) on
+    the ``events.props`` JSON column."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "q_json_struct_decode",
+    tags=("reference-core", "json", "agg"),
+    oracle="""
+        SELECT event_type,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+                   AS avg_k
+        FROM events GROUP BY 1
+    """,
+)
+def q_json_struct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-checked JSON decode (``from_json`` — the engine's standard,
+    SURVEY.md §2 J1) feeding an aggregation."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "pr", F.from_json(F.col("props"), "struct<k:int>")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg(F.col("pr.k")), 6).alias("avg_k")
+    )
+
+
+@register(
+    "q_timestamp_parse",
+    tags=("reference-core", "time"),
+    oracle="""
+        SELECT event_id,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+                        '%Y-%m-%dT%H:%M:%S.%f') AS parsed
+        FROM events
+    """,
+)
+def q_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601-micros round trip — reference spark_consumer.py:32-35's
+    ``to_timestamp(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")`` WITHOUT the LEGACY
+    parser policy (SURVEY.md §7 hard-part 3): the Spark 3+ parser handles
+    6-digit fractions natively."""
+    ev = table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    return ev.select(
+        "event_id",
+        F.to_timestamp(F.date_format("ts", ISO_MICROS_FMT), ISO_MICROS_FMT)
+        .cast(ts_type)
+        .alias("parsed"),
+    )
+
+
+@register(
+    "q_validate_presence",
+    tags=("reference-core", "filter"),
+    oracle="""
+        SELECT COUNT(*) FILTER (WHERE user_id IS NOT NULL
+                                  AND event_type IS NOT NULL
+                                  AND ts IS NOT NULL) AS accepted,
+               COUNT(*) FILTER (WHERE user_id IS NULL
+                                   OR event_type IS NULL
+                                   OR ts IS NULL) AS rejected
+        FROM events
+    """,
+)
+def q_validate_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest presence-validation (reference api_server.py:55-56: 400 on a
+    missing field) as an accept/quarantine count — the declarative twin of
+    the gateway's per-request check."""
+    ev = table(spark, sf_dir, "events")
+    ok = (
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    return ev.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("accepted"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("rejected"),
+    )
+
+
+def _emoji_values_sql() -> str:
+    rows = ", ".join(
+        f"('{e}')" for i, e in enumerate(EMOJIS) for _ in range(i + 1)
+    )
+    return f"SELECT emoji, COUNT(*) AS cnt FROM (VALUES {rows}) t(emoji) GROUP BY 1"
+
+
+@register(
+    "q_emoji_roundtrip",
+    tags=("reference-core", "utf8"),
+    oracle=_emoji_values_sql(),
+)
+def q_emoji_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-codepoint emoji grouping keys survive shuffle + UTF-8 round
+    trip (reference client.py:29; SURVEY.md §7 hard-part 4). Emoji i appears
+    i+1 times; grouping must preserve the exact byte sequences."""
+    rows = [(e,) for i, e in enumerate(EMOJIS) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "emoji string")
+    return df.groupBy("emoji").agg(F.count("*").alias("cnt"))

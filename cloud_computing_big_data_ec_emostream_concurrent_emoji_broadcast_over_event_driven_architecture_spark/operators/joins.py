@@ -1,1 +1,261 @@
-"""Placeholder — filled in by the build plan (SURVEY.md §7)."""
+"""Join operators (SURVEY.md §2.5, Phase 3).
+
+The reference's only "joins" are dict lookups (dashboard timestamp matching,
+reference analytical_server.py:451-459, and the pubsub client registry,
+pubsub.py:13). The engine implements the full relational join surface as
+first-class, oracle-checked operators:
+
+- equi inner/left-outer with broadcast dims (star joins),
+- left-semi / left-anti,
+- range (theta) join expressed as a **bucketized equi-join** so it shuffles
+  on (key, time-bucket) instead of degenerating to a nested-loop —
+  the 100 TB-safe plan,
+- as-of join (nearest earlier timestamp) — the one join Spark lacks
+  natively — composed from an ignore-nulls last-value window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import register
+
+
+@register(
+    "q_join_star",
+    headline=True,
+    tags=("join", "broadcast", "agg"),
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ three dims, revenue rollup per region/nation.
+    Dims are explicitly broadcast — at 100 TB the fact side never shuffles
+    for these joins (the dims are KBs)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    tags=("join", "semi"),
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH orders, per market segment — left-semi join (EXISTS).
+    Semi joins only ship the join key, never duplicate rows."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q_join_anti",
+    tags=("join", "anti"),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order since 2001 — left-anti join (NOT EXISTS).
+    Date-filtered so the result is non-degenerate at every sf (every
+    customer has *some* order in the synthetic data)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_outer_counts",
+    tags=("join", "outer"),
+    oracle="""
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS revenue
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+)
+def q_join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving zero-order customers — the dashboard's
+    missing-timestamp → 0 fill (reference analytical_server.py:504-507) as
+    outer-join + coalesce semantics."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_range",
+    headline=True,
+    tags=("join", "range", "scale"),
+    oracle="""
+        SELECT a.event_id, COUNT(b.event_id) AS n_nearby
+        FROM events a
+        LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.event_id <> a.event_id
+         AND abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+                 - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 60
+        GROUP BY 1
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: per event, how many other events by the same user
+    fall within ±60 s (the Spark-native form of the dashboard's timestamp
+    proximity matching, SURVEY.md §2.5 X1).
+
+    Scale design: instead of a nested-loop theta join, each probe row is
+    exploded into its minute bucket ±1 and the join is an **equi-join on
+    (user_id, bucket)** followed by the exact |Δt| ≤ 60 filter. Every
+    qualifying pair lands in exactly one probe bucket, so no dedup is
+    needed, and the shuffle is hash-partitioned — at 100 TB this stays a
+    shuffled hash join, never a cartesian."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec")
+    )
+    probe = ev.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("sec") / 60).cast("long") - 1,
+                (F.col("sec") / 60).cast("long"),
+                (F.col("sec") / 60).cast("long") + 1,
+            )
+        ),
+    )
+    build = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("sec").alias("b_sec"),
+        (F.col("sec") / 60).cast("long").alias("bucket"),
+    )
+    joined = probe.join(
+        build,
+        (probe.user_id == build.b_user)
+        & (probe.bucket == build.bucket)
+        & (probe.event_id != build.b_id)
+        & (F.abs(build.b_sec - probe.sec) <= 60),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("b_id").alias("n_nearby"))
+
+
+@register(
+    "q_join_asof",
+    tags=("join", "asof", "window"),
+    oracle="""
+        SELECT event_id, last_click_ts FROM (
+            SELECT event_id, event_type,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_click_ts
+            FROM events
+        ) WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the same user's most recent strictly
+    earlier click. Spark has no native as-of join (SURVEY.md §2.5); the
+    engine composes it as an ignore-nulls last-value over an ordered
+    per-user window — one shuffle on user_id, no join at all, which beats
+    the range-join+row_number formulation at scale. Deterministic via the
+    (ts, event_id) tie-break."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_click_ts",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_click_ts")
+    )
+
+
+@register(
+    "q_join_theta_bnl",
+    tags=("join", "theta"),
+    oracle="""
+        SELECT n.n_name AS nation, COUNT(*) AS n_pairs
+        FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey
+        GROUP BY 1
+    """,
+)
+def q_join_theta_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality (theta) join — legitimately a broadcast nested loop;
+    kept to tiny dims only (nation × region), where BNL is the right plan
+    at any scale."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey != region.r_regionkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -1,1 +1,212 @@
-"""Placeholder — filled in by the build plan (SURVEY.md §7)."""
+"""Multi-dimensional rollups and ordered-window analytics (SURVEY.md §2.3
+note, §2.4, Phase 3).
+
+The reference has none of these (its stats dashboard is a flat per-type
+rollup) — but grouping sets / cube / rollup over event types × time, running
+totals and moving averages are the natural extension of a stats dashboard,
+and all are stock Spark + stock DuckDB.
+
+Float determinism note: running/windowed sums are sequential in frame order
+in both engines, so outputs are bit-identical; grouped sums are rounded in
+both forms to absorb partial-aggregation order differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import register
+
+
+@register(
+    "q_cube_lineitem",
+    tags=("rollup", "agg"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in
+    one pass (Catalyst expands to a single Expand + aggregate)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_rollup_orders",
+    tags=("rollup", "agg"),
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status): hierarchical subtotals + grand
+    total."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    tags=("rollup", "agg", "sql"),
+    oracle="""
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-type totals and per-user totals in one
+    aggregation pass (SQL API; same Catalyst plan as cube/rollup)."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__eng_events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM __eng_events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+        """
+    )
+
+
+@register(
+    "q_running_total",
+    tags=("window",),
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_spend
+        FROM orders
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend — the batch twin of the gateway's global
+    running message counter (reference api_server.py:16-17,35-36), keyed
+    and deterministic via (o_orderdate, o_orderkey) ordering."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+    )
+
+
+@register(
+    "q_moving_avg",
+    tags=("window",),
+    oracle="""
+        SELECT event_id,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+               ), 6) AS mavg_10
+        FROM events
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-row moving average of event value per user (SURVEY.md §2.4 frame
+    specs)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("mavg_10"),
+        )
+    )
+
+
+@register(
+    "q_lag_lead_delta",
+    tags=("window",),
+    oracle="""
+        SELECT event_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ))) AS BIGINT) AS gap_sec
+        FROM events
+    """,
+)
+def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user via lag() — the primitive under
+    sessionization."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (sec - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))).alias(
+                "gap_sec"
+            ),
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    tags=("window", "session"),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                             > 1800
+                          OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(new_session) AS n_sessions
+        FROM flagged GROUP BY 1
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a >30 min gap starts a new session (lag +
+    flag-sum — SURVEY.md guide pattern; the streaming twin is
+    ``session_window`` in ..streaming)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev_sec = F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+    flagged = table(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(prev_sec.isNull() | ((sec - prev_sec) > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("new_session").alias("n_sessions"),
+    )

@@ -1,0 +1,92 @@
+"""Simulate the driver's correctness harness against the live contract:
+vanilla SparkSession (driver-like: Spark 4 defaults, ANSI on), every
+``queries()`` entry at the given sf dir vs its ``oracle_sql()`` DuckDB twin.
+
+Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Exit code 0 iff every oracle-backed query matches.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, ".")
+import __spark_entry__ as e  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        try:
+            return v.replace(tzinfo=None).isoformat()
+        except (TypeError, AttributeError):
+            return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").appName("driver_sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = e.entry(spark)
+    print(f"ENTRY: {df.count()} rows :: {df.schema.simpleString()}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    fails, lines = [], []
+    for name, fn in sorted(qs.items()):
+        try:
+            sdf = fn(spark, sf)
+            if name not in osql:
+                lines.append(f"{name}: rows-only, {sdf.count()} rows")
+                continue
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = sorted(
+                (tuple(norm(v) for _, v in sorted(zip(s_cols, r)))
+                 for r in (tuple(row) for row in sdf.collect())),
+                key=repr,
+            )
+            res = con.execute(osql[name])
+            d_cols = [c[0].lower() for c in res.description]
+            d_rows = sorted(
+                (tuple(norm(v) for _, v in sorted(zip(d_cols, r)))
+                 for r in res.fetchall()),
+                key=repr,
+            )
+            ok = sorted(s_cols) == sorted(d_cols) and s_rows == d_rows
+            lines.append(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(s_rows)} rows)")
+            if not ok:
+                fails.append(name)
+                if sorted(s_cols) != sorted(d_cols):
+                    lines.append(f"  cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+                else:
+                    diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:2]
+                    lines.append(f"  first diffs: {diffs}")
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            fails.append(name)
+            lines.append(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:160]}")
+    print("\n".join(lines))
+    print(f"TOTAL {len(qs)} queries, {len(osql)} oracles, FAILED: {fails or 'none'}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

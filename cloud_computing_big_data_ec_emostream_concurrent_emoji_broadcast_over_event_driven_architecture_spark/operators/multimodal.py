@@ -1,1 +1,110 @@
-"""Placeholder — filled in by the build plan (SURVEY.md §7)."""
+"""Multimodal column convention (SURVEY.md §7 Phase 5): media as opaque
+``binary`` payloads + a typed metadata struct, with decode / feature
+extraction as Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the decode step is a
+clearly-marked deterministic stub (``_fake_decode``) — the Spark-side
+plumbing (schema, batch iteration, partition-preserving flow, typed
+feature output) is real and is what the tests exercise. Swapping the stub
+for PIL/ffmpeg changes one function, not the plan.
+
+``documents.text`` stands in for the raw bytes (``encode(text, 'utf-8')``);
+a real pipeline reads parquet/blob-store binary columns identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import register
+
+MODALITY = "text-bytes"
+
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes int, "
+    "checksum long, head_bytes array<int>"
+)
+
+
+def binary_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct<modality,n_bytes>)
+    — the engine's multimodal column convention."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(MODALITY).alias("modality"),
+            F.octet_length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB decoder — deterministic stand-in for an image/audio decode.
+    Replace with the real library call (PIL.Image.open etc.) when the
+    dependency exists; everything around it is production plumbing."""
+    head = list(payload[:8])
+    checksum = 0
+    for b in payload:
+        checksum = (checksum * 131 + b) % (1 << 61)
+    return {"n_bytes": len(payload), "checksum": checksum, "head_bytes": head}
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, typed feature rows out."""
+    for pdf in batches:
+        feats = pdf["payload"].map(_fake_decode)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": [m["modality"] for m in pdf["meta"]],
+                "n_bytes": [f["n_bytes"] for f in feats],
+                "checksum": [f["checksum"] for f in feats],
+                "head_bytes": [f["head_bytes"] for f in feats],
+            }
+        )
+
+
+@register(
+    "q_multimodal_meta",
+    tags=("multimodal",),
+    oracle=f"""
+        SELECT doc_id, '{MODALITY}' AS modality,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads — JVM-side only (no decode), so
+    metadata scans never touch the heavy bytes at scale (column pruning
+    drops ``payload`` entirely)."""
+    bf = binary_frame(spark, sf_dir)
+    return bf.select(
+        "doc_id", F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    tags=("multimodal", "pandas-udf"),
+    oracle=None,  # decode stub is Python-side — driver's rows-only check;
+    # exactness is pinned by tests/test_multimodal.py instead
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched
+    mapInPandas — the pattern for decode/resize/frame-sample stages. The
+    stub keeps outputs deterministic (byte length, rolling checksum, head
+    bytes) so tests can assert exact values."""
+    return binary_frame(spark, sf_dir).mapInPandas(
+        _extract_features, schema=FEATURE_SCHEMA
+    )

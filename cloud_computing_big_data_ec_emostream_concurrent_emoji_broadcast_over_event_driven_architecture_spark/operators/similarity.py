@@ -1,1 +1,196 @@
-"""Placeholder — filled in by the build plan (SURVEY.md §7)."""
+"""Similarity search over the ``embeddings`` table (SURVEY.md §7 Phase 5).
+
+- brute-force cosine top-k: the exactness baseline — one pass over all
+  vectors, pure built-ins (zip_with/aggregate), TakeOrderedAndProject for
+  the top-k (no global sort).
+- blocked near-dup pairs: label-blocked candidate generation (the generic
+  "blocking key" pattern — at 100 TB the key would be an LSH bucket).
+- IVF-style ANN: assign every vector to its nearest of K pseudo-centroids,
+  probe only the query's centroid bucket — the index-shaped scale path;
+  deterministic (centroids := the first K vectors), so fully
+  oracle-checkable.
+
+All cosine math is float64 after explicit casts in BOTH engines; outputs
+round to 6 dp before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.vectors import as_double, as_double_sql, cosine, cosine_sql
+from ..plans.registry import register
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+NEAR_DUP_COS = 0.35
+IVF_K = 8  # pseudo-centroids: vec_id < 8
+
+
+@register(
+    "q_similarity_topk",
+    headline=True,
+    tags=("similarity", "vector"),
+    oracle=f"""
+        WITH q AS (
+            SELECT {as_double_sql('embedding')} AS qv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT e.vec_id,
+                   {cosine_sql(as_double_sql('e.embedding'), 'q.qv')} AS sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, ROUND(sim, 6) AS sim
+        FROM scored ORDER BY sim DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the query vector (vec_id 0).
+    The query vector joins in as a broadcast single row; scoring is one
+    codegen'd pass; top-k plans as TakeOrderedAndProject — at 100 TB each
+    partition keeps k rows and only k×partitions reach the driver."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine(as_double(F.col("embedding")), F.col("qv")).alias("sim"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "q_similarity_pairs",
+    tags=("similarity", "dedup", "vector"),
+    oracle=f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               ROUND({cosine_sql(as_double_sql('a.embedding'),
+                                 as_double_sql('b.embedding'))}, 6) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cosine_sql(as_double_sql('a.embedding'),
+                          as_double_sql('b.embedding'))} >= {NEAR_DUP_COS}
+    """,
+)
+def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (cosine ≥ 0.35).
+    The label is the blocking key — candidate generation is an equi-join,
+    so the pair count is Σ block² instead of N²; at 100 TB the block key
+    becomes an LSH/IVF bucket but the plan shape is identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(
+        as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= NEAR_DUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+
+
+_ASSIGN_SQL = f"""
+        cents AS (
+            SELECT vec_id AS cent_id, {as_double_sql('embedding')} AS cv
+            FROM embeddings WHERE vec_id < {IVF_K}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql(as_double_sql('e.embedding'), 'c.cv')} DESC,
+                                    c.cent_id
+                       ) AS rn
+                FROM embeddings e, cents c
+            ) WHERE rn = 1
+        )
+"""
+
+
+@register(
+    "q_ann_ivf",
+    tags=("similarity", "ann", "scale"),
+    oracle=f"""
+        WITH {_ASSIGN_SQL},
+        qbucket AS (
+            SELECT cent_id FROM assigned WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        q AS (
+            SELECT {as_double_sql('embedding')} AS qv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id, ROUND({cosine_sql(as_double_sql('a.embedding'), 'q.qv')}, 6) AS sim
+        FROM assigned a, qbucket, q
+        WHERE a.cent_id = qbucket.cent_id AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_sql(as_double_sql('a.embedding'), 'q.qv')} DESC, a.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into K
+    centroid buckets (centroids = the first K vectors — deterministic, so
+    the oracle replays the identical index); the query probes only its own
+    bucket. At 100 TB: centroids broadcast, assignment is one codegen'd
+    pass, and the probe scans ~N/K vectors instead of N (nprobe=1 here;
+    recall/latency trades by raising it)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    sim_to_cent = cosine(as_double(F.col("embedding")), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cent_id", sim_to_cent.alias("cent_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    qbucket = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cent_id").alias("q_cent")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    sim_to_q = cosine(as_double(F.col("embedding")), F.col("qv"))
+    return (
+        assigned.join(
+            F.broadcast(qbucket), F.col("cent_id") == F.col("q_cent")
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim_to_q.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+    )

@@ -1,1 +1,226 @@
-"""Placeholder — filled in by the build plan (SURVEY.md §7)."""
+"""Text-analysis operators over ``documents`` (SURVEY.md §7 Phase 5) —
+language-ID heuristic, quality scoring, token counting (whitespace + a
+BPE-ish regex lexer), word counts, document fingerprinting. All built-ins;
+every query oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    EN_STOPWORDS,
+    bpe_token_count,
+    shingles,
+    shingles_sql,
+    stopword_ratio,
+    stopword_ratio_sql,
+    tokens,
+)
+from ..plans.registry import register
+
+LANGID_THRESHOLD = 0.04
+
+
+@register(
+    "q_text_wordcounts",
+    headline=True,
+    tags=("text", "agg"),
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY 1
+    """,
+)
+def q_text_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word counts — tokenize/explode/groupBy (the canonical
+    shuffle-on-word job; partial aggregation collapses each task to the
+    vocabulary size before the shuffle)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "q_text_lang_stats",
+    tags=("text", "agg"),
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+               SUM(n_chars) AS total_chars
+        FROM documents GROUP BY 1
+    """,
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (doc counts, token lengths, char
+    volume)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.size(tokens(F.col("text")))), 6).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q_text_langid",
+    tags=("text", "heuristic"),
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN {stopword_ratio_sql("string_split(text, ' ')")}
+                         > {LANGID_THRESHOLD}
+                    THEN 'en' ELSE 'other' END AS pred_lang,
+               ROUND({stopword_ratio_sql("string_split(text, ' ')")}, 6)
+                   AS en_score
+        FROM documents
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: English-stopword density. (The
+    synthetic corpus is English-ish regardless of its ``lang`` tag; the
+    operator's value is the deterministic, scale-free scoring shape —
+    a real model swaps in per-language n-gram tables the same way.)"""
+    docs = table(spark, sf_dir, "documents")
+    ratio = stopword_ratio(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.when(ratio > LANGID_THRESHOLD, "en").otherwise("other").alias(
+            "pred_lang"
+        ),
+        F.round(ratio, 6).alias("en_score"),
+    )
+
+
+@register(
+    "q_text_quality",
+    tags=("text", "heuristic"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+                   n_chars,
+                   {stopword_ratio_sql("string_split(text, ' ')")} AS sw_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+                     + 0.3 * (1.0 - LEAST(n_punct * 1.0 / n_chars, 1.0))
+                     + 0.3 * LEAST(sw_ratio * 10.0, 1.0), 6) AS quality
+        FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation + punctuation
+    cleanliness + stopword naturalness (the classic pre-training quality
+    gate shape — each component swaps for a learned scorer the same
+    way)."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+    sw = stopword_ratio(tokens(F.col("text")))
+    quality = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(n_punct / F.col("n_chars"), F.lit(1.0)))
+        + F.lit(0.3) * F.least(sw * 10.0, F.lit(1.0))
+    )
+    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@register(
+    "q_text_token_counts",
+    tags=("text", "tokenize"),
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens
+        FROM documents
+    """,
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace and the BPE-ish regex lexer
+    (letter runs | digit runs | single symbols) — the budget estimator for
+    training-data pipelines."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    tags=("text", "hash"),
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        )
+        SELECT doc_id,
+               {md5_long_sql("array_to_string(list_sort(list_distinct(words)), ' ')")}
+                   AS bag_fp,
+               (SELECT MIN({md5_long_sql('s')})
+                FROM unnest({shingles_sql('words')}) t(s)) AS min_shingle_fp
+        FROM w
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: (a) bag-of-words hash (order-insensitive —
+    reordered near-dups collide), (b) min-shingle hash (a 1-function
+    MinHash — content-locality preserving). Both 44-bit md5-derived so the
+    oracle reproduces them bit-for-bit."""
+    docs = table(spark, sf_dir, "documents")
+    words = tokens(F.col("text"))
+    bag = md5_long(
+        F.array_join(F.array_sort(F.array_distinct(words)), " ")
+    )
+    min_sh = F.array_min(
+        F.transform(shingles(words), lambda s: md5_long(s))
+    )
+    return docs.select(
+        "doc_id", bag.alias("bag_fp"), min_sh.alias("min_shingle_fp")
+    )
+
+
+@register(
+    "q_text_topwords_per_lang",
+    tags=("text", "topk"),
+    oracle="""
+        WITH wc AS (
+            SELECT lang, word, COUNT(*) AS cnt FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) WHERE word <> '' GROUP BY 1, 2
+        )
+        SELECT lang, word, cnt, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, word
+            ) AS rn FROM wc
+        ) WHERE rn <= 5
+    """,
+)
+def q_text_topwords_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per language — explode + grouped count + rank-filter."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
+    return wc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)

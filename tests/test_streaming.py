@@ -353,3 +353,93 @@ def test_sliding_rolling_equals_batch_range_frame(spark, events_df, replay_dir):
     ).collect()
     for r in batch:
         assert got[(r["event_type"], r["window_end"])] == r["rolling"]
+
+
+def test_stateful_running_stats_equals_batch(spark, events_df, replay_dir):
+    """applyInPandasWithState running (count, sum) per key: the last
+    update-mode emission per key equals the batch groupBy — the custom
+    stateful path (SURVEY §2.9 ST5) pinned to the declarative one."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.stateful import (
+        running_key_stats,
+    )
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(running_key_stats(stream), name, "update")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    last: dict[str, tuple] = {}
+    for r in rows:  # n_events is monotone per key -> max == final state
+        prev = last.get(r["key"])
+        if prev is None or r["n_events"] > prev[0]:
+            last[r["key"]] = (r["n_events"], r["total_value"])
+        assert r["evicted"] is False
+    expected = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in events_df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+    assert set(last) == set(expected)
+    for k, (n, total) in expected.items():
+        assert last[k][0] == n
+        assert last[k][1] == pytest.approx(total, rel=1e-9)
+
+
+def test_stateful_ttl_evicts_idle_keys(spark, events_df, tmp_path):
+    """Event-time TTL: a key that stops sending is evicted once the
+    watermark passes its last activity + ttl, emitting a final
+    evicted=true row — the watermark-driven generalization of the
+    reference's 3-minute deque eviction (analytical_server.py:49-52)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.stateful import (
+        running_key_stats,
+    )
+
+    rows = events_df.limit(0)  # schema only
+    sess = events_df.sparkSession
+    mk = lambda i, typ, minute: (  # noqa: E731
+        i,
+        __import__("datetime").datetime(2024, 1, 1, 12, minute, 0),
+        1,
+        typ,
+        1.0,
+    )
+    # batch 1: both keys active; batches 2-3: only 'b' keeps sending,
+    # advancing the watermark far past a's last activity + ttl
+    batches = [
+        [mk(1, "a", 0), mk(2, "b", 0)],
+        [mk(3, "b", 30)],
+        [mk(4, "b", 59)],
+    ]
+    out = tmp_path / f"ttl_{uuid.uuid4().hex[:8]}"
+    out.mkdir()
+    for i, batch in enumerate(batches):
+        sess.createDataFrame(batch, rows.schema).coalesce(1).write.parquet(
+            str(out / f"b{i}")
+        )
+    flat = tmp_path / f"ttlflat_{uuid.uuid4().hex[:8]}"
+    flat.mkdir()
+    idx = 0
+    for sub in sorted(out.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            f.rename(flat / f"{idx:02d}.parquet")
+            idx += 1
+    stream = file_replay_stream(sess, str(flat), rows.schema, 1)
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(
+        running_key_stats(
+            stream, watermark="0 seconds", ttl_ms=5 * 60 * 1000
+        ),
+        name,
+        "update",
+    )
+    emitted = spark.sql(f"SELECT * FROM {name}").collect()
+    evicted = [r for r in emitted if r["evicted"]]
+    assert any(r["key"] == "a" for r in evicted), (
+        "idle key 'a' should be evicted by the event-time TTL"
+    )
+    a_final = [r for r in evicted if r["key"] == "a"][0]
+    assert a_final["n_events"] == 1

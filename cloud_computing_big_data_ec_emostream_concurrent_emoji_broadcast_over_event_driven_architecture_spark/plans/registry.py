@@ -71,8 +71,10 @@ def _load_all() -> None:
         joins,
         multimodal,
         rollups,
+        sampling,
         setops,
         similarity,
+        subqueries,
         text,
         timeseries,
         tpch,

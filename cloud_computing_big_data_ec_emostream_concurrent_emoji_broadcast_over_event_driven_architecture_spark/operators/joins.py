@@ -259,3 +259,93 @@ def q_join_theta_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-mitigating equi join: the fact side gets a per-row salt in
+    [0, num_salts) and the dim side is replicated once per salt value, so
+    a hot join key spreads over ``num_salts`` shuffle partitions instead
+    of hammering one. AQE's skew-join split handles post-shuffle skew
+    automatically; explicit salting is the pre-shuffle form for when one
+    key alone exceeds what a single task should ever see. The join result
+    is provably salt-invariant (every fact row still meets every matching
+    dim row exactly once) — pinned by tests/test_skew.py against the
+    plain join.
+
+    rand(seed) is partition-deterministic in Spark, so retries recompute
+    the same salt."""
+    salted_fact = fact.withColumn(
+        "__salt", F.floor(F.rand(seed) * num_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")),
+    )
+    out = salted_fact.join(salted_dim, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+@register(
+    "q_join_salted",
+    tags=("join", "skew", "scale"),
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order rollup routed through the salted join (customer
+    dim replicated ×8): byte-identical to the unsalted plan's answer —
+    the oracle is the plain SQL join — while the fact shuffle key is
+    (custkey, salt). Demonstrates the skew path the engine reaches for
+    when AQE's split isn't enough."""
+    orders = table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        salted_join(orders, customer, "c_custkey", num_salts=8)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_twophase_distinct",
+    tags=("agg", "skew", "scale"),
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+)
+def q_twophase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct as an explicit two-phase aggregation:
+    pre-aggregate on (event_type, user_id) — map-side partials shrink the
+    shuffle to one row per distinct pair — then count per type. This is
+    the skew-safe expansion Catalyst performs for COUNT(DISTINCT) under
+    one grouping, written out because at 100 TB the engine picks it
+    directly (or approx_count_distinct) instead of funneling a hot type
+    through a single aggregation path."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1,0 +1,139 @@
+"""Property-based tests (SURVEY.md §5.4) — invariants over generated
+inputs, one shared SparkSession:
+
+- near-dup lattice: MinHash+LSH verified pairs are always a SUBSET of the
+  exact shingle-Jaccard pairs (verification kills every false positive),
+  and identical documents are ALWAYS found (equal signatures band
+  together deterministically — recall 1.0 at jaccard 1.0);
+- event-time bucketing equals a Python dict model (the reference's
+  analytical_server counts, done with the event's OWN minute — the
+  documented ST4 divergence is that ours is order-independent);
+- wire-format round-trip: every timestamp format the reference actually
+  produces parses back to the exact microsecond.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+    dedup,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+    decode_wire_events,
+    windowed_counts_scaled,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+VOCAB = [f"w{i}" for i in range(12)]
+
+doc_strategy = st.lists(
+    st.sampled_from(VOCAB), min_size=4, max_size=20
+).map(" ".join)
+
+
+@given(
+    base_docs=st.lists(doc_strategy, min_size=3, max_size=10, unique=True),
+    dup_idx=st.data(),
+)
+@settings(**SETTINGS)
+def test_minhash_pairs_subset_of_exact_and_identical_found(
+    spark, tmp_path_factory, base_docs, dup_idx
+):
+    # duplicate one doc verbatim so at least one jaccard-1.0 pair exists
+    i = dup_idx.draw(st.integers(0, len(base_docs) - 1))
+    docs = base_docs + [base_docs[i]]
+    sf_dir = str(tmp_path_factory.mktemp("prop"))
+    spark.createDataFrame(
+        [(j, d) for j, d in enumerate(docs)], "doc_id long, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.q_dedup_minhash(spark, sf_dir).collect()
+    }
+    # free the per-sf_dir persisted shingle tables
+    for key in [k for k in dedup._HASHSET_CACHE if k[0] == sf_dir]:
+        dedup._HASHSET_CACHE.pop(key).unpersist()
+
+    assert approx <= exact, "LSH verification must kill false positives"
+    dup_pair = (i, len(docs) - 1)
+    if len(docs[i].split()) >= 3:  # doc long enough to have shingles
+        assert dup_pair in exact
+        assert dup_pair in approx, "identical docs must always band together"
+
+
+event_strategy = st.tuples(
+    st.integers(0, 4),  # type id
+    st.integers(0, 3600 * 3 - 1),  # seconds offset within 3 hours
+)
+
+
+@given(events=st.lists(event_strategy, min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_windowed_counts_equal_python_model(spark, events):
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (f"t{typ}", t0 + timedelta(seconds=off)) for typ, off in events
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        ),
+    )
+    got = {
+        (r["event_type"], r["window"]["start"]): r["cnt"]
+        for r in windowed_counts_scaled(df).collect()
+    }
+    model = Counter(
+        (f"t{typ}", (t0 + timedelta(seconds=off)).replace(second=0))
+        for typ, off in events
+    )
+    assert got == dict(model)
+    assert sum(got.values()) == len(rows)
+
+
+ts_strategy = st.datetimes(
+    min_value=datetime(2020, 1, 1), max_value=datetime(2030, 1, 1)
+)
+
+
+@given(ts=ts_strategy, fmt=st.sampled_from(["micros", "millis_z", "iso_tz"]))
+@settings(**SETTINGS)
+def test_wire_timestamp_roundtrip(spark, ts, fmt):
+    if fmt == "micros":  # client.py isoformat()
+        wire = ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        expect = ts
+    elif fmt == "millis_z":  # browser toISOString()
+        wire = ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"
+        expect = ts.replace(microsecond=ts.microsecond // 1000 * 1000)
+    else:  # explicit offset
+        wire = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "+00:00"
+        expect = ts
+    payload = json.dumps(
+        {"user_id": "u", "emoji_type": "🔥", "timestamp": wire}
+    )
+    raw = spark.createDataFrame([(payload,)], "value string")
+    out = decode_wire_events(raw).collect()[0]
+    assert out["ts"] == expect, (wire, out["ts"])

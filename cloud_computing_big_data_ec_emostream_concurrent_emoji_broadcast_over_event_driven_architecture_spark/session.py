@@ -23,6 +23,7 @@ def build_session(
     app_name: str = "emostream_spark_engine",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    rocksdb_state_store: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build the engine's SparkSession.
@@ -49,6 +50,16 @@ def build_session(
     b = b.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus))
     )
+    if rocksdb_state_store:
+        # Large streaming keyspaces (high-cardinality groupBy state, long
+        # watermarks): keep state off-heap/on-disk instead of in the JVM —
+        # the 100 TB path for stateful streams. Default stays the HDFS-
+        # backed in-memory provider (faster for the test-scale state).
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

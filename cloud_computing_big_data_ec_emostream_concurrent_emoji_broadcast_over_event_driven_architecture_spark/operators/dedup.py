@@ -515,30 +515,20 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain full-index pipeline: identical output, different (cheaper)
     candidate generation — which is the point.
 
-    At 100 TB: one extra global frequency aggregation (a dictionary
-    build, reusable across runs) buys an index join whose keys are
-    near-unique; this is the exact-tier scale path next to MinHash's
-    approximate one."""
+    Correctness needs only SOME global total order on tokens; this
+    implementation orders by the token hash itself, which makes the
+    prefix a pure per-row array op on the cached sets — no dictionary
+    build, no extra shuffle. At 100 TB, plugging a global-frequency rank
+    in as the order (one reusable aggregation) further minimizes
+    candidates by putting each document's RAREST tokens in the prefix;
+    the output is invariant to that choice, so the oracle is unchanged."""
     hdf = _hashed_shingle_sets(spark, sf_dir)
-    ex = hdf.select("doc_id", F.explode("hs").alias("h"))
-    freq = ex.groupBy("h").agg(F.count("*").alias("df"))
-    # per-doc canonical order (df asc, h asc), keep the prefix
-    prefix_len = (F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1).cast("int")
-    ordered = (
-        ex.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("df"), F.col("h")))
-            ).alias("ordered")
-        )
-        .join(hdf.select("doc_id", "n"), "doc_id")
-        .select(
-            "doc_id",
-            F.transform(
-                F.slice(F.col("ordered"), 1, prefix_len), lambda s: s["h"]
-            ).alias("prefix"),
-        )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).cast("int")
+    ordered = hdf.select(
+        "doc_id",
+        F.slice(F.array_sort("hs"), 1, prefix_len).alias("prefix"),
     )
     pf = ordered.select("doc_id", F.explode("prefix").alias("h"))
     x = pf.alias("x")

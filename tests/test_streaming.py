@@ -443,3 +443,47 @@ def test_stateful_ttl_evicts_idle_keys(spark, events_df, tmp_path):
     )
     a_final = [r for r in evicted if r["key"] == "a"][0]
     assert a_final["n_events"] == 1
+
+
+def test_checkpoint_recovery_resumes_state(spark, events_df, replay_dir, tmp_path):
+    """Exactly-once recovery: a windowed aggregation killed mid-stream and
+    restarted from its checkpoint resumes state (no double counting, no
+    loss) — the delivery guarantee the reference's latest-offsets consumers
+    give up (SURVEY §2.9 ST6)."""
+    directory, schema = replay_dir
+    ckpt = str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}")
+    out: dict = {}
+
+    def capture(bdf, bid):
+        for r in bdf.collect():
+            out[(r["event_type"], r["window"]["start"])] = r["cnt"]
+
+    def start():
+        stream = file_replay_stream(spark, directory, schema)
+        return (
+            windowed_counts_scaled(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(capture)
+        )
+
+    # phase 1: process only the first two micro-batches, then kill
+    q = start().trigger(processingTime="0 seconds").start()
+    while len(q.recentProgress) < 2:
+        import time as _t
+
+        _t.sleep(0.2)
+    q.stop()
+    # phase 2: restart from the checkpoint, drain the rest
+    q2 = start().trigger(availableNow=True).start()
+    q2.awaitTermination()
+
+    expected = {
+        (r["event_type"], r["minute"]): r["cnt"]
+        for r in events_df.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert out == expected

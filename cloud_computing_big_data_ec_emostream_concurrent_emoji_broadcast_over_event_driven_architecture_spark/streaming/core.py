@@ -169,3 +169,24 @@ def stream_stream_join(
         & (r_ts <= l_ts + F.expr(f"INTERVAL {max_skew}"))
     )
     return lw.alias("l").join(rw.alias("r"), cond)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event within
+    the watermark horizon — the streaming twin of the batch dedup tier
+    (operators/dedup.py) and the engine's answer to at-least-once sources
+    (the reference's gateway can re-send on retry; its consumers would
+    double-count). ``dropDuplicatesWithinWatermark`` keys the state store
+    on the dedup keys and evicts each key once the watermark passes it,
+    so state is bounded by (arrival rate × watermark), not the stream's
+    lifetime."""
+    keys = keys or ["event_id"]
+    events = _event_time(events, ts_col)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -487,3 +487,25 @@ def test_checkpoint_recovery_resumes_state(spark, events_df, replay_dir, tmp_pat
         .collect()
     }
     assert out == expected
+
+
+def test_stream_dedup_drops_redeliveries(spark, events_df, tmp_path):
+    """dropDuplicatesWithinWatermark: a stream where every micro-batch is
+    delivered twice (and some rows straddle batches) collapses to the
+    distinct batch rows."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        dedup_stream,
+    )
+
+    base = events_df.limit(500)
+    doubled = base.union(base)  # exact re-delivery of every row
+    out = tmp_path / f"dup_{uuid.uuid4().hex[:8]}"
+    doubled.orderBy("ts", "event_id").coalesce(3).write.parquet(str(out))
+    stream = file_replay_stream(spark, str(out), events_df.schema, 1)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(
+        dedup_stream(stream, watermark="365 days"), name, "append"
+    )
+    got = spark.sql(f"SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM {name}").collect()[0]
+    assert got["n"] == base.count()
+    assert got["d"] == base.count()

@@ -230,3 +230,99 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@register(
+    "q_tpch_q10",
+    tags=("tpch", "join", "topk"),
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate <  DATE '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Date + returnflag predicates push into both fact scans;
+    nation broadcasts; the customer join keys the one real shuffle; the
+    top-20 plans as TakeOrderedAndProject (k rows per partition reach the
+    driver, never the full rollup)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # per-row cast to decimal(18,4) BEFORE the sum: decimal
+            # addition is exact and order-independent, so partial-agg
+            # ordering can never flip a cent at the rounding boundary
+            # (a raw double sum did, once, at sf0.01).
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q14",
+    tags=("tpch", "join", "agg"),
+    oracle="""
+        SELECT ROUND(
+                 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4
+               ) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1996-02-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo parts in a month.
+    The month filter pushes into the lineitem scan; part joins broadcast;
+    the conditional revenue split is one codegen'd pass."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )

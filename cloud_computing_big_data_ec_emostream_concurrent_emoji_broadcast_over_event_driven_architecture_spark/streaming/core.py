@@ -190,3 +190,23 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def split_quarantine(
+    decoded: DataFrame,
+    required: tuple[str, ...] = ("user_id", "emoji_type"),
+    ts_col: str = "ts",
+) -> tuple[DataFrame, DataFrame]:
+    """Valid/quarantine split after wire decode — the engine's form of the
+    gateway's presence validation (reference api_server.py:55-56 returns
+    400; the engine keeps the rejects as data). ``from_json`` yields null
+    fields for corrupt or incomplete payloads and ``decode_wire_events``
+    yields a null ``ts`` for unparseable timestamps, so the predicate is a
+    null check — no second parse. Both halves share one scan; routing
+    them to different sinks is `fanout_foreach_batch` with a filter per
+    sink (or two queries on the source)."""
+    ok = F.lit(True)
+    for c in required:
+        ok = ok & F.col(c).isNotNull()
+    ok = ok & F.col(ts_col).isNotNull()
+    return decoded.filter(ok), decoded.filter(~ok)

@@ -509,3 +509,25 @@ def test_stream_dedup_drops_redeliveries(spark, events_df, tmp_path):
     got = spark.sql(f"SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM {name}").collect()[0]
     assert got["n"] == base.count()
     assert got["d"] == base.count()
+
+
+def test_quarantine_split_catches_bad_wire_records(spark):
+    """Corrupt JSON, missing fields, and unparseable timestamps land in
+    quarantine; well-formed records pass — the reference's 400-reject
+    semantics kept as data (api_server.py:55-56)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        split_quarantine,
+    )
+
+    payloads = [
+        '{"user_id":"u1","emoji_type":"👍","timestamp":"2024-01-01T10:00:00.123456"}',
+        'not json at all',
+        '{"user_id":"u2","timestamp":"2024-01-01T10:00:00.123456"}',
+        '{"user_id":"u3","emoji_type":"🔥","timestamp":"yesterday-ish"}',
+        '{"user_id":"u4","emoji_type":"❤️","timestamp":"2024-01-01T10:00:01.000Z"}',
+    ]
+    raw = spark.createDataFrame([(p,) for p in payloads], "value string")
+    valid, bad = split_quarantine(decode_wire_events(raw))
+    ok_users = {r["user_id"] for r in valid.collect()}
+    assert ok_users == {"u1", "u4"}
+    assert bad.count() == 3

@@ -210,3 +210,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("new_session").alias("n_sessions"),
     )
+
+
+@register(
+    "q_rank_functions",
+    tags=("window", "rank"),
+    oracle="""
+        WITH m AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, minute, cnt,
+               ntile(4)       OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               first_value(cnt) OVER w AS first_cnt,
+               last_value(cnt)  OVER (PARTITION BY event_type ORDER BY minute
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS last_cnt
+        FROM m
+        WINDOW w AS (PARTITION BY event_type ORDER BY minute)
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/analytic window-function surface in one pass: ntile,
+    percent_rank, first/last value over the per-minute count series. One
+    shuffle on the partition key serves all four functions (same window
+    spec → one Window physical operator)."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("minute")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return m.select(
+        "event_type",
+        "minute",
+        "cnt",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("cnt").over(w).alias("first_cnt"),
+        F.last("cnt").over(w_all).alias("last_cnt"),
+    )

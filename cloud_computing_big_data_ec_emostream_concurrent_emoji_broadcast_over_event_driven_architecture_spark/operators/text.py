@@ -224,3 +224,63 @@ def q_text_topwords_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word"))
     return wc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "q_array_agg_ops",
+    tags=("array", "agg"),
+    oracle="""
+        SELECT user_id,
+               array_to_string(
+                   list_sort(list_distinct(list(event_type))), ',') AS types,
+               len(list_distinct(list(event_type))) AS n_types
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q_array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface (SURVEY.md §2.8 map/array family): per
+    user, the sorted distinct event types as one row. Rendered to a
+    joined string in BOTH engines so the driver's value hash sees a
+    scalar, not engine-specific list encodings."""
+    ev = table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types, ",").alias("types"),
+        F.size(types).alias("n_types"),
+    )
+
+
+@register(
+    "q_levenshtein_pairs",
+    tags=("text", "similarity"),
+    oracle="""
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+                   AS edit_distance
+        FROM documents a
+        JOIN documents b
+          ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    """,
+)
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between adjacent same-language documents (first 40
+    chars) — the string-similarity scalar on a bounded candidate set (the
+    adjacency join stands in for any blocking key; levenshtein is O(len²)
+    per pair, so the candidate generator — not the scalar — is what must
+    scale)."""
+    docs = table(spark, sf_dir, "documents")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.levenshtein(
+            F.substring(F.col("a.text"), 1, 40),
+            F.substring(F.col("b.text"), 1, 40),
+        ).alias("edit_distance"),
+    )

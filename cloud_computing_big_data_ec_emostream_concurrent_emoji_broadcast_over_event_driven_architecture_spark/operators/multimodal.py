@@ -108,3 +108,53 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_frame(spark, sf_dir).mapInPandas(
         _extract_features, schema=FEATURE_SCHEMA
     )
+
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+@register(
+    "q_multimodal_frames",
+    tags=("multimodal", "frames"),
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, n_chars,
+                   unnest(range(0, CAST(ceil(n_chars * 1.0 / {FRAME_BYTES})
+                                        AS BIGINT))) AS frame_idx
+            FROM documents
+        )
+        SELECT d.doc_id, f.frame_idx,
+               md5(substr(d.text, CAST(f.frame_idx * {FRAME_BYTES} + 1 AS INT),
+                          {FRAME_BYTES})) AS frame_md5
+        FROM f JOIN documents d ON f.doc_id = d.doc_id
+        WHERE f.frame_idx % {FRAME_STRIDE} = 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: split each payload into
+    256-byte frames, keep every 2nd, fingerprint each frame — the video
+    frame-sample pattern with the decode stubbed by byte slicing (the
+    documents text is ASCII, so the DuckDB oracle's char slices are the
+    same bytes). One-to-many expansion is sequence+explode — pure
+    codegen, no Python; per-frame work partitions with the frame, so a
+    1-hour video and a 10-second clip cost proportionally. Swap the
+    byte-slice for a real codec via mapInPandas (see _extract_features)
+    when the library exists."""
+    frames = binary_frame(spark, sf_dir).select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("meta.n_bytes") / F.lit(FRAME_BYTES)).cast("long")
+                - 1,
+            )
+        ).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+    frame = F.substring(
+        F.col("payload"), F.col("frame_idx") * FRAME_BYTES + 1, FRAME_BYTES
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.md5(frame).alias("frame_md5")
+    )

@@ -326,3 +326,56 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@register(
+    "q_tpch_q18",
+    tags=("tpch", "subquery", "having"),
+    oracle="""
+        SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c_name, o_orderkey, o_totalprice
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): IN-subquery over a HAVING
+    aggregate, decorrelated by Catalyst into a left-semi join against the
+    pre-aggregated order quantities — the fact table is aggregated once,
+    filtered, and only surviving orderkeys rejoin the dimensions."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            big.withColumnRenamed("l_orderkey", "bk"),
+            F.col("o_orderkey") == F.col("bk"),
+            "left_semi",
+        )
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

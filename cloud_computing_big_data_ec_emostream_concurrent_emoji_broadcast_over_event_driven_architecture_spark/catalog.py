@@ -37,8 +37,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name in _NANO_TS_COLS:
+        # Scoped: the conf is consulted at schema-resolution (read) time
+        # and captured into the relation, so restoring it immediately
+        # afterwards keeps the session conf clean — an unrelated later
+        # read of a TIMESTAMP(NANOS) file still fails loudly instead of
+        # silently yielding raw nano longs (verified in round 1).
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", prior
+                )
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(

@@ -68,7 +68,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HASHSET_CACHE: dict[tuple[str, str], DataFrame] = {}
+_HASHSET_CACHE: dict[tuple[str, str, str], tuple[DataFrame, ...]] = {}
+
+
+def clear_hashset_cache() -> None:
+    """Unpersist and drop every cached dedup intermediate (tests / memory
+    pressure)."""
+    for frames in _HASHSET_CACHE.values():
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _HASHSET_CACHE.clear()
 
 
 def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +97,11 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with fewer than k words (empty shingle set) are excluded — they
     can participate in no pair, and their null minhashes would otherwise
     band together."""
-    key = (sf_dir, "hs")
+    # Keyed by applicationId so a cached plan never outlives its
+    # SparkSession (a stale entry would reference a stopped context);
+    # both persist levels are retained so clear_hashset_cache() can
+    # actually free the blocks.
+    key = (spark.sparkContext.applicationId, sf_dir, "hs")
     if key not in _HASHSET_CACHE:
         docs = table(spark, sf_dir, "documents")
         # Low-SF local files arrive as a single split; fan the expensive
@@ -116,12 +132,13 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for a, b in MINHASH_AB
             ]
         )
-        _HASHSET_CACHE[key] = (
+        enriched = (
             base.filter(F.size("hs") > 0)
             .select("doc_id", "hs", F.size("hs").alias("n"), sig.alias("sig"))
             .persist()
         )
-    return _HASHSET_CACHE[key]
+        _HASHSET_CACHE[key] = (enriched, base)
+    return _HASHSET_CACHE[key][0]
 
 
 _HS_CTE = f"""
@@ -187,9 +204,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sza = hdf.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
     szb = hdf.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # no broadcast hint: AQE broadcasts these at test scale from runtime
+    # stats and falls back to shuffle joins when the doc table outgrows
+    # the broadcast limit — a forced broadcast of every document would
+    # cap the operator at the 8 GB broadcast ceiling.
     return (
-        inter.join(F.broadcast(sza), "doc_id_a")
-        .join(F.broadcast(szb), "doc_id_b")
+        inter.join(sza, "doc_id_a")
+        .join(szb, "doc_id_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
@@ -307,9 +328,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id equi-joins that scale as shuffle-hash joins at 100 TB.
     ha = hdf.select(F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))
     hb = hdf.select(F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))
+    # no broadcast hint — see q_dedup_ngram_jaccard's verification note
     verified = (
-        cand.join(F.broadcast(ha), "doc_id_a")
-        .join(F.broadcast(hb), "doc_id_b")
+        cand.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
         .withColumn("c", F.size(F.array_intersect("hs_a", "hs_b")))
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
@@ -441,7 +463,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding — 4 chunks of 11 bits; any pair within hamming 3 shares ≥1
     exact chunk — makes the candidate join an equi-join (the scale path),
     then the exact popcount filter runs on candidates only."""
-    fp = q_dedup_simhash(spark, sf_dir)
+    # fingerprints persist through the shared cache: the 44-bit vote fold
+    # is the costliest expression in the module and the self-join below
+    # references it from both sides.
+    fp_key = (spark.sparkContext.applicationId, sf_dir, "simhash_fp")
+    if fp_key not in _HASHSET_CACHE:
+        _HASHSET_CACHE[fp_key] = (q_dedup_simhash(spark, sf_dir).persist(),)
+    fp = _HASHSET_CACHE[fp_key][0]
     chunk_rows = fp.select(
         "doc_id",
         "simhash",
@@ -555,9 +583,10 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hs").alias("hs_b"),
         F.col("n").alias("nb"),
     )
+    # no broadcast hint — see q_dedup_ngram_jaccard's verification note
     verified = (
-        cand.join(F.broadcast(ha), "doc_id_a")
-        .join(F.broadcast(hb), "doc_id_b")
+        cand.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
         .withColumn("c", F.size(F.array_intersect("hs_a", "hs_b")))
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))

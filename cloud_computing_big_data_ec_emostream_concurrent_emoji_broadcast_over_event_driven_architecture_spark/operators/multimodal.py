@@ -141,17 +141,27 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hour video and a 10-second clip cost proportionally. Swap the
     byte-slice for a real codec via mapInPandas (see _extract_features)
     when the library exists."""
-    frames = binary_frame(spark, sf_dir).select(
-        "doc_id",
-        "payload",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.col("meta.n_bytes") / F.lit(FRAME_BYTES)).cast("long")
-                - 1,
-            )
-        ).alias("frame_idx"),
-    ).filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+    frames = (
+        binary_frame(spark, sf_dir)
+        # empty payloads yield no frames (F.sequence(0, -1) would step
+        # DOWNWARD and emit spurious indices — Spark sequences are
+        # bidirectional)
+        .filter(F.col("meta.n_bytes") > 0)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("meta.n_bytes") / F.lit(FRAME_BYTES)).cast(
+                        "long"
+                    )
+                    - 1,
+                )
+            ).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+    )
     frame = F.substring(
         F.col("payload"), F.col("frame_idx") * FRAME_BYTES + 1, FRAME_BYTES
     )

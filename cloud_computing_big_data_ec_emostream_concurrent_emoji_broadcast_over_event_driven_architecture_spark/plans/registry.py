@@ -49,14 +49,15 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        desc = description or next(
+            iter((fn.__doc__ or "").strip().splitlines()), ""
+        )
         _REGISTRY[name] = QuerySpec(
             name=name,
             fn=fn,
             oracle=oracle,
             headline=headline,
-            description=description or (fn.__doc__ or "").strip().splitlines()[0]
-            if (description or fn.__doc__)
-            else "",
+            description=desc,
             tags=tags,
         )
         return fn

@@ -59,3 +59,32 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+EMOJI_VOCAB = ["👍", "❤️", "😂", "🎉", "😢", "🔥", "👏", "🏆", "😮", "💔"]
+
+
+def synthetic_wire_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate source rendered as the reference's wire JSON (the synthetic
+    senders, reference client.py:47-51): one ``value`` string column of
+    ``{"user_id", "emoji_type", "timestamp"}`` payloads with ISO-micros
+    timestamps. Shared by the demo, the throughput bench, and tests so
+    every consumer exercises the identical byte contract."""
+    from pyspark.sql import functions as F
+
+    return rate_stream(spark, rows_per_second).select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("user_"), (F.col("value") % 100)).alias(
+                    "user_id"
+                ),
+                F.element_at(
+                    F.array(*[F.lit(e) for e in EMOJI_VOCAB]),
+                    (F.col("value") % len(EMOJI_VOCAB) + 1).cast("int"),
+                ).alias("emoji_type"),
+                F.date_format(
+                    "timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                ).alias("timestamp"),
+            )
+        ).alias("value")
+    )

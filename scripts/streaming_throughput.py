@@ -25,34 +25,18 @@ from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event
     build_session,
 )
 from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.sources.streams import (  # noqa: E402
-    rate_stream,
+    synthetic_wire_stream,
 )
 from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (  # noqa: E402
     decode_wire_events,
     windowed_counts_scaled,
 )
 
-EMOJIS = ["👍", "❤️", "😂", "🎉", "😢", "🔥", "👏", "🏆", "😮", "💔"]
-
-
 def main(rate: int = 200_000, run_seconds: int = 30) -> None:
     spark = build_session(app_name="streaming_throughput")
     spark.sparkContext.setLogLevel("ERROR")
 
-    raw = rate_stream(spark, rows_per_second=rate).select(
-        F.to_json(
-            F.struct(
-                F.concat(F.lit("user_"), (F.col("value") % 100)).alias("user_id"),
-                F.element_at(
-                    F.array(*[F.lit(e) for e in EMOJIS]),
-                    (F.col("value") % len(EMOJIS) + 1).cast("int"),
-                ).alias("emoji_type"),
-                F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias(
-                    "timestamp"
-                ),
-            )
-        ).alias("value")
-    )
+    raw = synthetic_wire_stream(spark, rows_per_second=rate)
     events = decode_wire_events(raw).withColumnRenamed("emoji_type", "event_type")
     counts = windowed_counts_scaled(events, window_dur="10 seconds")
 

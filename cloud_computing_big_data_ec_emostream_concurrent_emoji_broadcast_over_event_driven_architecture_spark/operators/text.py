@@ -284,3 +284,77 @@ def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("b.text"), 1, 40),
         ).alias("edit_distance"),
     )
+
+
+@register(
+    "q_pipeline_clean_corpus",
+    tags=("text", "pipeline", "dedup", "sampling", "scale"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   ROUND(0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+                         + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text,
+                                   '[^a-zA-Z0-9 ]')) * 1.0 / n_chars, 1.0))
+                         + 0.3 * LEAST({stopword_ratio_sql("string_split(text, ' ')")}
+                                       * 10.0, 1.0), 6) AS quality
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE quality >= 0.5
+              AND doc_id = (SELECT MIN(s2.doc_id) FROM scored s2
+                            WHERE md5(s2.text) = md5(scored.text))
+        ),
+        sampled AS (
+            SELECT * FROM kept
+            WHERE {md5_long_sql('CAST(doc_id AS VARCHAR)')} % 2 = 0
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(quality), 6) AS avg_quality,
+               ROUND(AVG(n_tokens), 4) AS avg_tokens
+        FROM sampled GROUP BY lang
+    """,
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleaning pipeline as ONE DAG: quality
+    gate (score ≥ 0.5) → exact dedup (keep lowest doc_id per content
+    hash) → deterministic 50% hash sample → per-language corpus stats.
+    One scan feeds everything; the only shuffles are the dedup window
+    (content-hash partitioning) and the final per-lang aggregate — at
+    100 TB this whole flow is scan → 2 exchanges, no intermediate
+    materialization between stages."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0)
+    )
+    sw = stopword_ratio(tokens(F.col("text")))
+    quality = F.round(
+        F.lit(0.4) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(n_punct / F.col("n_chars"), F.lit(1.0)))
+        + F.lit(0.3) * F.least(sw * 10.0, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens"), quality.alias("quality")
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    kept = (
+        scored.filter(F.col("quality") >= 0.5)
+        .withColumn("keep_id", keeper)
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    sampled = kept.filter(
+        md5_long(F.col("doc_id").cast("string")) % 2 == 0
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )

@@ -194,3 +194,46 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("sim", 6).alias("sim"))
     )
+
+
+@register(
+    "q_embedding_centroids",
+    tags=("similarity", "vector", "agg"),
+    oracle=f"""
+        WITH ex AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   unnest({as_double_sql('embedding')}) AS val
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, pos, AVG(val) AS cx
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label,
+               COUNT(*) AS dim,
+               ROUND(SQRT(SUM(cx * cx)), 6) AS centroid_norm,
+               ROUND(SUM(cx), 6) AS centroid_sum
+        FROM cent GROUP BY label
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics via element-wise array aggregation:
+    posexplode → mean per (label, dimension) → norm/sum of the centroid.
+    The shuffle key is (label, dim) — N×D rows of 8-byte doubles with
+    map-side partial averages, the scalable form of 'average the
+    vectors' (no collect, no UDF). The K-means-style assignment in
+    q_ann_ivf composes with this to re-estimate centroids."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    return cent.groupBy("label").agg(
+        F.count("*").alias("dim"),
+        F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 6).alias(
+            "centroid_norm"
+        ),
+        F.round(F.sum("cx"), 6).alias("centroid_sum"),
+    )

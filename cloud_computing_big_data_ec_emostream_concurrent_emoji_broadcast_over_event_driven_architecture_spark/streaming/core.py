@@ -210,3 +210,23 @@ def split_quarantine(
         ok = ok & F.col(c).isNotNull()
     ok = ok & F.col(ts_col).isNotNull()
     return decoded.filter(ok), decoded.filter(~ok)
+
+
+def with_wire_metrics(decoded: DataFrame, name: str = "wire_metrics") -> DataFrame:
+    """Attach per-micro-batch observability to the decode stage: row
+    count, decode failures (null required fields), and timestamp-parse
+    failures, surfaced through ``StreamingQueryProgress.observedMetrics``
+    — production monitoring without a second pass or a side query (the
+    metrics ride the existing plan as accumulators)."""
+    return decoded.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("user_id").isNull() | F.col("emoji_type").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_decode_failures"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias(
+            "n_ts_failures"
+        ),
+    )

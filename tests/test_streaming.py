@@ -531,3 +531,37 @@ def test_quarantine_split_catches_bad_wire_records(spark):
     ok_users = {r["user_id"] for r in valid.collect()}
     assert ok_users == {"u1", "u4"}
     assert bad.count() == 3
+
+
+def test_observed_wire_metrics_surface_in_progress(spark, tmp_path):
+    """observe() metrics ride the decode plan: counts of decode/parse
+    failures appear in StreamingQueryProgress.observedMetrics."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        with_wire_metrics,
+    )
+
+    payloads = [
+        '{"user_id":"u1","emoji_type":"👍","timestamp":"2024-01-01T10:00:00.123456"}',
+        'garbage',
+        '{"user_id":"u2","emoji_type":"🔥","timestamp":"not-a-time"}',
+    ]
+    src = tmp_path / f"obs_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame([(p,) for p in payloads], "value string").coalesce(
+        1
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("value string").parquet(str(src))
+    observed = with_wire_metrics(decode_wire_events(stream))
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = None
+    for p in q.recentProgress:
+        if p.get("observedMetrics", {}).get("wire_metrics"):
+            metrics = p["observedMetrics"]["wire_metrics"]
+    assert metrics is not None
+    assert metrics["n_rows"] == 3
+    assert metrics["n_decode_failures"] == 1  # 'garbage'
+    assert metrics["n_ts_failures"] == 2  # garbage + bad timestamp

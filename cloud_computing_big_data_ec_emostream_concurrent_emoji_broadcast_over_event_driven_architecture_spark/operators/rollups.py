@@ -47,7 +47,7 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rollup", "agg"),
     oracle="""
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS revenue
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
 )
@@ -59,7 +59,9 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2
+            ).alias("revenue"),
         )
     )
 

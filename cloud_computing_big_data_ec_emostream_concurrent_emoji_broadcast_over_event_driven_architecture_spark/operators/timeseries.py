@@ -123,7 +123,7 @@ def q_rolling_3min(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH b AS (
             SELECT event_type, COUNT(*) AS cnt,
-                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS sum_value,
                    ROUND(AVG(value), 6) AS avg_value
             FROM events GROUP BY 1
         )
@@ -141,7 +141,7 @@ def q_stats_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2).alias("sum_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )

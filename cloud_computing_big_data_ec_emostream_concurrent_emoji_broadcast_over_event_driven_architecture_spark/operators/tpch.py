@@ -26,9 +26,10 @@ from ..plans.registry import register
     oracle="""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)      AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS sum_base_price,
+               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS sum_disc_price,
+               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(28,10))), 2)
                                               AS sum_charge,
                ROUND(AVG(l_quantity), 6)      AS avg_qty,
                ROUND(AVG(l_extendedprice), 6) AS avg_price,
@@ -51,9 +52,18 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # decimal sums: order-independent, immune to the cent-boundary
+            # flip a raw double sum can hit (see q_tpch_q10)
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,10)")), 2
+            ).alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(28,10)")), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(28,10)")),
+                2,
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -68,7 +78,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "topk"),
     oracle="""
         SELECT l.l_orderkey,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,10))), 2) AS revenue,
                o.o_orderdate
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -101,7 +112,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,10)")
+                ),
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -115,7 +131,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join"),
     oracle="""
         SELECT n.n_name AS nation,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,10))), 2) AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -156,7 +173,12 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,10)")
+                ),
+                2,
             ).alias("revenue")
         )
     )
@@ -167,7 +189,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("tpch", "scan"),
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -190,9 +212,14 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(28,10)"
+                    )
+                ),
+                2,
+            ).alias("revenue")
         )
     )
 
@@ -238,7 +265,7 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name, n_name,
                ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))), 2) AS revenue
+                             AS DECIMAL(28,10))), 2) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -270,14 +297,14 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            # per-row cast to decimal(18,4) BEFORE the sum: decimal
+            # per-row cast to decimal(28,10) BEFORE the sum: decimal
             # addition is exact and order-independent, so partial-agg
             # ordering can never flip a cent at the rounding boundary
             # (a raw double sum did, once, at sf0.01).
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
+                        "decimal(28,10)"
                     )
                 ),
                 2,
@@ -388,7 +415,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l_shipdate) AS ship_year,
                ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4))), 2) AS volume
+                              AS DECIMAL(28,10))), 2) AS volume
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
@@ -424,7 +451,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+        "decimal(28,10)"
     )
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -445,7 +472,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "pushdown"),
     oracle="""
         SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4))), 2) AS revenue
+                              AS DECIMAL(28,10))), 2) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 21)
@@ -482,6 +509,6 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+        "decimal(28,10)"
     )
     return j.filter(case).agg(F.round(F.sum(rev), 2).alias("revenue"))

@@ -207,7 +207,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         ),
         cent AS (
-            SELECT label, pos, AVG(val) AS cx
+            SELECT label, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(*) AS cx
             FROM ex GROUP BY label, pos
         )
         SELECT label,
@@ -229,7 +231,12 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
     )
-    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("cx")
+    )
     return cent.groupBy("label").agg(
         F.count("*").alias("dim"),
         F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 6).alias(

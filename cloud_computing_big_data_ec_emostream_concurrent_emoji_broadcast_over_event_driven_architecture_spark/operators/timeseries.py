@@ -124,7 +124,8 @@ def q_rolling_3min(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH b AS (
             SELECT event_type, COUNT(*) AS cnt,
                    ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS sum_value,
-                   ROUND(AVG(value), 6) AS avg_value
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_value
             FROM events GROUP BY 1
         )
         SELECT event_type, cnt, sum_value, avg_value,
@@ -142,7 +143,11 @@ def q_stats_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
         )
     )
     return b.withColumn(

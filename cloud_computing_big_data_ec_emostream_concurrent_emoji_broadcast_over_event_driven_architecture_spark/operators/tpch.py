@@ -32,7 +32,8 @@ from ..plans.registry import register
                           AS DECIMAL(28,10))), 2)
                                               AS sum_charge,
                ROUND(AVG(l_quantity), 6)      AS avg_qty,
-               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_price,
                ROUND(AVG(l_discount), 6)      AS avg_disc,
                COUNT(*)                       AS count_order
         FROM lineitem
@@ -65,8 +66,23 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # averages of money-like doubles via exact decimal sums, then
+            # one double division — identical in both engines (see the
+            # sum hardening note above)
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

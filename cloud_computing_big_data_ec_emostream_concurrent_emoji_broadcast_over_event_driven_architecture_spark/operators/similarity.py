@@ -244,3 +244,136 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("cx"), 6).alias("centroid_sum"),
     )
+
+
+KMEANS_ITERS = 2
+
+
+def _kmeans_assign_sql(cents_cte: str) -> str:
+    """One Lloyd assignment in DuckDB SQL against a (cent_id, cv) CTE."""
+    return f"""(
+            SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'c.cv')} DESC, c.cent_id
+                       ) AS rn
+                FROM ev e, {cents_cte} c
+            ) WHERE rn = 1
+        )"""
+
+
+def _kmeans_recenter_sql(assign_cte: str) -> str:
+    """Re-estimate centroids from an assignment CTE (decimal-exact mean
+    per dimension, rebuilt into an ordered list)."""
+    return f"""(
+            SELECT cent_id, list(cx ORDER BY pos) AS cv FROM (
+                SELECT cent_id, pos,
+                       CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(*) AS cx
+                FROM (
+                    SELECT cent_id,
+                           generate_subscripts(v, 1) AS pos,
+                           unnest(v) AS x
+                    FROM {assign_cte}
+                ) GROUP BY cent_id, pos
+            ) GROUP BY cent_id
+        )"""
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        f"ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, {as_double_sql('embedding')} AS cv"
+        f" FROM embeddings WHERE vec_id < {IVF_K})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"a{i} AS {_kmeans_assign_sql(f'c{i}')}")
+        ctes.append(f"c{i + 1} AS {_kmeans_recenter_sql(f'a{i}')}")
+    final_assign = f"a_final AS {_kmeans_assign_sql(f'c{KMEANS_ITERS}')}"
+    ctes.append(final_assign)
+    cte_block = ",\n        ".join(ctes)
+    return f"""
+        WITH {cte_block}
+        SELECT a.cent_id, COUNT(*) AS n_members,
+               ROUND(SQRT({cosine_sql('c.cv', 'c.cv')} * 0 +
+                     list_dot_product(c.cv, c.cv)), 6) AS centroid_norm
+        FROM a_final a JOIN c{KMEANS_ITERS} c ON a.cent_id = c.cent_id
+        GROUP BY a.cent_id, c.cv
+    """
+
+
+@register(
+    "q_kmeans",
+    tags=("similarity", "iterative", "scale"),
+    oracle=_kmeans_oracle(),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (2 Lloyd iterations, K=8, cosine assignment,
+    deterministic first-K init) — the iterative-algorithm class done
+    Spark-first: each iteration is assignment (broadcast centroids, one
+    codegen'd pass, rank-1 per vector) + re-estimation (posexplode +
+    (cluster, dim)-keyed exact-decimal means), all composed lazily into
+    one DAG. The oracle unrolls the SAME iterations in SQL, so every
+    intermediate assignment must agree across engines. At 100 TB each
+    iteration would be checkpointed to cut lineage; 2 unrolled
+    iterations keep the driver-contract query self-contained."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def assign(cents_df):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("sim"), F.asc("cent_id")
+        )
+        return (
+            emb.crossJoin(F.broadcast(cents_df))
+            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cent_id")
+        )
+
+    def recenter(assigned_df):
+        cx = (
+            assigned_df.select(
+                "cent_id", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                    / F.count("*")
+                ).alias("cx")
+            )
+        )
+        return cx.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("cv")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        cents = recenter(assign(cents))
+    final = assign(cents)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("cv"), F.col("cv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        final.groupBy("cent_id")
+        .agg(F.count("*").alias("n_members"))
+        .join(cents, "cent_id")
+        .select(
+            "cent_id", "n_members", F.round(norm, 6).alias("centroid_norm")
+        )
+    )

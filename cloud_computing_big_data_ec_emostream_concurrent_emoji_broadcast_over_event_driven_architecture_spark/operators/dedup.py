@@ -594,3 +594,100 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+CC_ITERS = 3  # min-label propagation rounds; near-dup components are
+              # shallow (pairs/cliques), diameter ≤ 2 in practice — 3
+              # rounds is convergence + one verification round here
+
+
+def _cc_oracle() -> str:
+    """Unrolled min-label propagation over the MinHash-verified pair
+    graph (symmetrized), mirroring the Spark iterations exactly."""
+    minhash = _minhash_oracle()
+    steps = []
+    for i in range(CC_ITERS):
+        steps.append(f"""
+        l{i + 1} AS (
+            SELECT n.doc_id,
+                   LEAST(l.lbl, COALESCE(MIN(l2.lbl), l.lbl)) AS lbl
+            FROM nodes n
+            JOIN l{i} l ON l.doc_id = n.doc_id
+            LEFT JOIN edges e ON e.src = n.doc_id
+            LEFT JOIN l{i} l2 ON l2.doc_id = e.dst
+            GROUP BY n.doc_id, l.lbl
+        )""")
+    return f"""
+        WITH pairs AS ({minhash}),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS doc_id FROM edges
+        ),
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+        {','.join(steps)}
+        SELECT doc_id, lbl AS cluster_id,
+               CASE WHEN doc_id = lbl THEN 1 ELSE 0 END AS is_keeper
+        FROM l{CC_ITERS}
+    """
+
+
+@register(
+    "q_dedup_clusters",
+    tags=("dedup", "graph", "iterative", "scale"),
+    oracle=_cc_oracle(),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the
+    MinHash-verified pair graph via min-label propagation — each round
+    every node takes the min label among itself and its neighbors; the
+    component converges to its smallest doc_id (the keeper). Rounds are
+    self-joins on the (small) edge list, shuffling labels not documents;
+    at 100 TB this is the standard large-star/small-star pattern with
+    per-round checkpointing — here components are shallow (near-dup
+    cliques), so a fixed unroll both converges and stays oracle-able.
+    Only documents that participate in ≥1 pair appear (singletons are
+    trivially their own keeper)."""
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id_a"),
+            F.col("doc_id_a").alias("doc_id_b"),
+        )
+    ).withColumnsRenamed({"doc_id_a": "src", "doc_id_b": "dst"})
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
+    for _ in range(CC_ITERS):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnsRenamed({"doc_id": "dst", "lbl": "nlbl"}),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        labels = (
+            labels.join(
+                neighbor_min.withColumnRenamed("src", "doc_id"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        F.when(F.col("doc_id") == F.col("lbl"), 1).otherwise(0).alias(
+            "is_keeper"
+        ),
+    )

@@ -1,0 +1,64 @@
+"""Bucketed-table co-located join: writing both sides bucketed on the
+join key removes the shuffle — the plan's SortMergeJoin has no Exchange
+on either side. This is the pre-partitioning lever for repeated joins at
+100 TB (pay the layout once, join shuffle-free forever)."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+    table,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    tag = uuid.uuid4().hex[:8]
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(f"orders_b_{tag}")
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable(f"customer_b_{tag}")
+    )
+    ob = spark.table(f"orders_b_{tag}")
+    cb = spark.table(f"customer_b_{tag}")
+    # disable auto-broadcast so the join strategy question is real
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey).groupBy(
+            "c_mktsegment"
+        ).agg(F.count("*").alias("n"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, join_section
+        # and the result matches the unbucketed join
+        expected = (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS customer_b_{tag}")

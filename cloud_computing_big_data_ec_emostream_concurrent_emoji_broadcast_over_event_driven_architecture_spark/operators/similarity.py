@@ -377,3 +377,53 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent_id", "n_members", F.round(norm, 6).alias("centroid_norm")
         )
     )
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+) -> DataFrame:
+    """IVF top-k with multi-probe: scan the ``nprobe`` centroid buckets
+    nearest to the query instead of just its own. Recall rises toward
+    brute-force as nprobe → K while probe cost stays ~nprobe·N/K —
+    the standard IVF recall/latency dial (tests measure the recall curve
+    against the exact q_similarity_topk baseline)."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    sim_to_cent = cosine(as_double(F.col("embedding")), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", sim_to_cent.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cent_id"
+    )
+    probe_buckets = (
+        ranked.filter(
+            (F.col("vec_id") == query_vec_id) & (F.col("rn") <= nprobe)
+        )
+        .select(F.col("cent_id").alias("q_cent"))
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    sim_to_q = cosine(as_double(F.col("embedding")), F.col("qv"))
+    return (
+        assigned.join(F.broadcast(probe_buckets), F.col("cent_id") == F.col("q_cent"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim_to_q.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+    )

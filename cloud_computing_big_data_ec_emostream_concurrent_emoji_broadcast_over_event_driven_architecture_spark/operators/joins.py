@@ -349,3 +349,60 @@ def q_twophase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    tags=("join", "asof", "window"),
+    oracle="""
+        SELECT event_id,
+               CASE WHEN last_click_ts IS NOT NULL
+                         AND last_click_ts >= ts - INTERVAL 10 MINUTE
+                    THEN last_click_ts END AS attributed_click_ts,
+               CASE WHEN last_click_ts IS NOT NULL
+                         AND last_click_ts >= ts - INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS attributed
+        FROM (
+            SELECT event_id, event_type, ts,
+                   LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_click_ts
+            FROM events
+        ) WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance (attribution-window form): each
+    purchase matches the same user's most recent earlier click only if it
+    happened within 10 minutes — older matches are dropped to null, the
+    pandas ``merge_asof(tolerance=...)`` semantics. Same single-shuffle
+    window plan as q_join_asof; the tolerance is a post-filter on the
+    matched timestamp, not a second join."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    # reference the materialized column, NOT the window expression — a
+    # window expression used after the purchase filter would re-evaluate
+    # over the filtered frame (clicks gone) and silently change semantics
+    in_window = F.col("last_click_ts").isNotNull() & (
+        F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES")
+    )
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.when(in_window, F.col("last_click_ts")).alias(
+                "attributed_click_ts"
+            ),
+            F.when(in_window, 1).otherwise(0).alias("attributed"),
+        )
+    )

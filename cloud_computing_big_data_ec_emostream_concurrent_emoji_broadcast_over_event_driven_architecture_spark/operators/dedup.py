@@ -691,3 +691,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_keeper"
         ),
     )
+
+
+def prefix_index(
+    spark: SparkSession, sf_dir: str, order: str = "hash"
+) -> DataFrame:
+    """(doc_id, h) prefix inverted index under a chosen global token
+    order. ``hash``: order by the token hash — zero extra cost (per-row
+    slice of the cached sorted sets). ``rarest``: order by ascending
+    global document frequency — one extra aggregation (a reusable token
+    dictionary) that puts each document's rarest tokens in the prefix,
+    minimizing candidate pairs on real skewed corpora. The PAIR OUTPUT of
+    the prefix join is invariant to this choice (tests/test_skew.py twin
+    in test_oracle_parity asserts it); only the candidate count moves."""
+    hdf = _hashed_shingle_sets(spark, sf_dir)
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).cast("int")
+    if order == "hash":
+        ordered = hdf.select(
+            "doc_id", F.slice(F.array_sort("hs"), 1, prefix_len).alias("prefix")
+        )
+    elif order == "rarest":
+        ex = hdf.select("doc_id", F.explode("hs").alias("h"))
+        freq = ex.groupBy("h").agg(F.count("*").alias("df"))
+        ordered = (
+            ex.join(freq, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("h")))
+                ).alias("o")
+            )
+            .join(hdf.select("doc_id", "n"), "doc_id")
+            .select(
+                "doc_id",
+                F.transform(
+                    F.slice(F.col("o"), 1, prefix_len), lambda s: s["h"]
+                ).alias("prefix"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown prefix order {order!r}")
+    return ordered.select("doc_id", F.explode("prefix").alias("h"))

@@ -288,6 +288,7 @@ def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pipeline_clean_corpus",
+    headline=True,
     tags=("text", "pipeline", "dedup", "sampling", "scale"),
     oracle=f"""
         WITH scored AS (

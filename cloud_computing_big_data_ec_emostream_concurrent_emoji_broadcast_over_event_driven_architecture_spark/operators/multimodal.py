@@ -168,3 +168,40 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.md5(frame).alias("frame_md5")
     )
+
+
+RESIZE_BYTES = 128
+
+
+@register(
+    "q_multimodal_resize",
+    tags=("multimodal", "resize"),
+    oracle=f"""
+        SELECT doc_id,
+               md5(CASE WHEN n_chars >= {RESIZE_BYTES}
+                        THEN substr(text, 1, {RESIZE_BYTES})
+                        ELSE text || repeat(chr(32),
+                                            {RESIZE_BYTES} - n_chars) END)
+                   AS resized_md5,
+               {RESIZE_BYTES} AS n_bytes
+        FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fixed-shape over binary payloads: truncate or pad every
+    payload to exactly 128 bytes and fingerprint the result — the
+    image-resize pattern with the codec stubbed by byte slicing (ASCII
+    text ⇒ the oracle's char ops are the same bytes; space is the
+    deterministic pad). Pure per-row projection: at 100 TB this is
+    embarrassingly parallel and never shuffles."""
+    bf = binary_frame(spark, sf_dir)
+    resized = F.rpad(
+        F.substring(F.col("payload").cast("string"), 1, RESIZE_BYTES),
+        RESIZE_BYTES,
+        " ",
+    )
+    return bf.select(
+        "doc_id",
+        F.md5(F.encode(resized, "utf-8")).alias("resized_md5"),
+        F.lit(RESIZE_BYTES).alias("n_bytes"),
+    )

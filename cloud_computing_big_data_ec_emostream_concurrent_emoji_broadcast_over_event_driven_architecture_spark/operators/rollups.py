@@ -254,3 +254,34 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("cnt").over(w).alias("first_cnt"),
         F.last("cnt").over(w_all).alias("last_cnt"),
     )
+
+
+@register(
+    "q_grouping_id",
+    tags=("rollup", "agg", "sql"),
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               GROUPING(o_orderpriority) AS g_pri,
+               GROUPING(o_orderstatus) AS g_st,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() flags: distinguishes a subtotal row's NULL
+    from a genuine NULL key — the disambiguation every BI layer on top of
+    rollups needs. Same single Expand+aggregate plan as the plain
+    rollup."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").alias("g_pri"),
+            F.grouping("o_orderstatus").alias("g_st"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "g_pri", "g_st", "cnt"
+        )
+    )

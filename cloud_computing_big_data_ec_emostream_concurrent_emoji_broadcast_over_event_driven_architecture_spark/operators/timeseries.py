@@ -392,3 +392,24 @@ def q_emoji_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(e,) for i, e in enumerate(EMOJIS) for _ in range(i + 1)]
     df = spark.createDataFrame(rows, "emoji string")
     return df.groupBy("emoji").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "q_distinct_users_per_minute",
+    tags=("reference-core", "agg", "distinct", "time"),
+    oracle="""
+        SELECT date_trunc('minute', ts) AS minute,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+)
+def q_distinct_users_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active users per minute — the dashboard's 'unique senders' series
+    (exact). Catalyst expands COUNT(DISTINCT) into the two-phase
+    (minute, user) pre-aggregation automatically; the approximate twin at
+    100 TB is approx_count_distinct (q_approx_unique_users)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.countDistinct("user_id").alias("n_users"))

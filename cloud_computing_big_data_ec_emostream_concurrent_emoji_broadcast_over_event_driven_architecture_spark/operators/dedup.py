@@ -734,3 +734,67 @@ def prefix_index(
     else:
         raise ValueError(f"unknown prefix order {order!r}")
     return ordered.select("doc_id", F.explode("prefix").alias("h"))
+
+
+def _keep_best_oracle() -> str:
+    from ..functions.text import stopword_ratio_sql
+
+    quality_sql = f"""
+            SELECT doc_id,
+                   ROUND(0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+                         + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text,
+                                   '[^a-zA-Z0-9 ]')) * 1.0 / n_chars, 1.0))
+                         + 0.3 * LEAST({stopword_ratio_sql("string_split(text, ' ')")}
+                                       * 10.0, 1.0), 6) AS quality
+            FROM documents
+    """
+    return f"""
+        WITH clusters AS (
+            {_cc_oracle()}
+        ),
+        q AS ({quality_sql}),
+        ranked AS (
+            SELECT c.doc_id, c.cluster_id, q.quality,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality DESC, c.doc_id
+                   ) AS rn
+            FROM clusters c JOIN q ON q.doc_id = c.doc_id
+        )
+        SELECT doc_id, cluster_id, quality,
+               CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_best
+        FROM ranked
+    """
+
+
+@register(
+    "q_dedup_keep_best",
+    tags=("dedup", "graph", "pipeline"),
+    oracle=_keep_best_oracle(),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: within each near-dup cluster keep
+    the HIGHEST-quality document (min doc_id as tie-break) instead of the
+    arbitrary smallest id — what a production corpus-dedup actually ships.
+    Composes the connected components with the heuristic quality score;
+    one extra rank window partitioned by cluster id (clusters are tiny,
+    skew-free by construction)."""
+    from pyspark.sql import Window
+
+    from .text import q_text_quality
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    quality = q_text_quality(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            F.when(F.col("rn") == 1, 1).otherwise(0).alias("is_best"),
+        )
+    )

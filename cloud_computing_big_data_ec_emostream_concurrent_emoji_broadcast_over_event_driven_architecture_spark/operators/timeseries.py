@@ -413,3 +413,62 @@ def q_distinct_users_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.date_trunc("minute", "ts").alias("minute")
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "q_dense_minutes",
+    tags=("reference-core", "time", "gapfill"),
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('minute', MIN(ts)) AS lo,
+                   date_trunc('minute', MAX(ts)) AS hi
+            FROM events
+        ),
+        cal AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+                       AS minute
+            FROM bounds
+        ),
+        cnts AS (
+            SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        )
+        SELECT cal.minute, COALESCE(cnts.cnt, 0) AS cnt,
+               CASE WHEN cnts.minute IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM cal LEFT JOIN cnts ON cal.minute = cnts.minute
+    """,
+)
+def q_dense_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-minute series with gap filling: generate the full minute
+    calendar between the data's bounds (sequence + explode — one row from
+    the bounds aggregate fans out JVM-side), left-join the sparse counts,
+    zero-fill the holes. This is the dashboard's zero-fill
+    (analytical_server.py:504-507 does it in JS per request) moved into
+    the engine; at 100 TB the calendar side is minutes-not-rows (tiny)
+    and broadcast, so the fill costs one broadcast join over the
+    already-aggregated counts."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute")
+    )
+    cnts = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        cal.join(
+            cnts.withColumnRenamed("minute", "cminute"),
+            F.col("minute") == F.col("cminute"),
+            "left",
+        )
+        .select(
+            "minute",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.when(F.col("cminute").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )

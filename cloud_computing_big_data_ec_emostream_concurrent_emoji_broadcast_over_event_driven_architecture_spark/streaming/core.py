@@ -155,6 +155,7 @@ def stream_stream_join(
     right_ts: str = "ts",
     watermark: str = "2 minutes",
     max_skew: str = "1 minute",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with dual watermarks + a time-range
     condition — the Spark-native form of the dashboard's timestamp
@@ -168,7 +169,9 @@ def stream_stream_join(
         & (r_ts >= l_ts - F.expr(f"INTERVAL {max_skew}"))
         & (r_ts <= l_ts + F.expr(f"INTERVAL {max_skew}"))
     )
-    return lw.alias("l").join(rw.alias("r"), cond)
+    # outer variants emit the null-padded side once the watermark proves
+    # no match can still arrive — state-bounded like the inner form
+    return lw.alias("l").join(rw.alias("r"), cond, how)
 
 
 def dedup_stream(

@@ -565,3 +565,70 @@ def test_observed_wire_metrics_surface_in_progress(spark, tmp_path):
     assert metrics["n_rows"] == 3
     assert metrics["n_decode_failures"] == 1  # 'garbage'
     assert metrics["n_ts_failures"] == 2  # garbage + bad timestamp
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, events_df, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row is emitted
+    null-padded once both watermarks pass its join window (proved no
+    match can still arrive) — the reference's dashboard left-join
+    semantics (analytical_server.py:451-459) on live data."""
+    import datetime as dt
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        stream_stream_join,
+    )
+
+    schema = "k string, ts timestamp"
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def write_stream_dir(name, batches):
+        d = tmp_path / name
+        d.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(d / f"tmp{i}")
+            )
+        flat = tmp_path / f"{name}_flat"
+        flat.mkdir()
+        idx = 0
+        for sub in sorted(d.iterdir()):
+            for f in sorted(sub.glob("*.parquet")):
+                f.rename(flat / f"{idx:02d}.parquet")
+                idx += 1
+        return str(flat)
+
+    left_dir = write_stream_dir(
+        "ssl",
+        [
+            [("A", t(10, 0)), ("B", t(10, 0))],  # A matches, B won't
+            [("Z1", t(12, 0))],                   # watermark pusher
+            [("Z2", t(12, 1))],                   # extra batch: eviction fires
+        ],
+    )
+    right_dir = write_stream_dir(
+        "ssr",
+        [
+            [("A", t(10, 0))],
+            [("Y1", t(12, 0))],
+            [("Y2", t(12, 1))],
+        ],
+    )
+    ls = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(left_dir)
+    rs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(right_dir)
+    joined = stream_stream_join(
+        ls, rs, "k", watermark="1 minute", max_skew="1 minute", how="leftOuter"
+    ).select(F.col("l.k").alias("lk"), F.col("r.k").alias("rk"))
+    name = f"sso_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(f"SELECT lk, rk FROM {name}").collect()
+    matched = {(r["lk"], r["rk"]) for r in rows if r["rk"] is not None}
+    unmatched = {r["lk"] for r in rows if r["rk"] is None}
+    assert ("A", "A") in matched
+    assert "B" in unmatched, f"rows={rows}"

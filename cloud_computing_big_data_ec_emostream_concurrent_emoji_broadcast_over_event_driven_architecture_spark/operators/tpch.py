@@ -528,3 +528,348 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(28,10)"
     )
     return j.filter(case).agg(F.round(F.sum(rev), 2).alias("revenue"))
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Temp view for the SQL-form TPC-H shapes (Q21/Q22 are subquery-heavy
+    enough that SQL is the idiomatic Spark surface — Catalyst decorrelates
+    EXISTS/NOT EXISTS into the same semi/anti joins either way)."""
+    vname = f"__eng_tpch_{name}"
+    table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+@register(
+    "q_tpch_q8",
+    tags=("tpch", "join", "agg"),
+    oracle="""
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               ROUND(
+                 CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(28,10))
+                          ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(28,10))) AS DOUBLE), 6
+               ) AS mkt_share
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        GROUP BY 1
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): the widest join in the suite
+    — fact ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region (customer path) ⋈
+    supplier ⋈ nation again (supplier path), share-of-total via conditional
+    aggregation per year. Every dimension side broadcasts; lineitem ⋈
+    orders is the only shuffle, so the 8-way join costs one exchange at
+    100 TB. Share = ratio of two exact decimal sums, divided once in
+    double — deterministic across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), "n_regionkey")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    tags=("tpch", "outer", "agg"),
+    oracle="""
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY n_orders
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (TPC-H Q13 shape): left-outer join with a
+    predicate ON THE JOIN CONDITION (not a post-filter — zero-order
+    customers must survive), then an aggregation of an aggregation. The
+    first groupBy reuses the join's hash partitioning on custkey (no
+    second exchange); the distribution rollup shuffles only #distinct
+    counts rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q_tpch_q15",
+    tags=("tpch", "subquery", "scalar"),
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(28,10))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               ROUND(r.total_rev, 2) AS total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): aggregate a quarter of revenue per
+    supplier, then keep the supplier(s) hitting the global MAX — the
+    view + scalar-subquery pattern. The revenue rollup is computed once
+    (cached), the MAX is a one-row broadcast joined back as an equality
+    filter. Decimal revenue makes the MAX-equality exact — no float
+    ties-by-drift."""
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,10)"
+                )
+            ).alias("total_rev")
+        )
+    ).cache()
+    try:
+        mx = rev.agg(F.max("total_rev").alias("mx"))
+        return (
+            rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+            .join(
+                F.broadcast(supplier),
+                F.col("supplier_no") == F.col("s_suppkey"),
+            )
+            .select(
+                "s_suppkey",
+                "s_name",
+                F.round("total_rev", 2).alias("total_revenue"),
+            )
+        )
+    finally:
+        rev.unpersist(blocking=False)
+
+
+@register(
+    "q_tpch_q17",
+    tags=("tpch", "subquery", "agg"),
+    oracle="""
+        SELECT ROUND(
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): per-part correlated
+    average — each line item compares against 0.2× the mean quantity of
+    its own part. Decorrelated form: pre-aggregate avg quantity per
+    partkey (one shuffle on the fact), join it back, filter, sum. The
+    brand filter broadcasts into both the fact scan and the per-part
+    aggregate, so the rollup only covers surviving parts. Quantities are
+    small integers stored as doubles — their sums are exact, making the
+    0.2×avg threshold bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    branded = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = branded.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        branded.join(per_part, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    tags=("tpch", "subquery", "semi", "anti"),
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    "late" = shipped >60 days after the order date since the fixture has
+    no commit/receipt dates): the only double-correlated-existence query
+    in the suite — an EXISTS (another supplier touched the order) AND a
+    NOT EXISTS (no OTHER supplier was late on it). Catalyst decorrelates
+    the pair into a left-semi and a left-anti join on orderkey with the
+    suppkey inequality as residual — three passes over lineitem keyed the
+    same way, one shuffle key at scale. Counts only — no float risk."""
+    s = _view(spark, sf_dir, "supplier")
+    li = _view(spark, sf_dir, "lineitem")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM {s} s
+        JOIN {li} l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN {o} o   ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM {li} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM {li} l3
+              JOIN {o} o2 ON o2.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)
+
+
+@register(
+    "q_tpch_q22",
+    tags=("tpch", "subquery", "anti", "scalar"),
+    oracle="""
+        WITH threshold AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT CAST(c.c_nationkey % 10 AS INTEGER) AS cntrycode,
+               COUNT(*) AS numcust,
+               ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))), 2) AS totacctbal
+        FROM customer c, threshold t
+        WHERE c.c_acctbal > t.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+        GROUP BY 1
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape, adapted: country code =
+    nationkey mod 10 since the fixture has no phone column): customers
+    with above-average positive balances and no RECENT order (every
+    fixture customer has some order, so the anti join keys on activity
+    since 1999) — an uncorrelated
+    scalar-average threshold (one-row broadcast) combined with an anti
+    join against the fact. The average is an exact decimal sum divided
+    once in double, so the > threshold comparison can't flip a
+    borderline customer between engines."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        WITH threshold AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+            FROM {c} WHERE c_acctbal > 0.0
+        )
+        SELECT CAST(c.c_nationkey % 10 AS INT) AS cntrycode,
+               COUNT(*) AS numcust,
+               ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))), 2) AS totacctbal
+        FROM {c} c, threshold t
+        WHERE c.c_acctbal > t.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM {o} o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+        GROUP BY 1
+    """)

@@ -1,0 +1,186 @@
+"""Snapshot / CDC-style maintenance operators (north-star extension).
+
+The reference keeps mutable per-key state in Python dicts (reference
+analytical_server.py:15-18 — "current minute" counters overwritten in
+place); a 100 TB lakehouse expresses the same mutation pattern as
+declarative compaction over immutable event logs:
+
+- latest-per-key compaction (the batch form of "the dict holds the newest
+  value"),
+- upsert merge of a change batch into a snapshot (MERGE semantics from
+  full-outer join + coalesce — no table format required),
+- schema-drift union (a new ingest batch gained a column; old batches
+  align by name with null fill).
+
+All three are single-shuffle plans keyed on the entity key — the shape
+that survives a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import register
+
+_SPLIT_TS = "2024-01-08 00:00:00"
+
+
+@register(
+    "q_latest_per_key",
+    tags=("cdc", "window", "scale"),
+    oracle="""
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: the newest event per user (ties broken by
+    event_id, so the answer is well-defined under redelivery). One
+    shuffle on the key, then a per-partition sort — at 100 TB this is
+    the standard snapshot-materialization pass over a change log, and
+    row_number beats a groupBy+join because every payload column rides
+    the same single exchange."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_merge_upsert",
+    tags=("cdc", "join", "outer"),
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '{_SPLIT_TS}'
+            ) WHERE rn = 1
+        ),
+        updates AS (
+            SELECT user_id, event_type, value FROM (
+                SELECT user_id, event_type, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '{_SPLIT_TS}'
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+               COALESCE(u.event_type, b.event_type) AS event_type,
+               COALESCE(u.value, b.value) AS value,
+               CASE WHEN u.user_id IS NULL THEN 'kept'
+                    WHEN b.user_id IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS merge_action
+        FROM base b
+        FULL JOIN updates u
+          ON b.user_id = u.user_id AND b.event_type = u.event_type
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: compact the old log
+    into a (user, event_type) snapshot, compact the new batch the same
+    way, then full-outer join + coalesce — updates win, unmatched base
+    rows survive, unmatched updates insert. Both compactions and the
+    merge share one hash partitioning on the key, so Catalyst plans a
+    single exchange per side and a co-partitioned join."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT_TS).cast("timestamp_ntz")
+
+    def compact(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.select("user_id", "event_type", "value", "ts", "event_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    base = compact(ev.filter(F.col("ts") < split)).alias("b")
+    updates = compact(ev.filter(F.col("ts") >= split)).alias("u")
+    return base.join(
+        updates,
+        (F.col("b.user_id") == F.col("u.user_id"))
+        & (F.col("b.event_type") == F.col("u.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("u.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("u.event_type"), F.col("b.event_type")).alias(
+            "event_type"
+        ),
+        F.coalesce(F.col("u.value"), F.col("b.value")).alias("value"),
+        F.when(F.col("u.user_id").isNull(), "kept")
+        .when(F.col("b.user_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "q_union_by_name",
+    tags=("cdc", "setop", "schema-evolution"),
+    oracle=f"""
+        WITH legacy AS (
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '{_SPLIT_TS}'
+        ),
+        enriched AS (
+            SELECT user_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '{_SPLIT_TS}'
+        ),
+        unified AS (
+            SELECT user_id, event_type, NULL AS value FROM legacy
+            UNION ALL
+            SELECT user_id, event_type, value FROM enriched
+        )
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(value) AS n_with_value,
+               ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(28,10))), 4)
+                   AS sum_value
+        FROM unified GROUP BY event_type
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: an old ingest batch lacks the ``value`` column
+    a newer batch carries; ``unionByName(allowMissingColumns=True)``
+    aligns by NAME and null-fills the gap — the positional-union
+    mis-zip (silently pairing unrelated columns) cannot happen. The
+    rollup then counts null-filled vs real values per type. At scale
+    this is the pattern for reading months of parquet written under an
+    evolving schema."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT_TS).cast("timestamp_ntz")
+    legacy = ev.filter(F.col("ts") < split).select("user_id", "event_type")
+    enriched = ev.filter(F.col("ts") >= split).select(
+        "user_id", "event_type", "value"
+    )
+    unified = legacy.unionByName(enriched, allowMissingColumns=True)
+    return unified.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(28,10)")),
+            4,
+        ).alias("sum_value"),
+    )

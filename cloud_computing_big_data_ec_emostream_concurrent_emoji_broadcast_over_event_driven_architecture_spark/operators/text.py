@@ -359,3 +359,53 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+CHUNK_SIZE = 256
+CHUNK_STRIDE = 200
+
+
+@register(
+    "q_text_chunking",
+    tags=("text", "explode", "scale"),
+    oracle=f"""
+        WITH expanded AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       CAST(floor((LENGTH(text) - 1) / {CHUNK_STRIDE}.0)
+                            AS BIGINT))) AS chunk_id
+            FROM documents WHERE LENGTH(text) > 0
+        )
+        SELECT doc_id, chunk_id,
+               md5(substring(text, CAST(chunk_id AS INT) * {CHUNK_STRIDE} + 1,
+                             {CHUNK_SIZE})) AS chunk_hash,
+               LENGTH(substring(text, CAST(chunk_id AS INT) * {CHUNK_STRIDE} + 1,
+                                {CHUNK_SIZE})) AS chunk_len
+        FROM expanded
+    """,
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed {CHUNK_SIZE}-char windows with
+    {CHUNK_SIZE - CHUNK_STRIDE}-char overlap, one output row per chunk via
+    sequence() + explode (Spark's lateral generate_series). Entirely
+    JVM-side — no UDF — and embarrassingly parallel: chunking never
+    shuffles, so at 100 TB it pipelines straight into the downstream
+    embed/dedup stages. Chunks are emitted as (hash, length) so the
+    correctness check pins content without hauling full text through the
+    comparator."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks = F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("long")
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_id").cast("int") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return (
+        docs.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("chunk_id")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5(chunk).alias("chunk_hash"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )

@@ -472,3 +472,96 @@ def q_dense_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cminute").isNull(), 1).otherwise(0).alias("is_gap"),
         )
     )
+
+
+@register(
+    "q_unpivot",
+    tags=("reference-core", "pivot", "setop"),
+    oracle="""
+        WITH wide AS (
+            SELECT date_trunc('minute', ts) AS minute,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+                   COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+            FROM events GROUP BY 1
+        )
+        SELECT minute, 'click' AS event_type, click AS cnt FROM wide
+        UNION ALL
+        SELECT minute, 'error', error FROM wide
+        UNION ALL
+        SELECT minute, 'purchase', purchase FROM wide
+        UNION ALL
+        SELECT minute, 'signup', signup FROM wide
+        UNION ALL
+        SELECT minute, 'view', view FROM wide
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the inverse of q_pivot_timeseries — wide per-minute
+    columns back to long (minute, event_type, cnt) rows, zero counts
+    included (the round trip is lossless because the pivot zero-fills).
+    ``DataFrame.unpivot`` plans as an Expand node: each input row emits 5
+    output rows in-place, no shuffle beyond the pivot's own aggregate —
+    the schema-normalization pass a wide metrics table needs before a
+    long-format sink at scale."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return wide.unpivot(
+        ids=["minute"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="cnt",
+    )
+
+
+@register(
+    "q_minute_ohlc",
+    tags=("timeseries", "agg"),
+    oracle="""
+        WITH ranked AS (
+            SELECT date_trunc('minute', ts) AS minute, value,
+                   ROW_NUMBER() OVER (PARTITION BY date_trunc('minute', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY date_trunc('minute', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT minute,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events,
+               ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS volume
+        FROM ranked GROUP BY minute
+    """,
+)
+def q_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup: per-minute open (first value by event time,
+    event_id tie-break), high, low, close (last value), count, and
+    volume. Spark-side open/close use ``min_by``/``max_by`` keyed on a
+    (ts, event_id) struct — ordered-aggregation without a window sort, so
+    the whole candle computes in ONE partial+final hash aggregate (the
+    oracle's two ROW_NUMBER passes are the non-Spark formulation). At
+    100 TB this is a single map-side-combined pass over the event log.
+    open/high/low/close are stored doubles passed through untouched —
+    no float summation to harden; only volume needs the decimal sum."""
+    ev = table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.min_by("value", ord_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_key).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).alias(
+            "volume"
+        ),
+    )

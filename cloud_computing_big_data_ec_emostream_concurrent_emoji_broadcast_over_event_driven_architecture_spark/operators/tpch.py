@@ -873,3 +873,48 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
           )
         GROUP BY 1
     """)
+
+
+@register(
+    "q_tpch_q12",
+    tags=("tpch", "join", "agg"),
+    oracle="""
+        SELECT l.l_linestatus,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > o.o_orderdate
+        GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-modes-and-priority (TPC-H Q12 shape, adapted: the fixture
+    has no shipmode/commit/receipt columns, so the "late shipment" test is
+    l_shipdate > o_orderdate and the pivot key is l_linestatus): join with
+    a cross-table inequality residual, then a two-way conditional count —
+    the CASE-pivot inside one aggregation pass. The year filter pushes to
+    the lineitem scan; both sides shuffle once on orderkey. With Q12 the
+    engine covers every TPC-H query expressible without a partsupp table
+    (17 of 22: Q1,3,4,5,6,7,8,10,12,13,14,15,17,18,19,21,22)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

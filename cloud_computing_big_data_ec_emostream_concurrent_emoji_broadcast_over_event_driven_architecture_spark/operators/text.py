@@ -409,3 +409,79 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
         )
     )
+
+
+TFIDF_TOP_N = 5
+
+
+@register(
+    "q_text_tfidf",
+    tags=("text", "agg", "window"),
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        nonempty AS (SELECT * FROM words WHERE word <> ''),
+        n_docs AS (SELECT COUNT(*) AS n FROM documents),
+        df AS (
+            SELECT word, COUNT(DISTINCT doc_id) AS df
+            FROM nonempty GROUP BY word
+        ),
+        tf AS (
+            SELECT lang, word, COUNT(*) AS tf
+            FROM nonempty GROUP BY lang, word
+        ),
+        scored AS (
+            SELECT tf.lang, tf.word, tf.tf, df.df,
+                   ROUND(tf.tf * LN(n_docs.n * 1.0 / df.df), 6) AS tfidf
+            FROM tf, df, n_docs
+            WHERE tf.word = df.word
+        ),
+        ranked AS (
+            SELECT lang, word, tf, df, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY tfidf DESC, word
+                   ) AS rn
+            FROM scored
+        )
+        SELECT lang, word, tf, df, tfidf
+        FROM ranked WHERE rn <= {TFIDF_TOP_N}
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-{TFIDF_TOP_N} most characteristic terms per language —
+    term frequency within the language × inverse document frequency
+    across the corpus. One explode feeds both aggregations (Catalyst
+    reuses the scan); df joins back on the word (an 8-byte-ish key, and
+    at 100 TB a skew-safe shuffle because stopwords' huge tf rows are one
+    row per (lang, word), not per occurrence). The rank window orders by
+    the ROUNDED score with a word tie-break, so cross-engine last-ulp ln()
+    drift cannot reorder the top-k."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    n_docs = docs.count()
+    df = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = words.groupBy("lang", "word").agg(F.count("*").alias("tf"))
+    scored = tf.join(df, "word").select(
+        "lang",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_N)
+        .drop("rn")
+    )

@@ -138,6 +138,33 @@ def session_windows(
     )
 
 
+def ohlc_candles(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_dur: str = "1 minute",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Per-window OHLC candles (streaming twin of the batch
+    ``q_minute_ohlc``): open/close via min_by/max_by keyed on
+    (event time, event_id) — ordered aggregation with NO window sort, so
+    the streaming state per candle is five scalars, not a buffer of
+    events. Works unchanged on a streaming or batch frame."""
+    events = _event_time(events, ts_col)
+    ord_key = F.struct(F.col(ts_col), F.col("event_id"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur))
+        .agg(
+            F.min_by(value_col, ord_key).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ord_key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def enrich_stream_static(
     events: DataFrame, dim: DataFrame, on: Column, how: str = "left"
 ) -> DataFrame:

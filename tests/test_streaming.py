@@ -632,3 +632,38 @@ def test_stream_stream_left_outer_emits_unmatched(spark, events_df, tmp_path):
     unmatched = {r["lk"] for r in rows if r["rk"] is None}
     assert ("A", "A") in matched
     assert "B" in unmatched, f"rows={rows}"
+
+
+def test_ohlc_stream_equals_batch(spark, events_df, replay_dir):
+    """Streaming OHLC candles (min_by/max_by state) == batch candles over
+    the same events — ordered aggregation survives micro-batch splits."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        ohlc_candles,
+    )
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(ohlc_candles(stream), name, "complete")
+    got = {
+        r["window"]["start"]: (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    expected = {
+        r["minute"]: (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in events_df.groupBy(
+            F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == expected

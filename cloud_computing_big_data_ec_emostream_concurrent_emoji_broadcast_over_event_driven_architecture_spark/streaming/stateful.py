@@ -117,3 +117,64 @@ def running_key_stats(
             timeoutConf=timeout,
         )
     )
+
+
+def running_key_stats_tws(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The same per-key running (count, sum) on ``transformWithState`` —
+    Spark 4's successor to applyInPandasWithState. The operator owns NAMED
+    state cells through a typed handle (here one ValueState) instead of a
+    single opaque tuple, composes multiple state shapes per key
+    (value/list/map), and supports processing/event-time timers via
+    ``timeMode``; state lives in the same per-key state store, so the
+    scale story (RocksDB provider, key-partitioned) is unchanged. Kept
+    semantically identical to :func:`running_key_stats` so one batch
+    equivalence test pins both APIs.
+
+    Environment notes: requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``google.protobuf`` package for its driver-side schema worker — the
+    test suite skips (rather than fails) where protobuf isn't bundled."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            n, total = (
+                self._stats.get() if self._stats.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._stats.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="key STRING, n_events BIGINT, total_value DOUBLE",
+        outputMode="update",
+        timeMode="none",
+    )

@@ -667,3 +667,60 @@ def test_ohlc_stream_equals_batch(spark, events_df, replay_dir):
         .collect()
     }
     assert got == expected
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker requires google.protobuf "
+    "(not bundled in this environment; the operator is config-complete "
+    "and this test pins it wherever protobuf is present)",
+)
+def test_transform_with_state_equals_batch(spark, events_df, replay_dir):
+    """transformWithStateInPandas (Spark 4 stateful API) running stats:
+    final update-mode emission per key equals the batch groupBy — same
+    pin as the applyInPandasWithState twin, newer state API."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.stateful import (
+        running_key_stats_tws,
+    )
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_to_completion(running_key_stats_tws(stream), name, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    last: dict[str, tuple] = {}
+    for r in rows:
+        prev = last.get(r["key"])
+        if prev is None or r["n_events"] > prev[0]:
+            last[r["key"]] = (r["n_events"], r["total_value"])
+    expected = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in events_df.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(last) == set(expected)
+    for k, (n, total) in expected.items():
+        assert last[k][0] == n
+        assert last[k][1] == pytest.approx(total, rel=1e-9)

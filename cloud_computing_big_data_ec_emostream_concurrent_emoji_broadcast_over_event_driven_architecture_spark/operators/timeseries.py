@@ -547,10 +547,11 @@ def q_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candle rollup: per-minute open (first value by event time,
     event_id tie-break), high, low, close (last value), count, and
     volume. Spark-side open/close use ``min_by``/``max_by`` keyed on a
-    (ts, event_id) struct — ordered-aggregation without a window sort, so
-    the whole candle computes in ONE partial+final hash aggregate (the
-    oracle's two ROW_NUMBER passes are the non-Spark formulation). At
-    100 TB this is a single map-side-combined pass over the event log.
+    (ts, event_id) struct — ordered aggregation without a Window node, so
+    the whole candle computes in ONE partial+final aggregate (struct keys
+    plan it as SortAggregate; the oracle's two ROW_NUMBER passes are the
+    non-Spark formulation). At 100 TB this is a single
+    map-side-combined pass over the event log.
     open/high/low/close are stored doubles passed through untouched —
     no float summation to harden; only volume needs the decimal sum."""
     ev = table(spark, sf_dir, "events")

@@ -1,0 +1,111 @@
+"""Physical-plan regression tests: the plan SHAPE is the 100 TB design
+(SURVEY.md §4) — these pin the properties a scale-up depends on, so a
+refactor that silently de-broadcasts a dim, drops a pushed filter, or
+turns a top-k into a global sort fails fast.
+
+Assertions intentionally target coarse, stable markers (node names), not
+full plan text — Spark version bumps reformat details but keep node
+names.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.plans.registry import (
+    all_specs,
+)
+
+SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    """Q6's predicates reach the parquet reader (PushedFilters) and the
+    scan projects only the referenced columns."""
+    plan = _plan(spark, sf_dir, "q_tpch_q6")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the wide lineitem table scans only what Q6 touches
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_returnflag" not in scan_line
+
+
+def test_q3_topk_avoids_global_sort(spark, sf_dir):
+    """Top-10 by revenue plans as TakeOrderedAndProject — k rows per
+    partition reach the driver, never a full sort."""
+    plan = _plan(spark, sf_dir, "q_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """The star join's dimension sides broadcast (no shuffle of the fact
+    for dim joins)."""
+    plan = _plan(spark, sf_dir, "q_join_star")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q8_single_aggregate_exchange(spark, sf_dir):
+    """The 8-way join streams lineitem through broadcasts; the only
+    hash-partitioned exchange above the joins is the final groupBy."""
+    plan = _plan(spark, sf_dir, "q_tpch_q8")
+    agg_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "_groupingexpression" in l
+    ]
+    assert len(agg_exchanges) == 1
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; no nested-loop join
+    anywhere in the double-correlated plan."""
+    plan = _plan(spark, sf_dir, "q_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_semi_join_after_preaggregate(spark, sf_dir):
+    """The HAVING-subquery keys a semi join against the pre-aggregated
+    order quantities (the fact is aggregated once, not re-scanned)."""
+    plan = _plan(spark, sf_dir, "q_tpch_q18")
+    assert "LeftSemi" in plan
+
+
+def test_ohlc_is_single_aggregate_no_window_sort(spark, sf_dir):
+    """min_by/max_by candles need no Window node (no per-key row
+    materialization) — one partial+final aggregate; struct-keyed min_by
+    plans as SortAggregate (sorts only the aggregation buffers)."""
+    plan = _plan(spark, sf_dir, "q_minute_ohlc")
+    assert "Window" not in plan
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_chunking_plan_has_no_shuffle(spark, sf_dir):
+    """Document chunking (explode) pipelines inside the scan stage —
+    zero exchanges."""
+    plan = _plan(spark, sf_dir, "q_text_chunking")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_latest_per_key_single_shuffle(spark, sf_dir):
+    """CDC compaction: exactly one hash exchange (the key), one sort for
+    the window."""
+    plan = _plan(spark, sf_dir, "q_latest_per_key")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_upsert_no_extra_exchange_after_compaction(spark, sf_dir):
+    """Both compactions and the full-outer merge share the key
+    partitioning: 2 exchanges total (one per side), none for the join."""
+    plan = _plan(spark, sf_dir, "q_merge_upsert")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" in plan and "FullOuter" in plan

@@ -406,3 +406,46 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_window, 1).otherwise(0).alias("attributed"),
         )
     )
+
+
+@register(
+    "q_join_null_safe",
+    tags=("join", "null-semantics"),
+    oracle="""
+        WITH a AS (
+            SELECT NULLIF(event_type, 'error') AS k, COUNT(*) AS cnt_a
+            FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT NULLIF(event_type, 'error') AS k, COUNT(*) AS cnt_b
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1
+        )
+        SELECT a.k AS event_key, a.cnt_a, b.cnt_b
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe join equality (``<=>`` / IS NOT DISTINCT FROM): the NULL
+    group — here a sentinel type nulled out via ``nullif`` — survives the
+    join, where plain ``=`` silently drops it (the classic silent-data-loss
+    bug when joining on nullable derived keys). Plans as a normal hash
+    join: null-safe equality still hash-partitions (NULL hashes to a
+    bucket), so the scale story is identical to an equi-join."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    key = F.nullif(F.col("event_type"), F.lit("error"))
+    a = (
+        ev.filter(F.col("ts") < split)
+        .groupBy(key.alias("k"))
+        .agg(F.count("*").alias("cnt_a"))
+    )
+    b = (
+        ev.filter(F.col("ts") >= split)
+        .groupBy(key.alias("kb"))
+        .agg(F.count("*").alias("cnt_b"))
+    )
+    return a.join(b, F.col("k").eqNullSafe(F.col("kb"))).select(
+        F.col("k").alias("event_key"), "cnt_a", "cnt_b"
+    )

@@ -566,3 +566,31 @@ def q_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume"
         ),
     )
+
+
+@register(
+    "q_dow_hour_heatmap",
+    tags=("timeseries", "agg"),
+    oracle="""
+        SELECT CAST(date_part('isodow', ts) AS INTEGER) AS iso_dow,
+               CAST(date_part('hour', ts) AS INTEGER) AS hour,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT user_id) AS uniq_users
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (the dashboard rollup shape):
+    168 output cells regardless of input size — partial aggregation
+    absorbs everything map-side. ISO day numbering is computed explicitly
+    (``weekday()+1``) because engines disagree on week-start conventions
+    (Spark's ``dayofweek`` is Sunday=1, DuckDB's ``dayofweek`` Sunday=0 —
+    the classic cross-engine off-by-one)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("uniq_users"),
+    )

@@ -674,6 +674,16 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties-by-drift."""
     li = table(spark, sf_dir, "lineitem")
     supplier = table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    # the revenue rollup feeds both the MAX scalar and the equality
+    # filter; expressing the max as an empty-partition window over the
+    # ALREADY-AGGREGATED rollup evaluates the expensive scan+agg exactly
+    # once (a scalar-subquery formulation plans the aggregate twice —
+    # the two subtrees don't canonicalize equal, so ReuseExchange can't
+    # kick in; and a .cache() would be released before the caller ever
+    # executes the returned plan). The window sees one row per supplier,
+    # not per line item — cheap at any scale.
     rev = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -687,23 +697,21 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("total_rev")
         )
-    ).cache()
-    try:
-        mx = rev.agg(F.max("total_rev").alias("mx"))
-        return (
-            rev.join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
-            .join(
-                F.broadcast(supplier),
-                F.col("supplier_no") == F.col("s_suppkey"),
-            )
-            .select(
-                "s_suppkey",
-                "s_name",
-                F.round("total_rev", 2).alias("total_revenue"),
-            )
+    )
+    mx = F.max("total_rev").over(Window.partitionBy())
+    return (
+        rev.withColumn("mx", mx)
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(
+            F.broadcast(supplier),
+            F.col("supplier_no") == F.col("s_suppkey"),
         )
-    finally:
-        rev.unpersist(blocking=False)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).alias("total_revenue"),
+        )
+    )
 
 
 @register(

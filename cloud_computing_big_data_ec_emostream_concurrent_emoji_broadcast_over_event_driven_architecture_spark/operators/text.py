@@ -465,19 +465,26 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
-    n_docs = docs.count()
+    # corpus size joins in as a lazy one-row broadcast — a docs.count()
+    # here would run an eager job at plan-BUILD time, outside the query's
+    # own execution
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_total"))
     df = words.groupBy("word").agg(
         F.countDistinct("doc_id").alias("df")
     )
     tf = words.groupBy("lang", "word").agg(F.count("*").alias("tf"))
-    scored = tf.join(df, "word").select(
-        "lang",
-        "word",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_total") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
     return (

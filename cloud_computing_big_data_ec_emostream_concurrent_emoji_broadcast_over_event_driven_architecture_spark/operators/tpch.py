@@ -740,6 +740,8 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the rollup only covers surviving parts. Quantities are
     small integers stored as doubles — their sums are exact, making the
     0.2×avg threshold bit-identical across engines."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#23"
@@ -747,11 +749,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     branded = li.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     )
-    per_part = branded.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        (F.sum("l_quantity") / F.count("*")).alias("avg_qty")
-    )
+    # per-part average as a window over the branded fact: ONE evaluation
+    # of the scan+join and one shuffle on partkey — the groupBy+join-back
+    # formulation evaluates the branded join twice (the subtrees don't
+    # canonicalize equal, so no exchange reuse)
+    avg_qty = F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
-        branded.join(per_part, F.col("l_partkey") == F.col("ap_key"))
+        branded.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(

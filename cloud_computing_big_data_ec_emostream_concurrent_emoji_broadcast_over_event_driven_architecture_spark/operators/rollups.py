@@ -285,3 +285,52 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority", "o_orderstatus", "g_pri", "g_st", "cnt"
         )
     )
+
+
+@register(
+    "q_conditional_agg",
+    tags=("agg", "conditional"),
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               ROUND(SUM(l_quantity) FILTER (WHERE l_tax > 0.04), 2)
+                   AS qty_high_tax,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10)))
+                              FILTER (WHERE l_discount = 0) AS DOUBLE)
+                     / NULLIF(COUNT(*) FILTER (WHERE l_discount = 0), 0), 6)
+                   AS avg_full_price,
+               ROUND(100.0 * COUNT(*) FILTER (WHERE l_discount > 0.05)
+                     / COUNT(*), 6) AS pct_discounted
+        FROM lineitem GROUP BY 1
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER-clause surface): per return
+    flag, counts/sums/averages restricted to row predicates — the
+    pivot-less form of segmented metrics, one scan + one aggregate instead
+    of one query per segment. Spark expresses FILTER as when()-wrapped
+    aggregates; nulls from the unmatched branch drop out of count/sum/avg,
+    which is exactly FILTER's semantics. avg over the predicate uses the
+    decimal-sum/count form (cross-engine float-drift hardening, see
+    q_tpch_q1)."""
+    li = table(spark, sf_dir, "lineitem")
+    discounted = F.col("l_discount") > 0.05
+    full_price = F.col("l_discount") == 0
+    full_sum = F.sum(
+        F.when(full_price, F.col("l_extendedprice").cast("decimal(28,10)"))
+    ).cast("double")
+    full_cnt = F.count(F.when(full_price, F.lit(1)))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(discounted, F.lit(1))).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_quantity"))), 2
+        ).alias("qty_high_tax"),
+        F.round(full_sum / F.nullif(full_cnt, F.lit(0)), 6).alias(
+            "avg_full_price"
+        ),
+        F.round(
+            100.0 * F.count(F.when(discounted, F.lit(1))) / F.count("*"), 6
+        ).alias("pct_discounted"),
+    )

@@ -411,6 +411,189 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_TOP_N = 20
+
+
+@register(
+    "q_text_bigrams",
+    tags=("text", "ngram", "topk"),
+    oracle=f"""
+        WITH w AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '')
+                       AS words
+            FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, len(words)),
+                       i -> words[i] || ' ' || words[i + 1])) AS bigram
+            FROM w
+        ),
+        counted AS (
+            SELECT bigram, COUNT(*) AS cnt FROM pairs GROUP BY 1
+        )
+        SELECT bigram, cnt FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rn
+            FROM counted
+        ) WHERE rn <= {BIGRAM_TOP_N}
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BIGRAM_TOP_N} corpus bigrams — the n-gram generalization of the
+    word-count job. Bigrams come from zip_with over shifted slices (O(n)
+    per doc, JVM-side; same trick as :func:`..functions.text.shingles` but
+    keeping duplicates, since counting needs every occurrence). The pair
+    space is vocabulary², but partial aggregation still collapses each task
+    to its distinct-bigram count before the shuffle, so at 100 TB the
+    exchange carries the bigram dictionary, not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+    shifted = F.slice(words, 2, F.size(words))
+    # concat() (not concat_ws) so the padded tail null propagates and is
+    # filtered, instead of rendering the last word as a 1-gram
+    pairs = F.filter(
+        F.zip_with(words, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda s: s.isNotNull(),
+    )
+    counted = (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # deterministic top-k (count, then lexical) as TakeOrderedAndProject —
+    # no global sort, each partition keeps k rows and the driver merges
+    return counted.orderBy(F.desc("cnt"), F.asc("bigram")).limit(BIGRAM_TOP_N)
+
+
+@register(
+    "q_text_entropy",
+    tags=("text", "agg", "stats"),
+    oracle="""
+        WITH wc AS (
+            SELECT lang, word, COUNT(*) AS cnt FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ) WHERE word <> '' GROUP BY 1, 2
+        )
+        SELECT lang,
+               SUM(cnt) AS n_tokens,
+               COUNT(*) AS vocab,
+               ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 4)
+                   AS entropy
+        FROM wc GROUP BY lang
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy of the word distribution (nats) — the
+    information-density quality signal (gibberish and boilerplate both
+    show up as entropy outliers). Uses the algebraic form
+    H = ln(N) - Σ c·ln(c) / N so one grouped aggregate over the (lang,
+    word) counts computes it — no per-row probability column, no second
+    pass. Rounded to 4 dp: the double Σ c·ln(c) accumulates in engine-
+    specific order (same tolerance rationale as q_corr_stats)."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt")
+    return wc.groupBy("lang").agg(
+        n.alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.round(
+            F.log(n) - F.sum(F.col("cnt") * F.log("cnt")) / n, 4
+        ).alias("entropy"),
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "hash", "column")
+BM25_TOP_N = 20
+
+
+@register(
+    "q_text_bm25",
+    tags=("text", "similarity", "topk"),
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '')
+                       AS words
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, len(words) AS dl FROM w),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, word, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(words) AS word FROM w
+            ) WHERE word IN {BM25_TERMS!r} GROUP BY 1, 2
+        ),
+        df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                       * tf.tf * ({BM25_K1} + 1)
+                       / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                          + {BM25_B} * dl.dl / stats.avgdl))) AS score
+            FROM tf
+            JOIN df USING (word)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY 1
+        )
+        SELECT doc_id, ROUND(score, 4) AS bm25
+        FROM scored
+        ORDER BY ROUND(score, 4) DESC, doc_id
+        LIMIT {BM25_TOP_N}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance: top-{BM25_TOP_N} documents for the query terms
+    {BM25_TERMS} (k1={BM25_K1}, b={BM25_B}) — the classic retrieval scorer
+    a training-data pipeline uses for query-targeted corpus selection.
+    The term filter lands BEFORE the tf aggregation, so the shuffle
+    carries only matching (doc, term) rows; df (≤|query| rows) and the
+    corpus stats (1 row) join in as broadcasts; the final top-k is
+    TakeOrderedAndProject, never a global sort. Ordering uses the ROUNDED
+    score with a doc_id tie-break so cross-engine ln() ulp drift cannot
+    reorder the cut."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", words.alias("words"))
+    dl = base.select("doc_id", F.size("words").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("words").alias("word"))
+        .filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm), 4
+            ).alias("bm25")
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_N)
+
+
 TFIDF_TOP_N = 5
 
 

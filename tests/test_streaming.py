@@ -724,3 +724,64 @@ def test_transform_with_state_equals_batch(spark, events_df, replay_dir):
     for k, (n, total) in expected.items():
         assert last[k][0] == n
         assert last[k][1] == pytest.approx(total, rel=1e-9)
+
+
+def test_ohlc_append_late_candle_correction(spark, tmp_path):
+    """Append-mode OHLC with scripted lateness: a late row that arrives
+    while its candle is still open (within watermark) corrects the candle
+    BEFORE the single append emission; a row arriving after the watermark
+    closed the candle is dropped, visibly counted in the state operator's
+    numRowsDroppedByWatermark metric — the correction/loss accounting a
+    production candle feed needs (the reference's Python service silently
+    miscounts the same row, analytical_server.py:33-36)."""
+    import shutil
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        ohlc_candles,
+    )
+
+    base = "2024-01-01 00:{s}"
+    batches = [
+        # candle 00:00 opens: open=10 (earliest), high=30
+        [(1, base.format(s="00:05"), 10.0), (2, base.format(s="00:20"), 30.0)],
+        # late-but-in-watermark row lands in the still-open candle
+        [(3, base.format(s="00:50"), 5.0)],
+        # watermark pusher: closes candle 00:00 -> single append emission
+        [(4, "2024-01-01 00:05:00", 99.0)],
+        # beyond-watermark straggler for the closed candle: dropped
+        [(5, base.format(s="40"), 1000.0)],
+    ]
+    schema = "event_id long, ts_s string, value double"
+    out = tmp_path / f"ohlc_late_{uuid.uuid4().hex[:8]}"
+    out.mkdir()
+    for i, rows in enumerate(batches):
+        tmp = out / f"b{i}"
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("event_id", "ts", "value").coalesce(1).write.parquet(str(tmp))
+        pq = sorted(tmp.glob("*.parquet"))[0]
+        pq.rename(out / f"{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    ts_schema = spark.read.parquet(str(out / "00.parquet")).schema
+    stream = file_replay_stream(spark, str(out), ts_schema, 1)
+    name = f"ohlc_app_{uuid.uuid4().hex[:8]}"
+    q = start_memory_sink(
+        ohlc_candles(stream, watermark="1 minute"), name, output_mode="append"
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    q.stop()
+    candles = {
+        r["window"]["start"].isoformat(): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # the 00:00 candle was emitted exactly once, WITH the late correction
+    # (low/close=5 from row 3) and WITHOUT the beyond-watermark row 5
+    assert candles["2024-01-01T00:00:00"] == (10.0, 30.0, 5.0, 5.0, 3)
+    assert dropped >= 1, "beyond-watermark row should be counted as dropped"

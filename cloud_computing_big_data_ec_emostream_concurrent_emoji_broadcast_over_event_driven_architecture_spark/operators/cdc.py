@@ -156,8 +156,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n_rows,
                COUNT(value) AS n_with_value,
-               ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(28,10))), 4)
-                   AS sum_value
+               CAST(ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(28,10))), 4)
+                    AS DOUBLE) AS sum_value
         FROM unified GROUP BY event_type
     """,
 )
@@ -182,5 +182,7 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(28,10)")),
             4,
-        ).alias("sum_value"),
+        )
+        .cast("double")
+        .alias("sum_value"),
     )

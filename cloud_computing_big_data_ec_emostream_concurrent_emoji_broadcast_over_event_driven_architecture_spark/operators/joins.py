@@ -30,7 +30,8 @@ from ..plans.registry import register
     oracle="""
         SELECT r.r_name AS region, n.n_name AS nation,
                COUNT(*) AS n_orders,
-               ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))), 2) AS revenue
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))), 2)
+                    AS DOUBLE) AS revenue
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -57,7 +58,11 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2).alias("revenue"),
+            # decimal-exact sum, then DOUBLE for a render-stable contract
+            # surface (DECIMAL scale differs between engines — VERDICT r1)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -297,7 +302,8 @@ def salted_join(
     tags=("join", "skew", "scale"),
     oracle="""
         SELECT n_name, COUNT(*) AS n_orders,
-               ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS revenue
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+                    AS DOUBLE) AS revenue
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -321,7 +327,9 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
     )
 

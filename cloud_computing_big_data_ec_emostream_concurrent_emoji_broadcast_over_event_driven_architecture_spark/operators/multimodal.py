@@ -25,9 +25,12 @@ from ..plans.registry import register
 
 MODALITY = "text-bytes"
 
+# head_hex is a scalar hex fingerprint of the first 8 bytes — the contract
+# surface stays hashable/sortable for differential checks (an array<int>
+# column here broke the driver's canonicalizer in round 1)
 FEATURE_SCHEMA = (
     "doc_id long, modality string, n_bytes int, "
-    "checksum long, head_bytes array<int>"
+    "checksum long, head_hex string"
 )
 
 
@@ -50,11 +53,14 @@ def _fake_decode(payload: bytes) -> dict:
     """STUB decoder — deterministic stand-in for an image/audio decode.
     Replace with the real library call (PIL.Image.open etc.) when the
     dependency exists; everything around it is production plumbing."""
-    head = list(payload[:8])
     checksum = 0
     for b in payload:
         checksum = (checksum * 131 + b) % (1 << 61)
-    return {"n_bytes": len(payload), "checksum": checksum, "head_bytes": head}
+    return {
+        "n_bytes": len(payload),
+        "checksum": checksum,
+        "head_hex": payload[:8].hex(),
+    }
 
 
 def _extract_features(
@@ -69,7 +75,7 @@ def _extract_features(
                 "modality": [m["modality"] for m in pdf["meta"]],
                 "n_bytes": [f["n_bytes"] for f in feats],
                 "checksum": [f["checksum"] for f in feats],
-                "head_bytes": [f["head_bytes"] for f in feats],
+                "head_hex": [f["head_hex"] for f in feats],
             }
         )
 

@@ -47,7 +47,8 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rollup", "agg"),
     oracle="""
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
-               ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS revenue
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+                    AS DOUBLE) AS revenue
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
 )
@@ -61,7 +62,9 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
             F.round(
                 F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -193,7 +196,7 @@ def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT user_id, COUNT(*) AS n_events,
-               SUM(new_session) AS n_sessions
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions
         FROM flagged GROUP BY 1
     """,
 )

@@ -56,7 +56,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS split,
                COUNT(*) AS n_rows,
                COUNT(DISTINCT user_id) AS n_users,
-               ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS sum_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1
     """,
@@ -75,7 +75,9 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 

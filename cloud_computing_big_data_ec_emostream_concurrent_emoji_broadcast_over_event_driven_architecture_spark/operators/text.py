@@ -58,7 +58,7 @@ def q_text_wordcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang, COUNT(*) AS n_docs,
                ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1
     """,
 )
@@ -476,7 +476,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) WHERE word <> '' GROUP BY 1, 2
         )
         SELECT lang,
-               SUM(cnt) AS n_tokens,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
                COUNT(*) AS vocab,
                ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 4)
                    AS entropy

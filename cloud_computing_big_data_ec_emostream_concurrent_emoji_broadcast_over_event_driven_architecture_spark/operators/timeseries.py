@@ -91,11 +91,11 @@ def q_total_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1, 2
         )
         SELECT event_type, minute, cnt,
-               SUM(cnt) OVER (
+               CAST(SUM(cnt) OVER (
                    PARTITION BY event_type
                    ORDER BY CAST(epoch(minute) AS BIGINT)
                    RANGE BETWEEN 120 PRECEDING AND CURRENT ROW
-               ) AS rolling_3min
+               ) AS BIGINT) AS rolling_3min
         FROM m
     """,
 )
@@ -123,7 +123,7 @@ def q_rolling_3min(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH b AS (
             SELECT event_type, COUNT(*) AS cnt,
-                   ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS sum_value,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
                          / COUNT(*), 6) AS avg_value
             FROM events GROUP BY 1
@@ -142,7 +142,9 @@ def q_stats_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
             F.round(
                 F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
                 / F.count("*"),
@@ -539,7 +541,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(value) AS low,
                MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
                COUNT(*) AS n_events,
-               ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS volume
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS volume
         FROM ranked GROUP BY minute
     """,
 )
@@ -562,9 +564,9 @@ def q_minute_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", ord_key).alias("close"),
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).alias(
-            "volume"
-        ),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
+        .cast("double")
+        .alias("volume"),
     )
 
 

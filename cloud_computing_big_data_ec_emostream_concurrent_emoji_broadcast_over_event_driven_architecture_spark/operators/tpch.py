@@ -26,10 +26,10 @@ from ..plans.registry import register
     oracle="""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)      AS sum_qty,
-               ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS sum_base_price,
-               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS sum_disc_price,
-               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          AS DECIMAL(28,10))), 2)
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(28,10))), 2) AS DOUBLE)
                                               AS sum_charge,
                ROUND(AVG(l_quantity), 6)      AS avg_qty,
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
@@ -57,14 +57,14 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             # flip a raw double sum can hit (see q_tpch_q10)
             F.round(
                 F.sum(F.col("l_extendedprice").cast("decimal(28,10)")), 2
-            ).alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(28,10)")), 2).alias(
-                "sum_disc_price"
-            ),
+            ).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(
                 F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(28,10)")),
                 2,
-            ).alias("sum_charge"),
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             # averages of money-like doubles via exact decimal sums, then
             # one double division — identical in both engines (see the
@@ -94,8 +94,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "topk"),
     oracle="""
         SELECT l.l_orderkey,
-               ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                              AS DECIMAL(28,10))), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
                o.o_orderdate
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -134,7 +134,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("decimal(28,10)")
                 ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -147,8 +147,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join"),
     oracle="""
         SELECT n.n_name AS nation,
-               ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                              AS DECIMAL(28,10))), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -195,7 +195,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("decimal(28,10)")
                 ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -205,7 +205,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("tpch", "scan"),
     oracle="""
-        SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -235,7 +235,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -280,8 +280,8 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "topk"),
     oracle="""
         SELECT c_custkey, c_name, n_name,
-               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(28,10))), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -324,7 +324,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 2,
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -430,8 +430,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l_shipdate) AS ship_year,
-               ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(28,10))), 2) AS volume
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,10))), 2) AS DOUBLE) AS volume
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
@@ -479,7 +479,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
-        .agg(F.round(F.sum(vol), 2).alias("volume"))
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("volume"))
     )
 
 
@@ -487,8 +487,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q19",
     tags=("tpch", "join", "pushdown"),
     oracle="""
-        SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(28,10))), 2) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 21)
@@ -527,7 +527,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,10)"
     )
-    return j.filter(case).agg(F.round(F.sum(rev), 2).alias("revenue"))
+    return j.filter(case).agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
 
 
 def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -660,7 +660,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY l_suppkey
         )
         SELECT s.s_suppkey, s.s_name,
-               ROUND(r.total_rev, 2) AS total_revenue
+               CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
         FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
         WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
     """,
@@ -709,7 +709,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_rev", 2).alias("total_revenue"),
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -844,7 +844,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(c.c_nationkey % 10 AS INTEGER) AS cntrycode,
                COUNT(*) AS numcust,
-               ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))), 2) AS totacctbal
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS totacctbal
         FROM customer c, threshold t
         WHERE c.c_acctbal > t.avg_bal
           AND NOT EXISTS (
@@ -875,7 +875,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(c.c_nationkey % 10 AS INT) AS cntrycode,
                COUNT(*) AS numcust,
-               ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))), 2) AS totacctbal
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS totacctbal
         FROM {c} c, threshold t
         WHERE c.c_acctbal > t.avg_bal
           AND NOT EXISTS (
@@ -892,10 +892,10 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "agg"),
     oracle="""
         SELECT l.l_linestatus,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

@@ -26,7 +26,7 @@ def test_features_match_local_decode(spark, sf_dir):
         row = feats[doc_id]
         assert row["n_bytes"] == expected["n_bytes"]
         assert row["checksum"] == expected["checksum"]
-        assert list(row["head_bytes"]) == expected["head_bytes"]
+        assert row["head_hex"] == expected["head_hex"]
         assert row["modality"] == "text-bytes"
 
 

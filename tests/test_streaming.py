@@ -769,19 +769,22 @@ def test_ohlc_append_late_candle_correction(spark, tmp_path):
         ohlc_candles(stream, watermark="1 minute"), name, output_mode="append"
     )
     q.processAllAvailable()
-    dropped = sum(
-        op.get("numRowsDroppedByWatermark", 0)
-        for p in q.recentProgress
-        for op in p.get("stateOperators", [])
-    )
     q.stop()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    starts = [r["window"]["start"].isoformat() for r in rows]
+    # append mode: the closed candle appears exactly once — the
+    # beyond-watermark straggler (row 5) must not re-open/re-emit it
+    assert starts.count("2024-01-01T00:00:00") == 1
     candles = {
         r["window"]["start"].isoformat(): (
             r["open"], r["high"], r["low"], r["close"], r["n_events"]
         )
-        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        for r in rows
     }
-    # the 00:00 candle was emitted exactly once, WITH the late correction
-    # (low/close=5 from row 3) and WITHOUT the beyond-watermark row 5
+    # the 00:00 candle carries the late correction (low/close=5 from row 3)
+    # and excludes the beyond-watermark row 5 (value 1000 appears nowhere);
+    # the drop is asserted on sink contents — the per-batch
+    # numRowsDroppedByWatermark metric is not guaranteed to register when
+    # the watermark advances in the same micro-batch as the straggler
     assert candles["2024-01-01T00:00:00"] == (10.0, 30.0, 5.0, 5.0, 3)
-    assert dropped >= 1, "beyond-watermark row should be counted as dropped"
+    assert all(r["high"] < 1000.0 for r in rows)

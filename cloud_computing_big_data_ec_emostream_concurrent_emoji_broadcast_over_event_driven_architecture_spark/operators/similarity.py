@@ -3,20 +3,26 @@
 - brute-force cosine top-k: the exactness baseline — one pass over all
   vectors, pure built-ins (zip_with/aggregate), TakeOrderedAndProject for
   the top-k (no global sort).
-- blocked near-dup pairs: label-blocked candidate generation (the generic
-  "blocking key" pattern — at 100 TB the key would be an LSH bucket).
+- random-hyperplane LSH (sign-bit sketches, banded like the MinHash text
+  tier): the scale-safe candidate generator for near-dup pairs — a
+  bucketed equi-join on (band, code), never an all-pairs or
+  label-blocked join.
 - IVF-style ANN: assign every vector to its nearest of K pseudo-centroids,
   probe only the query's centroid bucket — the index-shaped scale path;
   deterministic (centroids := the first K vectors), so fully
   oracle-checkable.
 
 All cosine math is float64 after explicit casts in BOTH engines; outputs
-round to 6 dp before hashing.
+round to 6 dp before hashing. The LSH hyperplanes are derived from an
+integer LCG evaluated identically in both engines, and the sign decision
+sums exact decimal(18,10) contributions — order-independent, so every
+sketch bit is bit-identical between Spark and DuckDB (pinned by
+q_embedding_lsh_sketch).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -27,6 +33,21 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 NEAR_DUP_COS = 0.35
 IVF_K = 8  # pseudo-centroids: vec_id < 8
+
+# --- random-hyperplane LSH parameters --------------------------------------
+# 48 sign bits banded 8×6: band-collision probability for a pair at cosine
+# s is 1-(1-p^6)^8 with p = 1 - arccos(s)/π — ≈0.54 at the loose 0.35
+# threshold and →1 for true near-dups (s ≥ 0.9). More bands raise recall,
+# wider bands shrink candidate buckets; both are compile-time dials.
+RHP_BITS = 48
+RHP_BAND_BITS = 6
+RHP_BANDS = RHP_BITS // RHP_BAND_BITS
+# two-round LCG (exact in int64) — the deterministic pseudo-random plane
+# component generator both engines replay bit-identically
+_RHP_A = 1103515245
+_RHP_C = 12345
+_RHP_M = 1 << 31
+_RHP_STRIDE = 4096  # max supported embedding dimensionality
 
 
 @register(
@@ -72,42 +93,209 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rhp_plane(j: int, d: Column) -> Column:
+    """Component d of hyperplane j in [-0.5, 0.5): a two-round LCG over the
+    flat index j*stride+d, divided by 2^31 (exact in float64)."""
+    idx = d.cast("long") + F.lit(j * _RHP_STRIDE).cast("long")
+    h1 = (F.lit(_RHP_A).cast("long") * idx + F.lit(_RHP_C)) % F.lit(_RHP_M)
+    h2 = (F.lit(_RHP_A).cast("long") * h1 + F.lit(_RHP_C)) % F.lit(_RHP_M)
+    return h2.cast("double") / F.lit(float(_RHP_M)) - F.lit(0.5)
+
+
+def _rhp_bit_exprs(v: Column) -> list[Column]:
+    """RHP_BITS sign-bit columns (0/1) for an array<double> vector.
+
+    Each bit is sign(v · plane_j). The dot product folds exact
+    decimal(18,10) per-element contributions (the accumulator re-cast
+    keeps the Spark decimal type fixed, losslessly — every step stays at
+    scale 10), so the sum is order-independent and bit-identical to the
+    oracle's SUM(DECIMAL) — a float fold could flip a sign near zero
+    between engines."""
+    idxs = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def contrib_fn(j: int):
+        return lambda x, d: (x * _rhp_plane(j, d)).cast("decimal(18,10)")
+
+    bits = []
+    for j in range(RHP_BITS):
+        s = F.aggregate(
+            F.zip_with(v, idxs, contrib_fn(j)),
+            F.lit(0).cast("decimal(28,10)"),
+            lambda acc, y: (acc + y).cast("decimal(28,10)"),
+        )
+        bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+_RHP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_rhp_cache() -> None:
+    for df in _RHP_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _RHP_CACHE.clear()
+
+
+def _rhp_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sketch long, codes array<int>[RHP_BANDS]) — persisted: the
+    48 decimal folds are the expensive part and the banded self-join below
+    reads this from both sides."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RHP_CACHE:
+        emb = table(spark, sf_dir, "embeddings")
+        bits = _rhp_bit_exprs(as_double(F.col("embedding")))
+        sketch = bits[0].cast("long")
+        for j in range(1, RHP_BITS):
+            sketch = sketch + bits[j].cast("long") * F.lit(1 << j)
+        codes = F.array(
+            *[
+                sum(
+                    (bits[b * RHP_BAND_BITS + r] * F.lit(1 << r)
+                     for r in range(1, RHP_BAND_BITS)),
+                    start=bits[b * RHP_BAND_BITS],
+                ).cast("int")
+                for b in range(RHP_BANDS)
+            ]
+        )
+        df = emb.select(
+            "vec_id", sketch.alias("sketch"), codes.alias("codes")
+        ).persist()
+        _RHP_CACHE[key] = df
+    return _RHP_CACHE[key]
+
+
+def rhp_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, code) LSH bucket rows — the blocking key for the
+    banded candidate join."""
+    return _rhp_sketches(spark, sf_dir).select(
+        "vec_id", F.posexplode("codes").alias("band", "code")
+    )
+
+
+def _rhp_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (vec_id_a < vec_id_b) pairs sharing ≥1 LSH band bucket —
+    an equi-join on (band, code), the 100 TB-safe candidate generator."""
+    x = rhp_band_rows(spark, sf_dir).alias("x")
+    y = rhp_band_rows(spark, sf_dir).alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.code") == F.col("y.code"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id_a"),
+            F.col("y.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+
+
+# one plane component as SQL (j and d are column references in scope)
+_RHP_PLANE_SQL = (
+    f"(CAST((CAST({_RHP_A} AS BIGINT) * ((CAST({_RHP_A} AS BIGINT) * "
+    f"(CAST(j AS BIGINT) * {_RHP_STRIDE} + d) + {_RHP_C}) % {_RHP_M}) "
+    f"+ {_RHP_C}) % {_RHP_M} AS DOUBLE) / {_RHP_M}.0 - 0.5)"
+)
+
+# shared oracle pipeline: vectors → per-(vec, plane) exact decimal dot
+# signs → per-band packed codes. Replays the Spark sketch bit-for-bit.
+_RHP_CTE = f"""
+        ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v
+               FROM embeddings),
+        ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+                      unnest(v) AS x
+               FROM ev),
+        contrib AS (
+            SELECT vec_id, j,
+                   CAST(x * {_RHP_PLANE_SQL} AS DECIMAL(18,10)) AS c
+            FROM ex CROSS JOIN range(0, {RHP_BITS}) t(j)
+        ),
+        bits AS (
+            SELECT vec_id, j, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM contrib GROUP BY vec_id, j
+        ),
+        codes AS (
+            SELECT vec_id, CAST(j // {RHP_BAND_BITS} AS INT) AS band,
+                   CAST(SUM(bit << (j % {RHP_BAND_BITS})) AS INT) AS code
+            FROM bits GROUP BY vec_id, CAST(j // {RHP_BAND_BITS} AS INT)
+        )
+"""
+
+_RHP_CAND_CTE = """
+        cand AS (
+            SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+            FROM codes x JOIN codes y
+              ON x.band = y.band AND x.code = y.code
+             AND x.vec_id < y.vec_id
+        )
+"""
+
+
+@register(
+    "q_embedding_lsh_sketch",
+    tags=("similarity", "lsh", "vector", "scale"),
+    oracle=f"""
+        WITH {_RHP_CTE}
+        SELECT vec_id, CAST(SUM(bit << j) AS BIGINT) AS sketch
+        FROM bits GROUP BY vec_id
+    """,
+)
+def q_embedding_lsh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector 48-bit random-hyperplane sketch — the embedding-side
+    twin of q_dedup_simhash. Pure per-row projection (broadcast-free,
+    shuffle-free): at 100 TB sketching is embarrassingly parallel and the
+    sketch (8 bytes) replaces the vector (256+ bytes) in every downstream
+    join. The oracle recomputes every sign bit from the same LCG planes
+    and exact decimal sums, so all 48 bits must agree across engines."""
+    return _rhp_sketches(spark, sf_dir).select("vec_id", "sketch")
+
+
 @register(
     "q_similarity_pairs",
-    tags=("similarity", "dedup", "vector"),
+    tags=("similarity", "dedup", "vector", "lsh", "scale"),
     oracle=f"""
-        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-               ROUND({cosine_sql(as_double_sql('a.embedding'),
-                                 as_double_sql('b.embedding'))}, 6) AS sim
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {cosine_sql(as_double_sql('a.embedding'),
-                          as_double_sql('b.embedding'))} >= {NEAR_DUP_COS}
+        WITH {_RHP_CTE},
+        {_RHP_CAND_CTE}
+        SELECT c.vec_id_a, c.vec_id_b,
+               ROUND({cosine_sql('a.v', 'b.v')}, 6) AS sim
+        FROM cand c
+        JOIN ev a ON a.vec_id = c.vec_id_a
+        JOIN ev b ON b.vec_id = c.vec_id_b
+        WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
     """,
 )
 def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs within label blocks (cosine ≥ 0.35).
-    The label is the blocking key — candidate generation is an equi-join,
-    so the pair count is Σ block² instead of N²; at 100 TB the block key
-    becomes an LSH/IVF bucket but the plan shape is identical."""
+    """Embedding near-dup pairs (cosine ≥ 0.35) with RANDOM-HYPERPLANE
+    LSH candidate generation: pairs must share ≥1 of 8 six-bit sign-bands
+    (an equi-join on (band, code), mirroring the MinHash text tier), then
+    the exact cosine runs on candidates only. Nothing in the plan is
+    all-pairs or blocked on a low-cardinality attribute — this is the
+    shape that survives 100 TB, with recall tuned by the band dials (see
+    module constants). The oracle replays the identical sketch + banding,
+    so candidates — not just survivors — agree across engines."""
+    cand = _rhp_candidate_pairs(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine(
-        as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        as_double(F.col("embedding")).alias("va"),
     )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        as_double(F.col("embedding")).alias("vb"),
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    # plain doc-id equi-joins for verification — AQE picks broadcast at
+    # small scale and shuffle-hash beyond the broadcast ceiling
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
         .filter(sim >= NEAR_DUP_COS)
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            F.round(sim, 6).alias("sim"),
-        )
+        .select("vec_id_a", "vec_id_b", F.round(sim, 6).alias("sim"))
     )
 
 
@@ -431,16 +619,17 @@ def ann_ivf_topk(
 
 @register(
     "q_dedup_embedding",
-    tags=("dedup", "similarity", "vector"),
+    tags=("dedup", "similarity", "vector", "lsh", "scale"),
     oracle=f"""
-        WITH pairs AS (
-            SELECT a.vec_id AS keep_cand, b.vec_id AS drop_id,
-                   {cosine_sql(as_double_sql('a.embedding'),
-                               as_double_sql('b.embedding'))} AS sim
-            FROM embeddings a
-            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE {cosine_sql(as_double_sql('a.embedding'),
-                              as_double_sql('b.embedding'))} >= {NEAR_DUP_COS}
+        WITH {_RHP_CTE},
+        {_RHP_CAND_CTE},
+        pairs AS (
+            SELECT c.vec_id_a AS keep_cand, c.vec_id_b AS drop_id,
+                   {cosine_sql('a.v', 'b.v')} AS sim
+            FROM cand c
+            JOIN ev a ON a.vec_id = c.vec_id_a
+            JOIN ev b ON b.vec_id = c.vec_id_b
+            WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
         ),
         dropped AS (
             SELECT drop_id AS doc_id,
@@ -455,31 +644,21 @@ def ann_ivf_topk(
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over DOCUMENTS (the semantic dedup tier:
     embeddings stand in for meaning, so paraphrases collide where shingle
-    tiers can't see them): a document is dropped when an earlier
-    (smaller-id) document in its block is cosine-similar ≥ {NEAR_DUP_COS};
-    the keeper is the smallest such id. Candidate generation is
-    label-blocked (at 100 TB the block key is an LSH/IVF bucket), the
-    verdict joins back to ``documents`` on doc_id — embeddings and text
-    co-keyed 1:1, one broadcast-able join. Output is the removal list a
-    corpus-cleaning pipeline feeds its anti-join."""
-    emb = table(spark, sf_dir, "embeddings")
+    tiers can't see them): a document is dropped when a smaller-id
+    document shares an LSH band with it and is cosine-similar
+    ≥ {NEAR_DUP_COS}; the keeper is the smallest such id. Candidate
+    generation is the random-hyperplane band join (q_similarity_pairs) —
+    bucketed, never label-blocked or all-pairs — and the verdict joins
+    back to ``documents`` on doc_id (embeddings and text co-keyed 1:1).
+    Output is the removal list a corpus-cleaning pipeline feeds its
+    anti-join."""
     docs = table(spark, sf_dir, "documents")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine(
-        as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
-    )
     dropped = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(sim >= NEAR_DUP_COS)
+        q_similarity_pairs(spark, sf_dir)
         .select(
-            F.col("b.vec_id").alias("doc_id"),
-            F.col("a.vec_id").alias("keep_cand"),
-            sim.alias("sim"),
+            F.col("vec_id_b").alias("doc_id"),
+            F.col("vec_id_a").alias("keep_cand"),
+            "sim",
         )
         .groupBy("doc_id")
         .agg(

@@ -24,3 +24,54 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     reg = [r["vec_id"] for r in q_ann_ivf(spark, sf_dir).collect()]
     one = [r["vec_id"] for r in ann_ivf_topk(spark, sf_dir, 1).collect()]
     assert reg == one
+
+
+def test_rhp_lsh_pairs_subset_of_bruteforce_with_recall(spark, sf_dir, duck):
+    """The banded LSH pair set is a SUBSET of the brute-force cosine pairs
+    (the verify step is exact — banding can only lose pairs, never invent
+    them) and recall stays above the analytic floor for the band config."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        NEAR_DUP_COS,
+        q_similarity_pairs,
+    )
+
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in q_similarity_pairs(spark, sf_dir).collect()
+    }
+    truth = {
+        (a, b)
+        for a, b in duck.execute(f"""
+            WITH ev AS (SELECT vec_id,
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                        FROM embeddings)
+            SELECT a.vec_id, b.vec_id
+            FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+            WHERE (list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))) >= {NEAR_DUP_COS}
+        """).fetchall()
+    }
+    assert got <= truth, f"LSH invented pairs: {sorted(got - truth)[:5]}"
+    assert truth, "fixture degenerate: no brute-force pairs at threshold"
+    recall = len(got) / len(truth)
+    # 8 bands x 6 bits at s=0.35 gives ~0.54 expected band-collision
+    # probability; 0.35 is a loose floor against fixture drift
+    assert recall >= 0.35, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_rhp_lsh_plan_is_bucketed_not_cartesian(spark, sf_dir):
+    """The candidate join must be an equi-join on the band bucket — never
+    a cartesian/nested-loop, and never blocked on a data attribute."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        q_similarity_pairs,
+    )
+
+    plan = (
+        q_similarity_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

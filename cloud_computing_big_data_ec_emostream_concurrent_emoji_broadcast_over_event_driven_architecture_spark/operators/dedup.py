@@ -603,42 +603,88 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_ITERS = 3  # min-label propagation rounds; near-dup components are
-              # shallow (pairs/cliques), diameter ≤ 2 in practice — 3
-              # rounds is convergence + one verification round here
+CC_MAX_ITERS = 50  # hard cap on min-label propagation rounds; the loop
+                   # exits as soon as a round changes zero labels, so this
+                   # only bounds pathological diameter-50+ chains
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Convergence-checked connected components via min-label propagation.
+
+    ``edges`` must be a SYMMETRIZED (src, dst) edge list. Each round every
+    node takes the min label among itself and its neighbors; the loop stops
+    at the first round that changes zero labels (a true fixed point), not
+    after a fixed unroll — so chain-shaped components of any diameter
+    converge to one cluster id. Each round is ``localCheckpoint()``-ed:
+    the per-round changed-label count (the only driver-side action) reuses
+    the materialized round, and lineage is truncated so an iterative plan
+    never accretes — the standard requirement for iterative graph
+    algorithms on Spark at scale. Labels (not documents) shuffle each
+    round; the edge list is persisted by the caller.
+
+    Returns (doc_id, lbl) with lbl = min doc_id of the component.
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnsRenamed({"doc_id": "dst", "lbl": "nlbl"}),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        stepped = (
+            labels.join(
+                neighbor_min.withColumnRenamed("src", "doc_id"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.col("lbl").alias("prev_lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("lbl") != F.col("prev_lbl")).count()
+        labels = stepped.drop("prev_lbl")
+        if changed == 0:
+            break
+    return labels
 
 
 def _cc_oracle() -> str:
-    """Unrolled min-label propagation over the MinHash-verified pair
-    graph (symmetrized), mirroring the Spark iterations exactly."""
+    """Convergent connected components over the MinHash-verified pair graph:
+    a recursive reachability CTE (set-semantics UNION terminates it), so the
+    oracle agrees with the Spark fixpoint loop on ANY component shape — no
+    unroll-depth assumption."""
     minhash = _minhash_oracle()
-    steps = []
-    for i in range(CC_ITERS):
-        steps.append(f"""
-        l{i + 1} AS (
-            SELECT n.doc_id,
-                   LEAST(l.lbl, COALESCE(MIN(l2.lbl), l.lbl)) AS lbl
-            FROM nodes n
-            JOIN l{i} l ON l.doc_id = n.doc_id
-            LEFT JOIN edges e ON e.src = n.doc_id
-            LEFT JOIN l{i} l2 ON l2.doc_id = e.dst
-            GROUP BY n.doc_id, l.lbl
-        )""")
     return f"""
-        WITH pairs AS ({minhash}),
+        WITH RECURSIVE pairs AS ({minhash}),
         edges AS (
             SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
             UNION ALL
             SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
         ),
-        nodes AS (
-            SELECT DISTINCT src AS doc_id FROM edges
-        ),
-        l0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
-        {','.join(steps)}
-        SELECT doc_id, lbl AS cluster_id,
-               CASE WHEN doc_id = lbl THEN 1 ELSE 0 END AS is_keeper
-        FROM l{CC_ITERS}
+        reach AS (
+            SELECT src AS doc_id, dst AS r FROM edges
+            UNION
+            SELECT reach.doc_id, e.dst AS r
+            FROM reach JOIN edges e ON e.src = reach.r
+        )
+        SELECT doc_id,
+               LEAST(doc_id, MIN(r)) AS cluster_id,
+               CASE WHEN doc_id <= MIN(r) THEN 1 ELSE 0 END AS is_keeper
+        FROM reach
+        GROUP BY doc_id
     """
 
 
@@ -649,15 +695,16 @@ def _cc_oracle() -> str:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the
-    MinHash-verified pair graph via min-label propagation — each round
-    every node takes the min label among itself and its neighbors; the
-    component converges to its smallest doc_id (the keeper). Rounds are
-    self-joins on the (small) edge list, shuffling labels not documents;
-    at 100 TB this is the standard large-star/small-star pattern with
-    per-round checkpointing — here components are shallow (near-dup
-    cliques), so a fixed unroll both converges and stays oracle-able.
-    Only documents that participate in ≥1 pair appear (singletons are
-    trivially their own keeper)."""
+    MinHash-verified pair graph via min-label propagation, iterated to a
+    FIXED POINT (``connected_components``) — each round every node takes
+    the min label among itself and its neighbors, and the loop stops when
+    a round changes zero labels, so chains of any diameter converge (a
+    fixed 3-round unroll mislabeled diameter>3 chains;
+    tests/test_dedup_graph.py pins the difference). Rounds are self-joins
+    on the (small) edge list, shuffling labels not documents, with
+    per-round localCheckpoint truncating lineage — the requirements for
+    iterative graph algorithms at 100 TB. Only documents that participate
+    in ≥1 pair appear (singletons are trivially their own keeper)."""
     pairs = q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
     edges = pairs.union(
         pairs.select(
@@ -666,31 +713,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).withColumnsRenamed({"doc_id_a": "src", "doc_id_b": "dst"})
     edges = edges.persist()
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "lbl", F.col("doc_id")
-    )
-    for _ in range(CC_ITERS):
-        neighbor_min = (
-            edges.join(
-                labels.withColumnsRenamed({"doc_id": "dst", "lbl": "nlbl"}),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nlbl").alias("nmin"))
-        )
-        labels = (
-            labels.join(
-                neighbor_min.withColumnRenamed("src", "doc_id"),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
+    labels = connected_components(edges)
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

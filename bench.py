@@ -34,6 +34,21 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     total = 0.0
+
+    # Build the session-level caches (hashed shingle sets for the dedup
+    # tiers) up front and report the cost as its OWN line item — otherwise
+    # the first dedup query's timing absorbs it and per-query numbers
+    # aren't comparable across rounds.
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.dedup import (
+        _hashed_shingle_sets,
+    )
+
+    t0 = time.perf_counter()
+    _hashed_shingle_sets(spark, sf_dir).count()
+    cache_build = time.perf_counter() - t0
+    per_query["cache_build"] = round(cache_build, 4)
+    total += cache_build
+    print(f"# cache_build: {cache_build:.3f}s", file=sys.stderr)
     for name, spec in sorted(specs.items()):
         # best of 2: the machine shares cores with other tenants, so a
         # single sample can be 2-3x off; min measures the query, not the

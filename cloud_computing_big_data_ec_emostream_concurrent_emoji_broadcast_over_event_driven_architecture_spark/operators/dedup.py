@@ -218,7 +218,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_cte() -> str:
+    """WITH-clause body through ``cand`` (the banded LSH candidate pairs)
+    — shared by the Jaccard and containment verifiers."""
     sig_cols = ",\n                   ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P}))"
         f" AS s{i}"
@@ -233,8 +235,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(NUM_BANDS)
     )
-    return f"""
-        WITH {_HS_CTE},
+    return f"""{_HS_CTE},
         sig AS (
             SELECT doc_id,
                    {sig_cols}
@@ -248,7 +249,12 @@ def _minhash_oracle() -> str:
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.band_key = y.band_key
              AND x.doc_id < y.doc_id
-        ),
+        )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_cand_cte()},
         verified AS (
             SELECT c.doc_id_a, c.doc_id_b,
                    len(list_intersect(sa.hs, sb.hs)) AS c,
@@ -338,6 +344,72 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "q_dedup_containment",
+    tags=("dedup", "minhash", "lsh", "containment"),
+    oracle=f"""
+        WITH {_minhash_cand_cte()},
+        verified AS (
+            SELECT c.doc_id_a, c.doc_id_b,
+                   len(list_intersect(sa.hs, sb.hs)) AS c,
+                   sa.n AS na, sb.n AS nb
+            FROM cand c
+            JOIN ne sa ON c.doc_id_a = sa.doc_id
+            JOIN ne sb ON c.doc_id_b = sb.doc_id
+        )
+        SELECT doc_id_a, doc_id_b,
+               ROUND(c * 1.0 / LEAST(na, nb), 6) AS containment,
+               ROUND(c * 1.0 / (na + nb - c), 6) AS jaccard
+        FROM verified
+        WHERE c * 1.0 / LEAST(na, nb) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment |A∩B| / min(|A|,|B|) ≥ 0.9 —
+    catches subset/superset duplication (a document embedded inside a
+    longer one) that symmetric Jaccard misses, the case that dominates
+    real crawl corpora (boilerplate-wrapped reposts). Candidates come from
+    the SAME banded MinHash join as q_dedup_minhash (via the shared
+    streaming/minhash banding — one candidate generator for every
+    verifier); only the verification predicate differs, so the marginal
+    cost of running both tiers over 100 TB is one extra filter over the
+    already-joined candidate rows. Jaccard is emitted alongside so
+    downstream can distinguish true near-dups from containment-only
+    pairs."""
+    from ..streaming.minhash import lsh_candidates
+
+    hdf = _hashed_shingle_sets(spark, sf_dir)
+    cand = lsh_candidates(hdf.select("doc_id", "sig")).withColumnsRenamed(
+        {"id_a": "doc_id_a", "id_b": "doc_id_b"}
+    )
+    ha = hdf.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    hb = hdf.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    verified = (
+        cand.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
+        .withColumn("c", F.size(F.array_intersect("hs_a", "hs_b")))
+    )
+    cont = F.col("c") / F.least("na", "nb")
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return verified.filter(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(cont, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

@@ -6,7 +6,7 @@ every query oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -674,4 +674,116 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TFIDF_TOP_N)
         .drop("rn")
+    )
+
+
+PACK_BUDGET = 512  # tokens per training context window
+
+
+@register(
+    "q_token_budget_packing",
+    tags=("text", "llm-pipeline", "window"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+               CAST(cum_before - CAST(FLOOR(cum_before / {PACK_BUDGET}.0)
+                   AS BIGINT) * {PACK_BUDGET} AS BIGINT) AS pack_offset
+        FROM c
+    """,
+)
+def q_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window PACKING: assign documents (in deterministic doc_id
+    order, per language) to fixed token-budget training windows via a
+    running-total window — pack_id = floor(preceding-tokens / budget),
+    pack_offset = position inside the pack. This is the contiguous-fill
+    packing an LLM data loader uses (a pack may spill past the budget by
+    at most one document; the loader truncates or pads). One window
+    function partitioned by ``lang`` — a single shuffle on the partition
+    key at any scale; no driver loop, no UDF. Skew note: partitions are
+    per-language corpora; at 100 TB the partition key widens to
+    (lang, shard) with shard = doc_id div N to bound any one language's
+    window state."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    pack_id = F.floor(F.col("cum_before") / F.lit(float(PACK_BUDGET)))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        pack_id.cast("long").alias("pack_id"),
+        (
+            F.col("cum_before") - pack_id.cast("long") * F.lit(PACK_BUDGET)
+        ).alias("pack_offset"),
+    )
+
+
+# POSIX-safe patterns evaluated identically by Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+@register(
+    "q_text_pii_redact",
+    tags=("text", "llm-pipeline", "pii"),
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g')) AS redacted_key
+        FROM documents
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the redaction pass every training corpus takes before
+    the tokenizer: replace email addresses and phone-number-shaped spans
+    with typed placeholder tokens and count what was removed (the volume
+    metric a compliance dashboard tracks). Pure per-row regexp built-ins
+    (regexp_extract_all / regexp_replace) — codegen'd, embarrassingly
+    parallel, no shuffle at all; the patterns avoid regex features that
+    differ between engines. The redacted text is emitted as an md5 key
+    (contract surface carries no long strings); tests/test_pii.py pins the
+    actual redaction behavior on a fixture with planted PII."""
+    docs = table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", F.lit(PII_EMAIL), F.lit("[EMAIL]")),
+        F.lit(PII_PHONE),
+        F.lit("[PHONE]"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_key"),
     )

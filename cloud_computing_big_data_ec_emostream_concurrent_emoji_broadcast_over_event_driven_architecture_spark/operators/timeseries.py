@@ -596,3 +596,101 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.countDistinct("user_id").alias("uniq_users"),
     )
+
+
+DECAY_TAU_SEC = 3600.0  # e-folding time for recency weighting
+
+
+@register(
+    "q_decayed_counts",
+    tags=("timeseries", "decay"),
+    oracle=f"""
+        WITH mx AS (SELECT MAX(ts) AS mts FROM events)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(SUM(exp(-date_diff('second', ts, mts)
+                     / {DECAY_TAU_SEC})), 6) AS decayed
+        FROM events, mx
+        GROUP BY event_type
+    """,
+)
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts per type — the recency-
+    weighted popularity score a trending/ranking service keeps (each event
+    contributes exp(-age/τ); an event τ old counts 1/e). The anchor is the
+    corpus max timestamp, computed as a 1-row broadcast (no driver
+    round-trip); the decay weight is a per-row expression folded into the
+    same single aggregation as the plain count — recency scoring costs no
+    extra pass and no extra shuffle at any scale. Incremental form: the
+    streaming twin is a windowed sum re-anchored per trigger (scores decay
+    by a constant factor between triggers)."""
+    events = table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("mts"))
+    age_sec = F.unix_timestamp("mts") - F.unix_timestamp("ts")
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.exp(-age_sec / F.lit(DECAY_TAU_SEC))), 6
+            ).alias("decayed"),
+        )
+    )
+
+
+ANOMALY_Z = 3.0
+
+
+@register(
+    "q_events_anomaly",
+    tags=("timeseries", "anomaly"),
+    oracle=f"""
+        WITH m AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sd
+            FROM m GROUP BY 1
+        )
+        SELECT m.event_type, m.minute, m.cnt,
+               ROUND((m.cnt - s.mu) / NULLIF(s.sd, 0), 6) AS zscore,
+               CASE WHEN ABS((m.cnt - s.mu) / NULLIF(s.sd, 0))
+                        > {ANOMALY_Z} THEN 1 ELSE 0 END AS is_anomaly
+        FROM m JOIN s USING (event_type)
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection: z-score of each (type, minute) count
+    against that type's own distribution, |z| > 3 flagged — the 3-sigma
+    alert a stream-health monitor fires on traffic spikes/drops. Two
+    aggregations (per-minute counts, then per-type moments) and one join
+    back; the moments table is tiny (one row per type) so the join is a
+    broadcast — the whole plan shuffles the events table exactly once at
+    any scale. Null-std (constant series) yields a null zscore and no
+    flag rather than a division blow-up."""
+    events = table(spark, sf_dir, "events")
+    m = (
+        events.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("minute")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = m.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sd")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.when(
+        F.col("sd") != 0, F.col("sd")
+    )
+    return (
+        m.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "minute",
+            "cnt",
+            F.round(z, 6).alias("zscore"),
+            F.when(F.abs(z) > ANOMALY_Z, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )

@@ -192,3 +192,105 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
     )
+
+
+def _doc_split_sql(id_expr: str) -> str:
+    return (
+        f"CASE WHEN {md5_long_sql(f'CAST({id_expr} AS VARCHAR)')} % 10 < 9 "
+        "THEN 'train' ELSE 'test' END"
+    )
+
+
+def _doc_split(col: F.Column) -> F.Column:
+    return F.when(
+        md5_long(col.cast("string")) % 10 < 9, F.lit("train")
+    ).otherwise(F.lit("test"))
+
+
+def _contamination_oracle() -> str:
+    from .dedup import _minhash_oracle
+
+    return f"""
+        WITH pairs AS ({_minhash_oracle()})
+        SELECT p.doc_id_a, p.doc_id_b, p.jaccard,
+               {_doc_split_sql('p.doc_id_a')} AS split_a,
+               {_doc_split_sql('p.doc_id_b')} AS split_b
+        FROM pairs p
+        WHERE {_doc_split_sql('p.doc_id_a')} <> {_doc_split_sql('p.doc_id_b')}
+    """
+
+
+@register(
+    "q_contamination_check",
+    tags=("sampling", "dedup", "llm-pipeline"),
+    oracle=_contamination_oracle(),
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test CONTAMINATION audit: near-duplicate pairs (MinHash tier,
+    Jaccard ≥ 0.8 — exact dups have Jaccard 1 so they're included) that
+    straddle the hash-mod split boundary. Any row here is an eval example
+    whose near-copy sits in training data — the leakage a benchmark audit
+    must catch. Cost: the dedup pair list already exists (shared cached
+    tier); labeling is a projection, so the audit is one filter over the
+    pair output — effectively free at any scale."""
+    from .dedup import q_dedup_minhash
+
+    pairs = q_dedup_minhash(spark, sf_dir)
+    out = pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        "jaccard",
+        _doc_split(F.col("doc_id_a")).alias("split_a"),
+        _doc_split(F.col("doc_id_b")).alias("split_b"),
+    )
+    return out.filter(F.col("split_a") != F.col("split_b"))
+
+
+def _leakage_split_oracle() -> str:
+    from .dedup import _cc_oracle
+
+    return f"""
+        WITH clusters AS ({_cc_oracle()}),
+        assigned AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d
+            LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        )
+        SELECT {_doc_split_sql('cluster_id')} AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+        FROM assigned
+        GROUP BY 1
+    """
+
+
+@register(
+    "q_split_no_leakage",
+    tags=("sampling", "dedup", "graph", "llm-pipeline"),
+    oracle=_leakage_split_oracle(),
+)
+def q_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/test split: the unit of assignment is the
+    near-dup CLUSTER, not the document — every member of a connected
+    component lands in the split of its cluster id (singletons are their
+    own cluster), so no near-duplicate pair can straddle the boundary by
+    construction (the q_contamination_check of THIS split is empty).
+    Composes the convergent connected components with the hash-mod rule;
+    the only added work over a naive split is one left join against the
+    (tiny) cluster table — broadcast at any corpus scale."""
+    from .dedup import q_dedup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return (
+        assigned.groupBy(_doc_split(F.col("cluster_id")).alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+    )

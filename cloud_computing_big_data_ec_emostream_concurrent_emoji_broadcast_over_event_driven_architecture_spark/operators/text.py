@@ -787,3 +787,50 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(redacted).alias("redacted_key"),
     )
+
+
+VOCAB_SIZE = 1000
+
+
+@register(
+    "q_vocab_build",
+    tags=("text", "llm-pipeline", "window"),
+    oracle=f"""
+        WITH freq AS (
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY w
+        ),
+        ranked AS (
+            SELECT word, freq,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS word_id
+            FROM freq
+        )
+        SELECT word, freq, CAST(word_id AS BIGINT) AS word_id
+        FROM ranked WHERE word_id <= {VOCAB_SIZE}
+    """,
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer VOCAB construction: top-{VOCAB_SIZE} words by corpus
+    frequency with stable ids (freq desc, word asc — deterministic across
+    runs and engines). The heavy phase is the explode+count aggregation
+    (map-side partial combine keeps the shuffle at distinct-word
+    cardinality, not token count); the global rank then runs over the
+    aggregated table, which is vocab-sized — a single-partition window
+    over thousands of rows, not a global sort of the corpus. At 100 TB
+    the aggregation output is still only the vocabulary, so the plan
+    shape holds."""
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        freq.withColumn("word_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("word_id") <= VOCAB_SIZE)
+    )

@@ -81,3 +81,37 @@ def test_fixpoint_matches_recursive_oracle_on_chain(spark, duck):
     labels = {r["doc_id"]: r["lbl"] for r in connected_components(edges).collect()}
     assert labels == oracle
     edges.unpersist()
+
+
+def test_leakage_free_split_has_no_cross_split_near_dups(spark, sf_dir):
+    # The whole point of q_split_no_leakage: cluster-granular assignment
+    # means the contamination audit over the cluster-based split is empty.
+    from pyspark.sql import functions as F
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_minhash,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.sampling import (
+        _doc_split,
+    )
+
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    pairs = q_dedup_minhash(spark, sf_dir)
+    # label each pair side with the split of its CLUSTER id (doc itself
+    # for singletons — irrelevant here since paired docs are clustered)
+    a = clusters.withColumnsRenamed(
+        {"doc_id": "doc_id_a", "cluster_id": "cl_a"}
+    )
+    b = clusters.withColumnsRenamed(
+        {"doc_id": "doc_id_b", "cluster_id": "cl_b"}
+    )
+    labeled = (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            _doc_split(F.col("cl_a")).alias("sa"),
+            _doc_split(F.col("cl_b")).alias("sb"),
+        )
+    )
+    assert labeled.filter(F.col("sa") != F.col("sb")).count() == 0

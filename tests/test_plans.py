@@ -109,3 +109,48 @@ def test_merge_upsert_no_extra_exchange_after_compaction(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_merge_upsert")
     assert plan.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_anomaly_broadcasts_moments(spark, sf_dir):
+    """q_events_anomaly joins the per-type moments back via broadcast —
+    the fact table shuffles once (minute counts), never for the join."""
+    plan = _plan(spark, sf_dir, "q_events_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_broadcasts_stats_row(spark, sf_dir):
+    """q_embedding_quantize's per-dim min/max ride a broadcast 1-row
+    frame — no SortMergeJoin, no CartesianProduct over data-sized
+    inputs."""
+    plan = _plan(spark, sf_dir, "q_embedding_quantize")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_join_is_bucketed_not_nested_loop(spark, sf_dir):
+    """q_dedup_containment's candidate generation is the banded equi-join
+    — never a nested-loop/cartesian all-pairs plan."""
+    plan = _plan(spark, sf_dir, "q_dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decayed_counts_single_aggregate(spark, sf_dir):
+    """q_decayed_counts folds decay weighting into the one count
+    aggregation — exactly one shuffle of the events table."""
+    plan = _plan(spark, sf_dir, "q_decayed_counts")
+    import re
+
+    # aggregate exchanges: one partial+final pair for the groupBy; the
+    # 1-row max-ts anchor contributes no Exchange over the fact table
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan[:3000]
+
+
+def test_pii_redact_no_shuffle(spark, sf_dir):
+    """q_text_pii_redact is a pure per-row projection — no Exchange at
+    all."""
+    plan = _plan(spark, sf_dir, "q_text_pii_redact")
+    assert "Exchange" not in plan

@@ -900,3 +900,77 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 1, 1).otherwise(0).alias("is_best"),
         )
     )
+
+
+@register(
+    "q_minhash_est_vs_exact",
+    tags=("dedup", "minhash", "diagnostics"),
+    oracle=f"""
+        WITH {_minhash_cand_cte()},
+        sigs AS (
+            SELECT doc_id, hs, n,
+                   [{', '.join(f's{i}' for i in range(len(MINHASH_AB)))}]
+                       AS sigv
+            FROM ne JOIN sig USING (doc_id)
+        ),
+        est AS (
+            SELECT c.doc_id_a, c.doc_id_b,
+                   len(list_filter(range(1, {len(MINHASH_AB)} + 1),
+                       i -> sa.sigv[i] = sb.sigv[i])) AS m,
+                   len(list_intersect(sa.hs, sb.hs)) AS c_int,
+                   sa.n AS na, sb.n AS nb
+            FROM cand c
+            JOIN sigs sa ON c.doc_id_a = sa.doc_id
+            JOIN sigs sb ON c.doc_id_b = sb.doc_id
+        )
+        SELECT doc_id_a, doc_id_b,
+               ROUND(m * 1.0 / {len(MINHASH_AB)}, 6) AS est_jaccard,
+               ROUND(c_int * 1.0 / (na + nb - c_int), 6) AS exact_jaccard
+        FROM est
+    """,
+)
+def q_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator DIAGNOSTICS: for every banded candidate pair, the
+    MinHash Jaccard estimate (matching signature fraction — what a
+    pipeline would use to skip exact verification entirely at 100 TB)
+    next to the exact set Jaccard. The delta distribution is how you
+    size k (more hashes → tighter estimates) before turning off exact
+    verification; the computation adds nothing beyond the candidate join
+    both verifying tiers already pay — the signature comparison is a
+    per-row zip over two cached 16-long arrays."""
+    hdf = _hashed_shingle_sets(spark, sf_dir)
+    from ..streaming.minhash import lsh_candidates
+
+    cand = lsh_candidates(hdf.select("doc_id", "sig")).withColumnsRenamed(
+        {"id_a": "doc_id_a", "id_b": "doc_id_b"}
+    )
+    ha = hdf.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+        F.col("sig").alias("sig_a"),
+    )
+    hb = hdf.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+        F.col("sig").alias("sig_b"),
+    )
+    joined = cand.join(ha, "doc_id_a").join(hb, "doc_id_b")
+    n_hashes = len(MINHASH_AB)
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    c_int = F.size(F.array_intersect("hs_a", "hs_b"))
+    exact = c_int / (F.col("na") + F.col("nb") - c_int)
+    return joined.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(matches * F.lit(1.0) / F.lit(n_hashes), 6).alias(
+            "est_jaccard"
+        ),
+        F.round(exact, 6).alias("exact_jaccard"),
+    )

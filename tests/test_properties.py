@@ -235,3 +235,56 @@ def test_merge_upsert_action_invariants(spark, sf_dir):
     # the split date leaves all three non-empty
     by_action = Counter(r["merge_action"] for r in merged)
     assert by_action["updated"] > 0 and by_action["kept"] >= 0
+
+
+def test_packing_invariants(spark, sf_dir):
+    """Token-budget packing: offsets stay inside [0, budget); pack ids per
+    language are dense from 0; token totals are preserved."""
+    from pyspark.sql import functions as F
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.text import (
+        PACK_BUDGET,
+        q_token_budget_packing,
+    )
+
+    out = q_token_budget_packing(spark, sf_dir).persist()
+    assert out.filter(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= PACK_BUDGET)
+    ).count() == 0
+    per_lang = out.groupBy("lang").agg(
+        F.min("pack_id").alias("mn"),
+        F.max("pack_id").alias("mx"),
+        F.countDistinct("pack_id").alias("nd"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    for r in per_lang.collect():
+        assert r["mn"] == 0
+        assert r["nd"] == r["mx"] + 1, "pack ids must be dense"
+        assert r["tok"] > 0
+    out.unpersist()
+
+
+def test_quantize_bounds_and_error(spark, sf_dir):
+    """Quantization: every vector keeps its dimensionality and the mean
+    reconstruction error is small relative to the value range (255-level
+    grid => per-dim error <= (range/255)^2/4 in expectation)."""
+    from pyspark.sql import functions as F
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        q_embedding_quantize,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+
+    out = q_embedding_quantize(spark, sf_dir).persist()
+    dims = out.select("n_dims").distinct().collect()
+    expected_dim = len(
+        table(spark, sf_dir, "embeddings").select("embedding").first()[0]
+    )
+    assert [r["n_dims"] for r in dims] == [expected_dim]
+    assert out.filter(F.col("mse") < 0).count() == 0
+    # worst-case rounding error per dim is (step/2)^2 with step=range/255;
+    # embeddings are roughly unit-scale, so mse must be far below 1e-3
+    assert out.agg(F.max("mse")).first()[0] < 1e-3
+    out.unpersist()

@@ -788,3 +788,52 @@ def test_ohlc_append_late_candle_correction(spark, tmp_path):
     # the watermark advances in the same micro-batch as the straggler
     assert candles["2024-01-01T00:00:00"] == (10.0, 30.0, 5.0, 5.0, 3)
     assert all(r["high"] < 1000.0 for r in rows)
+
+
+def test_rocksdb_state_store_backend(spark, events_df, replay_dir):
+    """The large-keyspace scale path: the same windowed aggregation runs
+    on the RocksDB state store provider (state spills to local disk
+    instead of living on the JVM heap — the backend a 100 TB keyspace
+    needs) and produces the identical final state. Provider is set per
+    runtime conf, restored afterwards."""
+    directory, schema = replay_dir
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_replay_stream(spark, directory, schema)
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = start_memory_sink(
+            windowed_counts_scaled(stream), name, output_mode="complete"
+        )
+        q.processAllAvailable()
+        # the running query's state operator actually uses RocksDB
+        metrics = (q.lastProgress or {}).get("stateOperators", [])
+        q.stop()
+        got = {
+            (r["event_type"], r["window"]["start"]): r["cnt"]
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        expected = {
+            (r["event_type"], r["minute"]): r["cnt"]
+            for r in events_df.groupBy(
+                "event_type", F.date_trunc("minute", "ts").alias("minute")
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert got == expected
+        assert metrics, "expected a state operator in progress metrics"
+        custom = metrics[0].get("customMetrics", {})
+        assert any("rocksdb" in k.lower() for k in custom), (
+            f"state operator not on RocksDB: {sorted(custom)[:5]}"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

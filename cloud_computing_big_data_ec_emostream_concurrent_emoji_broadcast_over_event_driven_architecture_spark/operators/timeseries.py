@@ -694,3 +694,81 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > ANOMALY_Z, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "q_forward_fill",
+    tags=("timeseries", "gapfill", "window"),
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('minute', MIN(ts)) AS lo,
+                   date_trunc('minute', MAX(ts)) AS hi
+            FROM events
+        ),
+        cal AS (
+            SELECT et.event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+                       AS minute
+            FROM bounds,
+                 (SELECT DISTINCT event_type FROM events) et
+        ),
+        vals AS (
+            SELECT event_type, date_trunc('minute', ts) AS minute,
+                   ROUND(AVG(value), 6) AS val
+            FROM events GROUP BY 1, 2
+        )
+        SELECT cal.event_type, cal.minute,
+               LAST_VALUE(vals.val IGNORE NULLS) OVER (
+                   PARTITION BY cal.event_type ORDER BY cal.minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS val_filled,
+               CASE WHEN vals.minute IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM cal
+        LEFT JOIN vals ON cal.minute = vals.minute
+                      AND cal.event_type = vals.event_type
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-FILL gap repair: the per-(type, minute) average value on
+    the dense minute calendar, with missing minutes carrying the last
+    observed value forward (``last_value(..., ignoreNulls)`` over an
+    unbounded-preceding frame) — the standard feature-engineering repair
+    before a model consumes a time series. The calendar fans out from a
+    1-row bounds aggregate (broadcast, minutes-not-rows); the fill window
+    partitions by event_type, so state per partition is one running
+    value and the shuffle is keyed by type — no global sort. Leading
+    gaps (before the first observation) stay null by definition."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    cal = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute"),
+    )
+    vals = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.round(F.avg("value"), 6).alias("val"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(
+            vals.withColumnsRenamed({"minute": "vminute", "event_type": "vtype"}),
+            (F.col("minute") == F.col("vminute"))
+            & (F.col("event_type") == F.col("vtype")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "minute",
+            F.last("val", ignorenulls=True).over(w).alias("val_filled"),
+            F.when(F.col("vminute").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )

@@ -294,3 +294,112 @@ def q_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").alias("n_clusters"),
         )
     )
+
+
+@register(
+    "q_winsorize",
+    tags=("stats", "cleaning"),
+    oracle="""
+        WITH clip AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
+                   AS winsorized_mean,
+               ROUND(AVG(e.value), 6) AS raw_mean
+        FROM events e JOIN clip c USING (event_type)
+        GROUP BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION: clip each value to its group's [p1, p99] before
+    aggregating — the outlier-robust mean every metrics/feature pipeline
+    reaches for (a fat-finger event no longer drags the average). The
+    per-group clip bounds are one exact-percentile aggregation (at 100 TB
+    the approx_percentile sketch is the drop-in) broadcast back onto the
+    fact table, so the whole operator costs one extra tiny join over the
+    plain mean; both engines share the interpolated-quantile definition
+    and rounding absorbs ulp drift."""
+    ev = table(spark, sf_dir, "events")
+    clip = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(clip), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+        )
+    )
+
+
+WEIGHTED_PER_STRATUM = 20
+
+
+@register(
+    "q_weighted_sample",
+    tags=("sampling", "hash", "window"),
+    oracle=f"""
+        WITH pri AS (
+            SELECT event_id, event_type, value,
+                   -ln(({_EV_HASH} + 1.0) / 17592186044416.0)
+                       / GREATEST(ABS(value), 0.001) AS priority
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_id, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY priority, event_id
+                   ) AS rn
+            FROM pri
+        )
+        SELECT event_type, event_id, ROUND(value, 6) AS value
+        FROM ranked WHERE rn <= {WEIGHTED_PER_STRATUM}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (exponential/A-ES scheme): each
+    row draws priority = -ln(u)/w with u a hash-uniform in (0,1] and
+    w = |value| as the weight; the {WEIGHTED_PER_STRATUM} lowest
+    priorities per stratum form a without-replacement sample where
+    inclusion probability scales with weight. Reproducible on any
+    cluster layout (u comes from md5, not an RNG), one window per
+    stratum, bounded output per key — and the same construction streams:
+    priorities are per-row, so a streaming top-k keeps the reservoir.
+    2^44 = 17592186044416 normalizes the 44-bit hash; +1 keeps u > 0."""
+    ev = table(spark, sf_dir, "events")
+    u = (md5_long(F.col("event_id").cast("string")) + F.lit(1.0)) / F.lit(
+        float(1 << 44)
+    )
+    priority = -F.log(u) / F.greatest(F.abs(F.col("value")), F.lit(0.001))
+    w = Window.partitionBy("event_type").orderBy(
+        priority.asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= WEIGHTED_PER_STRATUM)
+        .select("event_type", "event_id", F.round("value", 6).alias("value"))
+    )

@@ -403,3 +403,48 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= WEIGHTED_PER_STRATUM)
         .select("event_type", "event_id", F.round("value", 6).alias("value"))
     )
+
+
+HEAVY_HITTER_K = 20
+
+
+@register(
+    "q_heavy_hitters",
+    tags=("stats", "skew", "scale"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT SUM(cnt) AS n FROM counts)
+        SELECT user_id, cnt,
+               ROUND(cnt * 1.0 / tot.n, 6) AS share
+        FROM counts, tot
+        ORDER BY cnt DESC, user_id
+        LIMIT {HEAVY_HITTER_K}
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-HITTER detection: the top-{HEAVY_HITTER_K} keys by frequency
+    with their traffic share — the skew diagnostic you run BEFORE picking
+    a join strategy (these are the keys that overflow a shuffle partition
+    and want salting or a skew-join hint; the engine's salted join and
+    AQE skew handling are the mitigations). One partial-aggregated
+    groupBy and a top-k (TakeOrderedAndProject — no global sort); the
+    total for the share ratio rides a broadcast 1-row aggregate. The
+    approximate twin at extreme cardinality is a count-min sketch; exact
+    counts stay cheap here because the aggregation output is
+    key-cardinality-sized."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(HEAVY_HITTER_K)
+    )

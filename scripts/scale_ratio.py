@@ -57,7 +57,7 @@ def synthesize(spark) -> None:
     if os.path.isdir(os.path.join(SF10, "embeddings.parquet")):
         return
     copies = F.explode(
-        F.array(*[F.lit(i) for i in range(COPIES)])
+        F.array(*[F.lit(i).cast("long") for i in range(COPIES)])
     ).alias("copy")
 
     ev = table(spark, SF1, "events").select("*", copies)

@@ -837,3 +837,38 @@ def test_rocksdb_state_store_backend(spark, events_df, replay_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_scoring_against_batch_moments(spark, events_df, replay_dir):
+    """Model-scoring-on-a-stream shape: per-type value moments are
+    computed in batch (the 'model'), broadcast onto the stream, and every
+    event gets a z-score + outlier flag statelessly — the streaming twin
+    of q_events_anomaly's scoring half. Flagged set must equal the batch
+    computation."""
+    directory, schema = replay_dir
+    moments = events_df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.when(F.col("sd") != 0, F.col("sd"))
+    stream = file_replay_stream(spark, directory, schema, 2)
+    scored = enrich_stream_static(
+        stream, moments, "event_type"
+    ).select("event_id", z.alias("z"))
+    name = f"score_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(scored, name, "append")
+    got_flagged = {
+        r["event_id"]
+        for r in spark.sql(
+            f"SELECT event_id FROM {name} WHERE ABS(z) > 2"
+        ).collect()
+    }
+    expected_flagged = {
+        r["event_id"]
+        for r in events_df.join(F.broadcast(moments), "event_type")
+        .filter(F.abs(z) > 2)
+        .collect()
+    }
+    assert got_flagged == expected_flagged
+    assert spark.sql(f"SELECT COUNT(*) n FROM {name}").first()["n"] == (
+        events_df.count()
+    )

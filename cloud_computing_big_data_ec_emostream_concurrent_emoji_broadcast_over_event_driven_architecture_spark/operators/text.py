@@ -834,3 +834,57 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.withColumn("word_id", F.row_number().over(w).cast("long"))
         .filter(F.col("word_id") <= VOCAB_SIZE)
     )
+
+
+REPETITION_MAX = 0.3  # C4-style gate: >30% repeated shingles => drop
+
+
+@register(
+    "q_text_repetition",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS words,
+                   {shingles_sql("string_split(text, ' ')")} AS sh
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+               ROUND(CASE WHEN len(sh) = 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(sh)) * 1.0 / len(sh)
+                     END, 6) AS repeated_shingle_ratio,
+               CASE WHEN len(sh) > 0
+                         AND 1.0 - len(list_distinct(sh)) * 1.0 / len(sh)
+                             > {REPETITION_MAX}
+                    THEN 1 ELSE 0 END AS is_repetitive
+        FROM t
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION filter (the C4/Gopher-style intra-document quality
+    gate): the fraction of duplicated 3-word shingles inside each
+    document — boilerplate loops, scraped menus, and decoding
+    degeneration all show up as a high repeated-shingle ratio long before
+    any cross-document dedup runs. Pure per-row array expressions over
+    the same shingle definition the dedup tiers use; no shuffle, no UDF.
+    Documents above {REPETITION_MAX} repeated ratio get the drop flag a
+    cleaning pipeline anti-joins on."""
+    docs = table(spark, sf_dir, "documents")
+    words = tokens(F.col("text"))
+    sh = shingles(words)
+    rep = F.when(F.size(sh) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias(
+            "n_distinct_words"
+        ),
+        F.round(rep, 6).alias("repeated_shingle_ratio"),
+        F.when(
+            (F.size(sh) > 0) & (rep > REPETITION_MAX), 1
+        ).otherwise(0).alias("is_repetitive"),
+    )

@@ -299,6 +299,63 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_ivf_cache() -> None:
+    for df in _IVF_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _IVF_CACHE.clear()
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cent_id, cv) — the K deterministic pseudo-centroids (tiny;
+    always broadcast)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+
+
+def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cent_id) — every vector assigned to its
+    nearest centroid bucket, PERSISTED per (session, sf_dir): the IVF
+    index is built once and shared by every ANN query in the session
+    (single-probe, multi-probe, the recall-curve helper). At cluster
+    scale this is the index-build job whose output would live as a
+    bucketed table; rebuilding it per query — the previous shape — is
+    what the 10× scaling run flagged."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CACHE:
+        from pyspark.sql import Window
+
+        emb = table(spark, sf_dir, "embeddings")
+        cents = _ivf_centroids(spark, sf_dir)
+        sim_to_cent = cosine(as_double(F.col("embedding")), F.col("cv"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cent_sim"), F.asc("cent_id")
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "cent_id",
+                sim_to_cent.alias("cent_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cent_id")
+            .persist()
+        )
+        _IVF_CACHE[key] = assigned
+    return _IVF_CACHE[key]
+
+
 _ASSIGN_SQL = f"""
         cents AS (
             SELECT vec_id AS cent_id, {as_double_sql('embedding')} AS cv
@@ -342,28 +399,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid buckets (centroids = the first K vectors — deterministic, so
     the oracle replays the identical index); the query probes only its own
     bucket. At 100 TB: centroids broadcast, assignment is one codegen'd
-    pass, and the probe scans ~N/K vectors instead of N (nprobe=1 here;
-    recall/latency trades by raising it)."""
+    pass PERSISTED per session (`_ivf_assignment`) — the index is built
+    once and every subsequent ANN query reads it, exactly how a serving
+    pipeline amortizes index construction — and the probe scans ~N/K
+    vectors instead of N (nprobe=1 here; recall/latency trades by
+    raising it)."""
     emb = table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        as_double(F.col("embedding")).alias("cv"),
-    )
-    from pyspark.sql import Window
-
-    sim_to_cent = cosine(as_double(F.col("embedding")), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.asc("cent_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "embedding", "cent_id", sim_to_cent.alias("cent_sim")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assigned = _ivf_assignment(spark, sf_dir)
     qbucket = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("cent_id").alias("q_cent")
     )
@@ -582,24 +624,17 @@ def ann_ivf_topk(
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        as_double(F.col("embedding")).alias("cv"),
+    cents = _ivf_centroids(spark, sf_dir)
+    assigned = _ivf_assignment(spark, sf_dir)
+    q0 = emb.filter(F.col("vec_id") == query_vec_id).select(
+        as_double(F.col("embedding")).alias("qv")
     )
-    sim_to_cent = cosine(as_double(F.col("embedding")), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), F.asc("cent_id"))
-    ranked = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", sim_to_cent.alias("cent_sim"))
-        .withColumn("rn", F.row_number().over(w))
-    )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "embedding", "cent_id"
-    )
+    qw = Window.orderBy(F.desc("q_sim"), F.asc("cent_id"))
     probe_buckets = (
-        ranked.filter(
-            (F.col("vec_id") == query_vec_id) & (F.col("rn") <= nprobe)
-        )
+        cents.crossJoin(F.broadcast(q0))
+        .select("cent_id", cosine(F.col("cv"), F.col("qv")).alias("q_sim"))
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= nprobe)
         .select(F.col("cent_id").alias("q_cent"))
     )
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
@@ -814,25 +849,10 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no all-pairs anywhere. Recall-vs-nprobe is curve-tested in
     tests/test_ann_recall.py."""
     emb = table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        as_double(F.col("embedding")).alias("cv"),
-    )
+    cents = _ivf_centroids(spark, sf_dir)
+    assigned = _ivf_assignment(spark, sf_dir)
     from pyspark.sql import Window
 
-    sim_to_cent = cosine(as_double(F.col("embedding")), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cent_sim"), F.asc("cent_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "embedding", "cent_id", sim_to_cent.alias("cent_sim")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         as_double(F.col("embedding")).alias("qv")
     )

@@ -448,3 +448,98 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(HEAVY_HITTER_K)
     )
+
+
+def _training_corpus_oracle() -> str:
+    from ..functions.text import shingles_sql
+    from .dedup import _keep_best_oracle
+    from .text import PACK_BUDGET, REPETITION_MAX
+
+    return f"""
+        WITH kb AS ({_keep_best_oracle()}),
+        rep AS (
+            SELECT doc_id,
+                   CASE WHEN len(sh) > 0
+                             AND 1.0 - len(list_distinct(sh)) * 1.0 / len(sh)
+                                 > {REPETITION_MAX}
+                        THEN 1 ELSE 0 END AS is_repetitive
+            FROM (SELECT doc_id,
+                         {shingles_sql("string_split(text, ' ')")} AS sh
+                  FROM documents)
+        ),
+        enriched AS (
+            SELECT d.doc_id, d.lang,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   r.is_repetitive,
+                   COALESCE(k.cluster_id, d.doc_id) AS cluster_id,
+                   COALESCE(k.is_best, 1) AS is_best
+            FROM documents d
+            JOIN rep r USING (doc_id)
+            LEFT JOIN kb k ON k.doc_id = d.doc_id
+        )
+        SELECT {_doc_split_sql('cluster_id')} AS split, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(CEIL(SUM(n_tokens) / {PACK_BUDGET}.0) AS BIGINT)
+                   AS n_packs
+        FROM enriched
+        WHERE is_repetitive = 0 AND is_best = 1
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "q_pipeline_training_corpus",
+    tags=("pipeline", "dedup", "sampling", "llm-pipeline"),
+    oracle=_training_corpus_oracle(),
+)
+def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 CORPUS-PREP flagship, composing the engine's
+    training-pipeline operators into the DAG a pre-training data job
+    actually runs: (1) intra-document repetition gate (C4-style), (2)
+    near-dup clustering with quality-aware keeper selection (only the
+    best copy of each cluster survives), (3) leakage-free
+    cluster-granular train/test split, (4) per-(split, lang) corpus
+    accounting including how many PACK_BUDGET-token context windows the
+    surviving corpus fills. Every stage is a previously-oracle-checked
+    operator; the composition adds only doc_id joins (the cluster/keeper
+    table is pair-participant-sized — broadcast) and one final
+    aggregation, so the whole prep costs one pass over the corpus plus
+    the dedup tier it already shares with every other dedup query."""
+    from .dedup import q_dedup_keep_best
+    from .text import PACK_BUDGET, q_text_repetition
+
+    docs = table(spark, sf_dir, "documents")
+    rep = q_text_repetition(spark, sf_dir).select("doc_id", "is_repetitive")
+    kb = q_dedup_keep_best(spark, sf_dir).select(
+        "doc_id", "cluster_id", "is_best"
+    )
+    enriched = (
+        docs.join(rep, "doc_id")
+        .join(F.broadcast(kb), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "is_repetitive",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("is_best"), F.lit(1)).alias("is_best"),
+        )
+    )
+    kept = enriched.filter(
+        (F.col("is_repetitive") == 0) & (F.col("is_best") == 1)
+    )
+    return (
+        kept.groupBy(
+            _doc_split(F.col("cluster_id")).alias("split"), F.col("lang")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(float(PACK_BUDGET)))
+            .cast("long")
+            .alias("n_packs"),
+        )
+    )

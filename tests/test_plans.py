@@ -154,3 +154,11 @@ def test_pii_redact_no_shuffle(spark, sf_dir):
     all."""
     plan = _plan(spark, sf_dir, "q_text_pii_redact")
     assert "Exchange" not in plan
+
+
+def test_training_corpus_pipeline_broadcasts_doc_joins(spark, sf_dir):
+    """The corpus-prep composite joins cluster/keeper tables by broadcast
+    — the fact-table scan is never shuffled for the enrichment joins."""
+    plan = _plan(spark, sf_dir, "q_pipeline_training_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -996,3 +996,74 @@ def q_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(exact, 6).alias("exact_jaccard"),
     )
+
+
+def _tier_recall_oracle() -> str:
+    minhash = _minhash_oracle()
+    return f"""
+        WITH exact_pairs AS (
+            WITH {_HS_CTE},
+            inter AS (
+                SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+                       COUNT(*) AS c
+                FROM sh x JOIN sh y
+                  ON x.h = y.h AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN ne sa ON inter.doc_id_a = sa.doc_id
+            JOIN ne sb ON inter.doc_id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        ),
+        approx_pairs AS (
+            SELECT doc_id_a, doc_id_b FROM ({minhash})
+        )
+        SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT)
+                   AS n_exact,
+               CAST((SELECT COUNT(*) FROM approx_pairs) AS BIGINT)
+                   AS n_minhash,
+               CAST((SELECT COUNT(*) FROM exact_pairs e
+                     JOIN approx_pairs a
+                       ON e.doc_id_a = a.doc_id_a
+                      AND e.doc_id_b = a.doc_id_b) AS BIGINT) AS n_common,
+               ROUND((SELECT COUNT(*) FROM exact_pairs e
+                      JOIN approx_pairs a
+                        ON e.doc_id_a = a.doc_id_a
+                       AND e.doc_id_b = a.doc_id_b) * 1.0
+                     / GREATEST((SELECT COUNT(*) FROM exact_pairs), 1), 6)
+                   AS recall
+    """
+
+
+@register(
+    "q_dedup_tier_recall",
+    tags=("dedup", "diagnostics"),
+    oracle=_tier_recall_oracle(),
+)
+def q_dedup_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-recall AUDIT: how many true near-dup pairs (the exact
+    inverted-index tier) the banded MinHash tier recovers — the number
+    you check before trusting the approximate tier alone at 100 TB (16
+    hashes × 4×4 bands gives band-collision probability 1-(1-j^4)^4,
+    ≈0.986 at j=0.8; this query measures the realized recall on the
+    actual corpus). Both pair lists come from the shared cached tier, so
+    the audit costs two already-computed frames and a pair-key join."""
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    approx = q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    common = exact.join(approx, ["doc_id_a", "doc_id_b"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(approx.agg(F.count("*").alias("n_minhash")))
+        .crossJoin(common.agg(F.count("*").alias("n_common")))
+        .select(
+            "n_exact",
+            "n_minhash",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )

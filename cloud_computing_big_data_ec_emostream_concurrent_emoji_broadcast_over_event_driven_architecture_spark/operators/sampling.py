@@ -543,3 +543,71 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_packs"),
         )
     )
+
+
+QUALITY_DECILES = 10
+PER_DECILE = 25
+
+
+def _quality_stratified_oracle() -> str:
+    from ..functions.text import stopword_ratio_sql
+
+    quality = f"""
+        SELECT doc_id,
+               ROUND(0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+                     + 0.3 * (1.0 - LEAST(len(regexp_extract_all(text,
+                               '[^a-zA-Z0-9 ]')) * 1.0 / n_chars, 1.0))
+                     + 0.3 * LEAST({stopword_ratio_sql("string_split(text, ' ')")}
+                                   * 10.0, 1.0), 6) AS quality
+        FROM documents
+    """
+    doc_hash = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH q AS ({quality}),
+        binned AS (
+            SELECT doc_id, quality,
+                   CAST(LEAST(FLOOR(quality * {QUALITY_DECILES}),
+                              {QUALITY_DECILES - 1}) AS BIGINT) AS decile
+            FROM q
+        ),
+        ranked AS (
+            SELECT doc_id, quality, decile,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY decile ORDER BY {doc_hash}, doc_id
+                   ) AS rn
+            FROM binned
+        )
+        SELECT decile, doc_id, quality
+        FROM ranked WHERE rn <= {PER_DECILE}
+    """
+
+
+@register(
+    "q_quality_stratified_sample",
+    tags=("sampling", "llm-pipeline", "window"),
+    oracle=_quality_stratified_oracle(),
+)
+def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-STRATIFIED sampling: up to {PER_DECILE} documents from
+    each quality decile, hash-ranked for reproducibility — the eval-set
+    construction that keeps low- and high-quality strata represented
+    instead of letting a uniform sample follow the corpus skew (also the
+    shape of curriculum/mixture sampling: swap deciles for any scoring
+    column). Composes the quality heuristic with the same hash-rank
+    window as q_stratified_sample; strata are deciles so per-stratum
+    output is bounded and skew-free by construction."""
+    from .text import q_text_quality
+
+    quality = q_text_quality(spark, sf_dir)
+    decile = F.least(
+        F.floor(F.col("quality") * QUALITY_DECILES),
+        F.lit(QUALITY_DECILES - 1),
+    ).cast("long")
+    h = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("decile").orderBy(h, F.col("doc_id"))
+    return (
+        quality.withColumn("decile", decile)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PER_DECILE)
+        .select("decile", "doc_id", "quality")
+    )

@@ -113,8 +113,13 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         par = spark.sparkContext.defaultParallelism
         if len(docs.inputFiles()) < par:
             docs = docs.repartition(par)
-        hs = F.array_distinct(
-            F.transform(shingles(tokens(F.col("text"))), md5_long)
+        # sorted at build: set semantics are order-insensitive everywhere
+        # (intersect/min/explode), and the prefix tier's per-query
+        # array_sort becomes a free slice of the cached form
+        hs = F.array_sort(
+            F.array_distinct(
+                F.transform(shingles(tokens(F.col("text"))), md5_long)
+            )
         )
         # Two-level cache: `base` materializes the shingle+md5 expression
         # exactly once and acts as a projection-collapse barrier — without
@@ -629,7 +634,7 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = hdf.select(
         "doc_id",
         "n",
-        F.slice(F.array_sort("hs"), 1, prefix_len).alias("prefix"),
+        F.slice("hs", 1, prefix_len).alias("prefix"),
     )
     pf = (
         ordered.select(
@@ -834,7 +839,7 @@ def prefix_index(
     ).cast("int")
     if order == "hash":
         ordered = hdf.select(
-            "doc_id", F.slice(F.array_sort("hs"), 1, prefix_len).alias("prefix")
+            "doc_id", F.slice("hs", 1, prefix_len).alias("prefix")
         )
     elif order == "rarest":
         ex = hdf.select("doc_id", F.explode("hs").alias("h"))

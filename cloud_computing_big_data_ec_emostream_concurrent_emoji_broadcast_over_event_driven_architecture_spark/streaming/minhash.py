@@ -32,10 +32,13 @@ from ..functions.text import shingles, tokens
 
 
 def hashed_shingle_set(text_col: str = "text") -> F.Column:
-    """array<long> of distinct 44-bit md5 shingle hashes — the per-row
-    core shared by every dedup tier."""
-    return F.array_distinct(
-        F.transform(shingles(tokens(F.col(text_col))), md5_long)
+    """Sorted array<long> of distinct 44-bit md5 shingle hashes — the
+    per-row core shared by every dedup tier (sorted to match the batch
+    cache's canonical form)."""
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(shingles(tokens(F.col(text_col))), md5_long)
+        )
     )
 
 

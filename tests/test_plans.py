@@ -162,3 +162,21 @@ def test_training_corpus_pipeline_broadcasts_doc_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_pipeline_training_corpus")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_weighted_sample",
+        "q_stratified_sample",
+        "q_topk_per_minute",
+        "q_quality_stratified_sample",
+    ],
+)
+def test_rank_filters_get_window_group_limit(spark, sf_dir, name):
+    """Every rank-filtered top-k gets Spark's WindowGroupLimit pushdown:
+    the per-partition sort keeps only the top K rows instead of sorting
+    the whole partition — the property that makes window-based sampling
+    viable on skewed 100 TB strata."""
+    plan = _plan(spark, sf_dir, name)
+    assert "WindowGroupLimit" in plan

@@ -180,3 +180,42 @@ def test_rank_filters_get_window_group_limit(spark, sf_dir, name):
     viable on skewed 100 TB strata."""
     plan = _plan(spark, sf_dir, name)
     assert "WindowGroupLimit" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """With broadcast off (the 100 TB shape where the dim outgrows the
+    broadcast ceiling), Spark injects a runtime bloom filter built from
+    the filtered dim side into the fact scan — rows that can't join are
+    dropped before the shuffle. Pinned here so the engine's config
+    surface keeps the optimization reachable."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -96,3 +96,28 @@ def events_partitioned_by_day(
     )
     write_partitioned(ev, path, ("event_date",))
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 8,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a DataFrame as a bucketed (and sorted-within-bucket) table.
+
+    Bucketing is the pre-partitioning lever for REPEATED joins and
+    aggregations on the same key at 100 TB: both sides laid out with the
+    same bucket count and key join with NO exchange (and no sort, when
+    sorted), so the shuffle is paid once at write time instead of on
+    every query. Spark buckets only via the table catalog
+    (``saveAsTable``) — plain ``parquet(path)`` writes ignore bucket
+    specs (tests/test_bucketing.py pins the no-Exchange plan)."""
+    writer = (
+        df.write.bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .mode(mode)
+    )
+    writer.saveAsTable(table_name)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
     table,
+    write_bucketed,
 )
 
 
@@ -21,18 +22,8 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     tag = uuid.uuid4().hex[:8]
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
-    (
-        orders.write.bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .mode("overwrite")
-        .saveAsTable(f"orders_b_{tag}")
-    )
-    (
-        customer.write.bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .mode("overwrite")
-        .saveAsTable(f"customer_b_{tag}")
-    )
+    write_bucketed(orders, f"orders_b_{tag}", ("o_custkey",))
+    write_bucketed(customer, f"customer_b_{tag}", ("c_custkey",))
     ob = spark.table(f"orders_b_{tag}")
     cb = spark.table(f"customer_b_{tag}")
     # disable auto-broadcast so the join strategy question is real

@@ -219,3 +219,26 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q5_all_dims_broadcast_no_smj(spark, sf_dir):
+    """Q5's 5-way star join broadcasts every dim — the fact table is
+    never sort-merge-shuffled for a join."""
+    plan = _plan(spark, sf_dir, "q_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_or_predicates_push_to_scan(spark, sf_dir):
+    """Q19's OR-of-ANDs quantity bands reach the lineitem scan as data
+    filters — the scan prunes before the join instead of shipping every
+    row."""
+    plan = _plan(spark, sf_dir, "q_tpch_q19")
+    scan_lines = [
+        line for line in plan.splitlines()
+        if "FileScan" in line and "l_quantity" in line
+    ]
+    assert any(
+        "DataFilters" in line and "l_quantity" in line.split("DataFilters", 1)[1]
+        for line in scan_lines
+    ), "quantity bands not pushed to the lineitem scan"

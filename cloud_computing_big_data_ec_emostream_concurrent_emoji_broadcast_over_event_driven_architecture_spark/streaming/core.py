@@ -260,3 +260,40 @@ def with_wire_metrics(decoded: DataFrame, name: str = "wire_metrics") -> DataFra
             "n_ts_failures"
         ),
     )
+
+
+def decayed_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_dur: str = "1 minute",
+    watermark: str = DEFAULT_WATERMARK,
+    tau_sec: float = 3600.0,
+) -> DataFrame:
+    """Streaming twin of the batch q_decayed_counts: per (key, tumbling
+    window) event count plus the exponentially decayed mass anchored at
+    the WINDOW CLOSE (each event contributes exp(-(window_end - ts)/τ)).
+    The decay weight is a pure per-row expression — the anchor is the
+    row's own window end, not a global max — so it rides the ordinary
+    windowed aggregation with watermark-bounded state; downstream
+    consumers combine window scores with a constant inter-window decay
+    factor exp(-Δ/τ) to maintain a running recency score incrementally.
+    Works unchanged on a batch frame (tests pin stream == batch)."""
+    events = _event_time(events, ts_col)
+    window_end = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / 60) + 1) * 60
+    )
+    weight = F.exp(
+        -(
+            F.unix_timestamp(window_end) - F.unix_timestamp(F.col(ts_col))
+        )
+        / F.lit(tau_sec)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window_dur))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(weight), 6).alias("decayed"),
+        )
+    )

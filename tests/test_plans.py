@@ -242,3 +242,23 @@ def test_q19_or_predicates_push_to_scan(spark, sf_dir):
         "DataFilters" in line and "l_quantity" in line.split("DataFilters", 1)[1]
         for line in scan_lines
     ), "quantity bands not pushed to the lineitem scan"
+
+
+def test_aqe_coalesces_small_shuffle(spark, sf_dir):
+    """AQE folds the configured 8/32 shuffle partitions down to the few
+    the data actually needs — the final adaptive plan has an
+    AQEShuffleRead with coalesced partitions after execution."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # adaptive plan finalizes on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan, plan[:2000]
+    assert "coalesced" in plan, plan[:2000]

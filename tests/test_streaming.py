@@ -872,3 +872,26 @@ def test_stream_scoring_against_batch_moments(spark, events_df, replay_dir):
     assert spark.sql(f"SELECT COUNT(*) n FROM {name}").first()["n"] == (
         events_df.count()
     )
+
+
+def test_decayed_window_counts_stream_equals_batch(spark, events_df, replay_dir):
+    """The streaming decayed-mass aggregation converges to the batch
+    computation of the same expression."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        decayed_window_counts,
+    )
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"decay_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(decayed_window_counts(stream), name, "complete")
+    got = {
+        (r["event_type"], r["window"]["start"]): (r["cnt"], r["decayed"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["event_type"], r["window"]["start"]): (r["cnt"], r["decayed"])
+        for r in decayed_window_counts(events_df).collect()
+    }
+    assert got == expected
+    assert len(got) > 0

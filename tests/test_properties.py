@@ -288,3 +288,26 @@ def test_quantize_bounds_and_error(spark, sf_dir):
     # embeddings are roughly unit-scale, so mse must be far below 1e-3
     assert out.agg(F.max("mse")).first()[0] < 1e-3
     out.unpersist()
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The documented 100 TB swap (percentile -> approx_percentile
+    sketch) stays within 1% relative error of the exact quantiles on the
+    fixture distribution — the evidence behind the docstring claim."""
+    from pyspark.sql import functions as F
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
+            "exact"
+        ),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("approx"),
+    ).first()
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) / e < 0.01, (e, a)

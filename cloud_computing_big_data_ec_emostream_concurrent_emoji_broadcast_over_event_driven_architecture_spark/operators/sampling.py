@@ -611,3 +611,103 @@ def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PER_DECILE)
         .select("decile", "doc_id", "quality")
     )
+
+
+_PROFILE_COLS = (
+    ("event_id", "numeric"),
+    ("ts", "timestamp"),
+    ("user_id", "numeric"),
+    ("event_type", "string"),
+    ("value", "numeric"),
+    ("props", "string"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "numeric":
+            mn = f"ROUND(MIN({c}) * 1.0, 6)"
+            mx = f"ROUND(MAX({c}) * 1.0, 6)"
+            mean = f"ROUND(AVG({c}), 6)"
+        elif kind == "timestamp":
+            mn = f"ROUND(epoch(MIN({c})), 6)"
+            mx = f"ROUND(epoch(MAX({c})), 6)"
+            mean = "CAST(NULL AS DOUBLE)"
+        else:
+            mn = mx = mean = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+            SELECT '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST({mn} AS DOUBLE) AS min_value,
+                   CAST({mx} AS DOUBLE) AS max_value,
+                   CAST({mean} AS DOUBLE) AS mean_value
+            FROM events""")
+    return "\n            UNION ALL\n".join(parts)
+
+
+@register(
+    "q_profile_events",
+    tags=("stats", "profiling", "scale"),
+    oracle=_profile_oracle(),
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE PROFILING: per-column null counts, distinct cardinality and
+    numeric/timestamp ranges for the events table — the data-quality
+    report a pipeline publishes with every snapshot. The Spark plan
+    computes EVERY column's statistics in ONE aggregation pass (a single
+    scan; count-distincts expand to one Expand node, not per-column
+    jobs) and melts the 1-row result into the canonical
+    row-per-column shape JVM-side — unlike the naive per-column UNION
+    the oracle spells out, which scans the table once per column."""
+    ev = table(spark, sf_dir, "events")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(F.lit(1)).alias(f"{c}__n"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        if kind == "numeric":
+            aggs.append(
+                F.round(F.min(c).cast("double"), 6).alias(f"{c}__min")
+            )
+            aggs.append(
+                F.round(F.max(c).cast("double"), 6).alias(f"{c}__max")
+            )
+            aggs.append(F.round(F.avg(c), 6).alias(f"{c}__mean"))
+        elif kind == "timestamp":
+            aggs.append(
+                F.round(
+                    F.unix_micros(F.min(c).cast("timestamp")) / 1e6, 6
+                ).alias(f"{c}__min")
+            )
+            aggs.append(
+                F.round(
+                    F.unix_micros(F.max(c).cast("timestamp")) / 1e6, 6
+                ).alias(f"{c}__max")
+            )
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+        else:
+            for stat in ("min", "max", "mean"):
+                aggs.append(
+                    F.lit(None).cast("double").alias(f"{c}__{stat}")
+                )
+    one = ev.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__mean").alias("mean_value"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

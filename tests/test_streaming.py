@@ -895,3 +895,33 @@ def test_decayed_window_counts_stream_equals_batch(spark, events_df, replay_dir)
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_topk_sink_matches_batch_topk(spark, events_df, replay_dir):
+    """The foreachBatch top-k view over the streaming windowed counts
+    converges to the batch top-k per window."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.sinks import (
+        start_topk_sink,
+    )
+    from pyspark.sql import Window as W
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    q = start_topk_sink(windowed_counts_scaled(stream), name, k=2)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_type"], r["window"]["start"], r["rank"])
+        for r in spark.sql(f"SELECT * FROM global_temp.{name}").collect()
+    }
+    batch = windowed_counts_scaled(events_df)
+    w = W.partitionBy("window").orderBy(F.desc("cnt"), F.asc("event_type"))
+    expected = {
+        (r["event_type"], r["window"]["start"], r["rank"])
+        for r in batch.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0

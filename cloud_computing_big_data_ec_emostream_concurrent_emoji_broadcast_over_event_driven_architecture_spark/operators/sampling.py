@@ -658,10 +658,14 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric/timestamp ranges for the events table — the data-quality
     report a pipeline publishes with every snapshot. The Spark plan
     computes EVERY column's statistics in ONE aggregation pass (a single
-    scan; count-distincts expand to one Expand node, not per-column
-    jobs) and melts the 1-row result into the canonical
+    scan; the N exact count-distincts share one Expand node — an N+1×
+    row multiplication before the partial aggregate, the price of
+    exactness) and melts the 1-row result into the canonical
     row-per-column shape JVM-side — unlike the naive per-column UNION
-    the oracle spells out, which scans the table once per column."""
+    the oracle spells out, which scans the table once per column. At
+    100 TB the drop-in is ``approx_count_distinct`` per column: no
+    Expand at all, one sketch per column in a plain single-pass
+    aggregate."""
     ev = table(spark, sf_dir, "events")
     aggs = []
     for c, kind in _PROFILE_COLS:

@@ -772,3 +772,92 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("vminute").isNull(), 1).otherwise(0).alias("is_gap"),
         )
     )
+
+
+FUNNEL_WINDOW_SEC = 1800  # view -> purchase attribution window
+
+
+@register(
+    "q_funnel_conversion",
+    tags=("timeseries", "funnel", "join", "scale"),
+    oracle=f"""
+        WITH v AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, ts AS pts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        flags AS (
+            SELECT v.event_id, v.ts,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM p
+                       WHERE p.user_id = v.user_id
+                         AND p.pts > v.ts
+                         AND epoch(p.pts) - epoch(v.ts)
+                             <= {FUNNEL_WINDOW_SEC}
+                   ) THEN 1 ELSE 0 END AS converted
+            FROM v
+        )
+        SELECT CAST(hour(ts) AS INT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_views,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion_rate
+        FROM flags
+        GROUP BY 1
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNNEL conversion: for every 'view', did the same user 'purchase'
+    within 30 minutes — aggregated to an hour-of-day conversion curve
+    (the product-analytics staple). The correlated EXISTS becomes a
+    BUCKETIZED range semi-join: both sides key on (user, 30-minute
+    bucket), views probe their own and the next bucket, and the time
+    predicate filters inside the join — an equi-join shuffle keyed on
+    (user, bucket), never a per-row subquery or an unbounded
+    time-range nested loop; per-view flags then collapse with a groupBy
+    on the view key. Same plan family as q_join_range / the as-of join
+    — the engine's one answer to every 'nearby in time' correlation."""
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(FUNNEL_WINDOW_SEC)).cast("long")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        bucket.alias("bucket"),
+    )
+    hit = (
+        views.join(purchases, ["user_id", "bucket"])
+        .filter(
+            (F.col("pts") > F.col("vts"))
+            & (
+                F.unix_timestamp("pts") - F.unix_timestamp("vts")
+                <= FUNNEL_WINDOW_SEC
+            )
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    flags = (
+        ev.filter(F.col("event_type") == "view")
+        .select("event_id", "ts")
+        .join(hit, "event_id", "left")
+        .select(
+            F.hour("ts").cast("int").alias("hour"),
+            F.coalesce(F.col("converted"), F.lit(0)).alias("converted"),
+        )
+    )
+    return flags.groupBy("hour").agg(
+        F.count("*").alias("n_views"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") / F.count("*"), 6).alias(
+            "conversion_rate"
+        ),
+    )

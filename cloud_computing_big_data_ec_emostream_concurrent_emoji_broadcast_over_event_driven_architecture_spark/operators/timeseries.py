@@ -861,3 +861,48 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@register(
+    "q_cohort_retention",
+    tags=("timeseries", "cohort", "agg"),
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS INT)
+                   AS day_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT retention: users bucketed by first-seen day, activity
+    counted per (cohort, day-offset) — the retention triangle every
+    product dashboard draws. Two aggregations (first-seen per user,
+    distinct active days per user) plus one join KEYED ON user_id — the
+    firsts table is user-cardinality, so at 100 TB this is a
+    co-partitioned shuffle join on the same key both aggregations
+    already hashed by; Catalyst reuses the partitioning instead of
+    re-shuffling. No window functions, no per-day scans."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -80,6 +80,7 @@ def _load_all() -> None:
         text,
         timeseries,
         tpch,
+        tpch_partsupp,
     )
 
 

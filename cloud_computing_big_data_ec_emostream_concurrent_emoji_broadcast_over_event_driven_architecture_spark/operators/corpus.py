@@ -1,0 +1,608 @@
+"""Round-3 training-corpus operators: passage-level dedup (the CCNet
+line-dedup shape), corpus-LM quality scoring, Bloom-filter cross-corpus
+membership, deterministic distinct/frequency sketches (KMV, count-min),
+the two-phase distributed global shuffle, and weighted dataset mixing.
+
+These extend the LLM-pipeline surface beyond the round-1/2 dedup and
+sampling tiers (the reference itself — an emoji streaming app — has no
+counterpart; this family is the engine's own scale brief).  Everything is
+built on the cross-engine ``md5`` hash primitives from
+``functions/hashing.py`` so every query is hash-checkable against the
+DuckDB oracle, and every plan is shuffle-bounded: no all-pairs joins, no
+driver collects, no row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.text import shingles, shingles_sql, tokens
+from ..plans.registry import register
+
+# ---------------------------------------------------------------------------
+# shared constants (templated into BOTH engines)
+
+PASSAGE_TOKENS = 10  # CCNet-style dedup unit (the fixture text has no \n)
+BLOOM_M = 1 << 20  # bloom filter bit-space
+BLOOM_K = 4  # hash functions
+KMV_K = 64  # k-minimum-values sketch size
+HASH_SPACE = 1 << 44  # md5_long range (44 bits)
+CM_WIDTH = 16  # count-min width — deliberately tiny at test scale so the
+CM_DEPTH = 4  # collision path is exercised; production widths are >= 2^20
+SHUFFLE_BUCKETS = 256  # two-phase global sort: range buckets (h >> 36)
+SHUFFLE_SPAN = HASH_SPACE // SHUFFLE_BUCKETS
+SHARD_SIZE = 64  # docs per training shard
+MIX_EPOCH = 100  # docs per mixed epoch
+
+_FILTERED_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _toks() -> F.Column:
+    """Non-empty whitespace tokens (Spark twin of ``_FILTERED_TOKS``)."""
+    return F.filter(tokens(F.col("text")), lambda w: w != "")
+
+
+# ---------------------------------------------------------------------------
+# 1. passage-level dedup (CCNet line dedup, re-expressed)
+
+
+@register(
+    "q_corpus_passage_dedup",
+    tags=("dedup", "text", "llm-pipeline", "scale"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_FILTERED_TOKS} AS toks FROM documents
+        ), pass AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(toks, i*{PASSAGE_TOKENS}+1,
+                                  i*{PASSAGE_TOKENS}+{PASSAGE_TOKENS}),
+                       ' ')) AS ph
+            FROM base CROSS JOIN
+                 UNNEST(range(CAST(ceil(len(toks)/{PASSAGE_TOKENS}.0)
+                                   AS BIGINT))) AS u(i)
+        ), cnt AS (
+            SELECT ph, COUNT(*) AS occ FROM pass GROUP BY 1
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_passages,
+               ROUND(SUM(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS dup_ratio
+        FROM pass p JOIN cnt c USING (ph)
+        GROUP BY 1
+    """,
+)
+def q_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level dedup stats — the CCNet/RefinedWeb *line* dedup
+    reshaped for the fixture's newline-free text: each doc is cut into
+    consecutive {PASSAGE_TOKENS}-token passages, passages are md5-keyed,
+    and a passage is duplicated if its key occurs >= 2 times corpus-wide
+    (within- or cross-document — planted near-dup docs share aligned
+    spans, which is exactly what this catches).
+
+    Plan: the passage list is built NARROW (transform over a sequence —
+    no explode until the passage hash is a scalar), then one shuffle on
+    the 32-hex passage key for the occurrence count and one shuffle back
+    on doc_id for the per-doc rollup.  At 100 TB that is the canonical
+    2-shuffle dedup-stats shape; the passage-key shuffle carries ~N/10
+    fixed-width rows (never the text), and hot keys (boilerplate
+    passages) are bounded because the count aggregate partial-combines
+    map-side before the exchange."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    P = PASSAGE_TOKENS
+    d = docs.select("doc_id", _toks().alias("toks"))
+    npass = F.ceil(F.size("toks") / F.lit(float(P))).cast("long")
+    passages = F.transform(
+        F.sequence(F.lit(0).cast("long"), npass - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), i * P + 1, P))
+        ),
+    )
+    p = d.select("doc_id", F.explode(passages).alias("ph"))
+    cnt = p.groupBy("ph").agg(F.count("*").alias("occ"))
+    dup = F.when(F.col("occ") >= 2, 1).otherwise(0)
+    return (
+        p.join(cnt, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(dup).alias("n_dup_passages"),
+            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. corpus-LM quality scoring
+
+
+@register(
+    "q_corpus_unigram_logprob",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                FROM documents
+            ) WHERE word <> ''
+        ), v AS (
+            SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1
+        ), t AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v
+        )
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(ln(v.cnt * 1.0 / t.total)), 6) AS avg_logprob
+        FROM w JOIN v USING (word) CROSS JOIN t
+        GROUP BY 1
+    """,
+)
+def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM document scoring — the cheap perplexity proxy
+    every pretraining pipeline runs before the expensive model-based
+    filter: fit a unigram LM on the corpus itself (word -> count/total),
+    then score each document by its mean token log-probability.
+    Out-of-distribution / gibberish docs score low.
+
+    Plan: one word-count aggregation (map-side partial combine collapses
+    each task to vocabulary size), then the vocab is BROADCAST back onto
+    the exploded token stream — a shuffle join keyed on the word would
+    put every occurrence of 'the' in one task (Zipf skew), while the
+    broadcast costs only |vocab| (natural-language vocabularies are
+    ~1e7 entries ≈ 100 MB — within executor budget at 100 TB; beyond
+    that, AQE skew-join on the frequency-split tail).  The scalar total
+    rides the same broadcast as a 1-row cross join."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = F.log(F.col("cnt") / F.col("total"))
+    return (
+        w.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Bloom-filter cross-corpus membership
+
+
+def _bloom_pos(col: F.Column, k: int) -> F.Column:
+    return md5_long(F.concat(F.lit(f"bloom{k}:"), col)) % F.lit(BLOOM_M)
+
+
+def _bloom_pos_sql(expr: str, k: int) -> str:
+    salted = f"'bloom{k}:' || {expr}"
+    return f"{md5_long_sql(salted)} % {BLOOM_M}"
+
+
+@register(
+    "q_dedup_bloom_shingles",
+    tags=("dedup", "bloom", "llm-pipeline", "scale"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_FILTERED_TOKS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, UNNEST({shingles_sql('toks')}) AS s FROM base
+        ), seen_bits AS (
+            SELECT DISTINCT {_bloom_pos_sql('s', 0)} AS pos
+            FROM sh WHERE doc_id % 2 = 0
+            UNION
+            SELECT DISTINCT {_bloom_pos_sql('s', 1)} FROM sh WHERE doc_id % 2 = 0
+            UNION
+            SELECT DISTINCT {_bloom_pos_sql('s', 2)} FROM sh WHERE doc_id % 2 = 0
+            UNION
+            SELECT DISTINCT {_bloom_pos_sql('s', 3)} FROM sh WHERE doc_id % 2 = 0
+        ), probe AS (
+            SELECT doc_id, s, COUNT(*) AS hits FROM (
+                SELECT sh.doc_id, sh.s,
+                       CASE u.k WHEN 0 THEN {_bloom_pos_sql('s', 0)}
+                                WHEN 1 THEN {_bloom_pos_sql('s', 1)}
+                                WHEN 2 THEN {_bloom_pos_sql('s', 2)}
+                                ELSE {_bloom_pos_sql('s', 3)} END AS pos
+                FROM sh CROSS JOIN UNNEST([0,1,2,3]) AS u(k)
+                WHERE doc_id % 2 = 1
+            ) p JOIN seen_bits USING (pos)
+            GROUP BY 1, 2
+        )
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN p.hits = {BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seen,
+               ROUND(SUM(CASE WHEN p.hits = {BLOOM_K} THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS seen_ratio
+        FROM sh LEFT JOIN probe p
+            ON sh.doc_id = p.doc_id AND sh.s = p.s
+        WHERE sh.doc_id % 2 = 1
+        GROUP BY 1
+    """,
+)
+def q_dedup_bloom_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER cross-corpus membership — the constant-memory way to
+    ask "how much of this incoming document has the reference corpus
+    already seen?" (incremental-crawl dedup / benchmark-contamination
+    screening).  The reference corpus (even doc_ids) inserts each
+    3-shingle at {BLOOM_K} hashed bit positions in a {BLOOM_M}-bit
+    space; a probe shingle (odd doc_ids) counts as SEEN iff all
+    {BLOOM_K} positions are set.  Planted near-dup docs surface with
+    seen_ratio near 1; false positives are (set_bits/m)^k ≈ 1e-6 here.
+
+    Plan: the filter is represented relationally as the DISTINCT set of
+    set bit positions — bounded by m = {BLOOM_M} rows (8 MB as int64)
+    REGARDLESS of corpus size, so it is always broadcastable: the probe
+    side explodes to (shingle, k) and hash-joins the broadcast bit set
+    with zero shuffle of the probe stream.  On a real cluster the bit
+    set compacts further into a bitmap via bit-OR partial aggregation;
+    the distinct-position relation is the engine-portable equivalent
+    with identical semantics."""
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("toks")
+    )
+    sh = base.select("doc_id", F.explode(shingles(F.col("toks"))).alias("s"))
+    seen = sh.filter(F.col("doc_id") % 2 == 0)
+    probe = sh.filter(F.col("doc_id") % 2 == 1)
+    all_pos = F.array(*[_bloom_pos(F.col("s"), k) for k in range(BLOOM_K)])
+    seen_bits = (
+        seen.select(F.explode(all_pos).alias("pos")).distinct()
+    )
+    probe_pos = probe.select(
+        "doc_id", "s", F.explode(all_pos).alias("pos")
+    )
+    matched = (
+        probe_pos.join(F.broadcast(seen_bits), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("hits"))
+    )
+    hit = F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)
+    return (
+        probe.join(matched, ["doc_id", "s"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(hit).alias("n_seen"),
+            F.round(F.sum(hit) / F.count("*"), 6).alias("seen_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. KMV distinct sketch
+
+
+@register(
+    "q_sketch_kmv_distinct",
+    tags=("sketch", "agg", "scale"),
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT
+                {md5_long_sql("'kmv:' || CAST(user_id AS VARCHAR)")} AS hv
+            FROM events
+        ), k AS (
+            SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}
+        ), kth AS (
+            SELECT MAX(hv) AS hk, COUNT(*) AS kk FROM k
+        ), ex AS (
+            SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events
+        )
+        SELECT CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+               ROUND((kth.kk - 1) * {float(HASH_SPACE)} / kth.hk, 4)
+                   AS kmv_estimate,
+               ROUND(ABS((kth.kk - 1) * {float(HASH_SPACE)} / kth.hk
+                         - ex.exact_distinct) / ex.exact_distinct, 4)
+                   AS rel_err
+        FROM kth CROSS JOIN ex
+    """,
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MINIMUM-VALUES distinct sketch — the deterministic,
+    cross-engine-reproducible cousin of HyperLogLog (the engine's
+    ``approx_count_distinct`` is HLL++ and correct, but its estimate is
+    engine-private, so THIS query is the hash-checkable sketch): hash
+    every key into [0, 2^44), keep the {KMV_K} smallest distinct hash
+    values, estimate distinct = (k-1) * space / kth_min.  Estimate and
+    exact are returned side by side with the realized relative error.
+
+    Plan: the k-smallest pass is a TakeOrdered — each task keeps its
+    local top-{KMV_K}, the driver merges P×{KMV_K} values; nothing else
+    crosses the wire, which is the whole point of the sketch at 100 TB
+    (a mergeable fixed-size summary per partition).  The exact
+    count-distinct alongside costs the usual two-phase shuffle and
+    exists to ground the error column."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        md5_long(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("hv")
+    ).distinct()
+    kmin = h.orderBy("hv").limit(KMV_K)
+    kth = kmin.agg(F.max("hv").alias("hk"), F.count("*").alias("kk"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = (F.col("kk") - 1) * F.lit(float(HASH_SPACE)) / F.col("hk")
+    return (
+        kth.crossJoin(exact)
+        .select(
+            F.col("exact_distinct"),
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. count-min sketch
+
+
+def _cm_pos(col: F.Column, d: int) -> F.Column:
+    return md5_long(F.concat(F.lit(f"cm{d}:"), col)) % F.lit(CM_WIDTH)
+
+
+def _cm_pos_sql(expr: str, d: int) -> str:
+    salted = f"'cm{d}:' || {expr}"
+    return f"{md5_long_sql(salted)} % {CM_WIDTH}"
+
+
+@register(
+    "q_sketch_countmin",
+    tags=("sketch", "agg", "skew", "scale"),
+    oracle=f"""
+        WITH cells AS (
+            SELECT d, pos, COUNT(*) AS c FROM (
+                SELECT u.d,
+                       CASE u.d WHEN 0 THEN {_cm_pos_sql('event_type', 0)}
+                                WHEN 1 THEN {_cm_pos_sql('event_type', 1)}
+                                WHEN 2 THEN {_cm_pos_sql('event_type', 2)}
+                                ELSE {_cm_pos_sql('event_type', 3)} END AS pos
+                FROM events CROSS JOIN UNNEST([0,1,2,3]) AS u(d)
+            ) GROUP BY 1, 2
+        ), types AS (
+            SELECT event_type, COUNT(*) AS exact_cnt FROM events GROUP BY 1
+        ), probes AS (
+            SELECT t.event_type, t.exact_cnt, u.d,
+                   CASE u.d WHEN 0 THEN {_cm_pos_sql('t.event_type', 0)}
+                            WHEN 1 THEN {_cm_pos_sql('t.event_type', 1)}
+                            WHEN 2 THEN {_cm_pos_sql('t.event_type', 2)}
+                            ELSE {_cm_pos_sql('t.event_type', 3)} END AS pos
+            FROM types t CROSS JOIN UNNEST([0,1,2,3]) AS u(d)
+        )
+        SELECT p.event_type,
+               CAST(MAX(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+               ROUND(MIN(c.c) * 1.0 / MAX(p.exact_cnt), 6) AS over_ratio
+        FROM probes p JOIN cells c ON c.d = p.d AND c.pos = p.pos
+        GROUP BY 1
+    """,
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN frequency sketch: a {CM_DEPTH}×{CM_WIDTH} counter grid
+    (width deliberately tiny at test scale so hash collisions — the
+    sketch's defining error mode, always an OVERestimate — actually
+    occur; production widths are >= 2^20).  Each event increments one
+    cell per depth; a key's estimate is the MIN of its {CM_DEPTH} cells,
+    reported against the exact count.
+
+    Plan: building the grid is a single pass — the per-depth position
+    explode multiplies rows ×{CM_DEPTH} but partial aggregation
+    collapses every task to at most {CM_DEPTH}×{CM_WIDTH} cells before
+    the exchange, so the shuffle carries a fixed-size sketch per task no
+    matter the input size (the mergeability that makes CM the standard
+    heavy-hitter primitive on unbounded streams).  The probe side joins
+    the ≤{CM_DEPTH}×{CM_WIDTH}-row grid broadcast."""
+    ev = table(spark, sf_dir, "events")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _cm_pos(F.col("event_type"), d).alias("pos")
+            )
+            for d in range(CM_DEPTH)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(cell_structs).alias("c"))
+        .select("c.d", "c.pos")
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("c"))
+    )
+    types = ev.groupBy("event_type").agg(F.count("*").alias("exact_cnt"))
+    probes = types.select(
+        "event_type", "exact_cnt", F.explode(cell_structs).alias("p")
+    ).select("event_type", "exact_cnt", "p.d", "p.pos")
+    return (
+        probes.join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("event_type")
+        .agg(
+            F.max("exact_cnt").alias("exact_cnt"),
+            F.min("c").alias("cm_estimate"),
+            F.round(F.min("c") / F.max("exact_cnt"), 6).alias("over_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. two-phase distributed global shuffle + sharding
+
+
+@register(
+    "q_corpus_shuffle_shards",
+    tags=("sampling", "llm-pipeline", "scale", "sort"),
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   {md5_long_sql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS hv
+            FROM documents
+        ), rn AS (
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS grn
+            FROM h
+        )
+        SELECT (grn - 1) // {SHARD_SIZE} AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        FROM rn
+        GROUP BY 1
+    """,
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + sharding — the "shuffle the corpus
+    once, write fixed-size training shards" step of every pretraining
+    data build, done WITHOUT a single-partition global sort: each doc
+    gets a pseudorandom rank hash, docs are range-bucketed on the hash's
+    top bits ({SHUFFLE_BUCKETS} buckets), bucket counts (tiny) are
+    prefix-summed into absolute offsets, and the global row number is
+    offset + within-bucket row_number.  Shard = rn div {SHARD_SIZE}.
+
+    The ORACLE computes the same shards with a naive single-sequence
+    ROW_NUMBER — the hash match proves the two-phase distributed
+    construction equals the global sort.  At 100 TB the bucketed form is
+    the only viable one: the data-sized sort runs as
+    {SHUFFLE_BUCKETS}-way range-partitioned local sorts (exactly what
+    ``repartitionByRange`` + per-partition offsets does on a cluster),
+    while the only global step touches {SHUFFLE_BUCKETS} count rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = docs.select(
+        "doc_id",
+        "n_chars",
+        md5_long(
+            F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    ).withColumn("b", F.expr(f"hv div {SHUFFLE_SPAN}"))
+    counts = h.groupBy("b").agg(F.count("*").alias("bc"))
+    w_off = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("b").orderBy("hv", "doc_id")
+    ranked = (
+        h.join(F.broadcast(offsets), "b")
+        .withColumn("grn", F.col("off") + F.row_number().over(w_local))
+    )
+    return (
+        ranked.withColumn(
+            "shard_id", F.expr(f"(grn - 1) div {SHARD_SIZE}")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. weighted dataset mixing
+
+
+@register(
+    "q_corpus_mix_weighted",
+    tags=("sampling", "llm-pipeline", "window"),
+    oracle=f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(substr(source, 4, 10) AS INT) % 3 + 1 AS weight,
+                   COUNT(*) AS n_available
+            FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT SUM(weight) AS sum_w FROM src
+        ), quota AS (
+            SELECT s.source, s.weight, s.n_available,
+                   CAST(FLOOR({MIX_EPOCH} * s.weight * 1.0 / t.sum_w)
+                        AS BIGINT) AS quota
+            FROM src s CROSS JOIN tot t
+        ), ranked AS (
+            SELECT d.source, d.n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.source
+                       ORDER BY {md5_long_sql("'mix:' || CAST(doc_id AS VARCHAR)")},
+                                d.doc_id
+                   ) AS rn
+            FROM documents d
+        )
+        SELECT q.source,
+               CAST(q.weight AS BIGINT) AS weight,
+               q.quota,
+               CAST(q.n_available AS BIGINT) AS n_available,
+               CAST(SUM(CASE WHEN r.rn <= q.quota THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_selected,
+               CAST(SUM(CASE WHEN r.rn <= q.quota THEN r.n_chars ELSE 0 END)
+                    AS BIGINT) AS sel_chars
+        FROM ranked r JOIN quota q USING (source)
+        GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED dataset mixing — the multi-source blend step (books ×3,
+    web ×1, ...) that turns per-source corpora into one training epoch:
+    each source gets a quota proportional to its weight (derived here
+    from the source id so both engines agree), and the quota is filled
+    by deterministic hash-priority sampling within the source, making
+    the epoch reproducible run-over-run — resumable pretraining depends
+    on exactly this property.
+
+    Plan: per-source quotas come from a 20-row aggregate (broadcast);
+    selection is one rank window partitioned by source.  At 100 TB a
+    single source's partition can exceed one task, so the window would
+    be replaced by the same two-phase bucket trick as
+    ``q_corpus_shuffle_shards`` (hash-bucket within source, prefix-sum
+    offsets) — the semantics here are identical, and per-source
+    parallelism is already the right unit for the plain window when
+    sources number in the hundreds."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = docs.groupBy("source").agg(F.count("*").alias("n_available"))
+    src = src.withColumn(
+        "weight",
+        F.expr("CAST(substring(source, 4, 10) AS INT) % 3 + 1"),
+    )
+    tot = src.agg(F.sum("weight").alias("sum_w"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        "n_available",
+        F.floor(F.lit(MIX_EPOCH) * F.col("weight") / F.col("sum_w"))
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    sel = F.when(F.col("rn") <= F.col("quota"), 1).otherwise(0)
+    sel_chars = F.when(F.col("rn") <= F.col("quota"), F.col("n_chars")).otherwise(0)
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .groupBy("source", "weight", "quota", "n_available")
+        .agg(
+            F.sum(sel).alias("n_selected"),
+            F.sum(sel_chars).alias("sel_chars"),
+        )
+        .select(
+            "source",
+            F.col("weight").cast("long").alias("weight"),
+            "quota",
+            F.col("n_available").cast("long").alias("n_available"),
+            "n_selected",
+            "sel_chars",
+        )
+    )

@@ -69,6 +69,7 @@ def _load_all() -> None:
     """Import every operator module so its @register decorators run."""
     from ..operators import (  # noqa: F401
         cdc,
+        corpus,
         dedup,
         joins,
         multimodal,

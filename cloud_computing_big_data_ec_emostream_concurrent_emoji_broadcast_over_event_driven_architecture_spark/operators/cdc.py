@@ -186,3 +186,45 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "q_scd2_history",
+    tags=("cdc", "window", "scale"),
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               value,
+               ts AS effective_from,
+               LEAD(ts) OVER w AS effective_to,
+               (LEAD(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION type 2: turn a change log into a
+    versioned history with [effective_from, effective_to) validity
+    intervals and a current-row flag — the standard warehouse shape for
+    'what did this row look like at time T' queries, and the batch twin
+    of the ``q_latest_per_key`` compaction (which keeps only the last
+    version; this keeps them all).
+
+    Plan: one shuffle on the business key, then ``row_number`` +
+    ``lead`` share a single window sort — Catalyst evaluates both in one
+    Window operator, so the whole build is shuffle + per-partition sort,
+    with no self-join (the naive SQL formulation joins the log to itself
+    on version+1).  At 100 TB the key-partitioned window parallelizes
+    per user; per-key history length, not table size, bounds a task."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eff_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "value",
+        F.col("ts").alias("effective_from"),
+        eff_to.alias("effective_to"),
+        eff_to.isNull().alias("is_current"),
+    )

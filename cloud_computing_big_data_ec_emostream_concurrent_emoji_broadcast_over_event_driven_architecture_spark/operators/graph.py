@@ -1,0 +1,99 @@
+"""Graph analytics over the near-dup pair graph: PageRank.
+
+Joins the iterative-algorithm family (k-means in ``similarity.py``,
+fixpoint connected components in ``dedup.py``): each PageRank iteration
+is one edges⨝ranks join + one aggregation, i.e. exactly the
+shuffle-bounded join-agg shape Spark executes well, and the oracle
+replays the same fixed iteration count unrolled as chained CTEs so the
+result is hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from .dedup import _minhash_oracle, q_dedup_minhash
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+            SELECT e.dst AS doc_id,
+                   {1 - PR_DAMPING} + {PR_DAMPING} * SUM(r.pr / d.d) AS pr
+            FROM edges e
+            JOIN {prev} r ON e.src = r.doc_id
+            JOIN deg d ON e.src = d.src
+            GROUP BY 1
+        )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n        ".join(iters)
+    return f"""
+        WITH pairs AS ({_minhash_oracle()}),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+        r0 AS (SELECT src AS doc_id, 1.0 AS pr FROM deg),
+        {chain}
+        SELECT doc_id, ROUND(pr, 6) AS pagerank FROM {prev}
+    """
+
+
+@register(
+    "q_pagerank_neardup",
+    tags=("graph", "iterative", "dedup", "scale"),
+    oracle=_pagerank_oracle(),
+)
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the MinHash near-dup graph ({PR_ITERS} fixed
+    iterations, damping {PR_DAMPING}) — ranks the "canonical-ness" of
+    documents inside duplicate neighborhoods (a hub copied by many
+    near-identical pages outranks its copies; a centrality-aware keeper
+    policy for ``q_dedup_keep_best``).
+
+    Plan: each iteration is edges ⨝ ranks (shuffle keyed on the node id)
+    followed by a partial-combined sum — the rank vector, never the
+    documents, is what moves.  The undirected near-dup graph means every
+    node has in-edges, so no dangling-mass term is needed.  At 100 TB the
+    iteration count is fixed (no convergence scan), each round's lineage
+    is cut with ``localCheckpoint`` exactly like ``connected_components``,
+    and the edge list (near-dup pairs ≪ documents) is the only state.
+    The ORACLE unrolls the same {PR_ITERS} iterations as chained CTEs —
+    the hash match pins every contribution sum across engines."""
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_id_b").alias("doc_id_a"),
+                F.col("doc_id_a").alias("doc_id_b"),
+            )
+        )
+        .withColumnsRenamed({"doc_id_a": "src", "doc_id_b": "dst"})
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("pr"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks, F.col("src") == F.col("doc_id"))
+            .select(F.col("dst"), (F.col("pr") / F.col("d")).alias("c"))
+        )
+        ranks = contribs.groupBy(F.col("dst").alias("doc_id")).agg(
+            (F.lit(1 - PR_DAMPING) + F.lit(PR_DAMPING) * F.sum("c")).alias(
+                "pr"
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("doc_id", F.round("pr", 6).alias("pagerank"))

@@ -71,7 +71,9 @@ def _load_all() -> None:
         cdc,
         corpus,
         dedup,
+        graph,
         joins,
+        layout,
         multimodal,
         rollups,
         sampling,

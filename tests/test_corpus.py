@@ -117,3 +117,18 @@ def test_passage_dedup_counts_consistent(spark, sf_dir):
         assert abs(
             r["dup_ratio"] - round(r["n_dup_passages"] / r["n_passages"], 6)
         ) < 1e-9
+
+
+def test_zorder_files_bound_both_dims(spark, sf_dir):
+    """Each 8-bit z-prefix file spans at most 16 consecutive values of
+    EACH dimension — the property that makes 2-D min/max file skipping
+    work (a 1-D sort bounds only its leading column)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+        layout,
+    )
+
+    rows = layout.q_layout_zorder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_ub"] - r["min_ub"] <= 15, r
+        assert r["max_mb"] - r["min_mb"] <= 15, r

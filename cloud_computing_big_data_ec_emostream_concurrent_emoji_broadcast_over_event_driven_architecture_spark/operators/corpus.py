@@ -51,6 +51,7 @@ def _toks() -> F.Column:
 
 @register(
     "q_corpus_passage_dedup",
+    headline=True,
     tags=("dedup", "text", "llm-pipeline", "scale"),
     oracle=f"""
         WITH base AS (

@@ -187,6 +187,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_tpch_q9",
+    headline=True,
     tags=("tpch", "join", "agg"),
     oracle=PARTSUPP_CTE
     + """

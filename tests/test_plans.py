@@ -262,3 +262,60 @@ def test_aqe_coalesces_small_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan, plan[:2000]
     assert "coalesced" in plan, plan[:2000]
+
+
+def test_bloom_bits_join_broadcasts(spark, sf_dir):
+    """The Bloom bit-set relation (bounded by m rows regardless of corpus
+    size) must broadcast — the probe stream is never shuffled."""
+    plan = _plan(spark, sf_dir, "q_dedup_bloom_shingles")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_probe_joins_broadcast_grid(spark, sf_dir):
+    """The ≤ depth×width cell grid broadcasts into the probe side."""
+    plan = _plan(spark, sf_dir, "q_sketch_countmin")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_vocab_broadcasts(spark, sf_dir):
+    """The vocab joins the token stream as a broadcast — a word-keyed
+    shuffle join would Zipf-skew on stopwords."""
+    plan = _plan(spark, sf_dir, "q_corpus_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The k-minimum-values pass plans as TakeOrderedAndProject: each
+    task keeps a local top-k, never a full sort of the hash column."""
+    plan = _plan(spark, sf_dir, "q_sketch_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_single_aggregate_exchange(spark, sf_dir):
+    """The Morton key is per-row arithmetic: the only exchange in the
+    whole plan is the final file_id rollup."""
+    plan = _plan(spark, sf_dir, "q_layout_zorder")
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, exchanges
+
+
+def test_scd2_single_window_pass(spark, sf_dir):
+    """row_number and lead evaluate in ONE Window operator over one
+    key-partitioned exchange — no self-join, no second sort."""
+    plan = _plan(spark, sf_dir, "q_scd2_history")
+    window_nodes = [
+        l for l in plan.splitlines() if l.strip().startswith("+- Window")
+        or l.strip().startswith("Window")
+    ]
+    assert len(window_nodes) == 1, window_nodes
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_offsets_broadcast(spark, sf_dir):
+    """The prefix-summed bucket offsets (SHUFFLE_BUCKETS rows) broadcast
+    back onto the data — the corpus itself is never globally sorted."""
+    plan = _plan(spark, sf_dir, "q_corpus_shuffle_shards")
+    assert "BroadcastHashJoin" in plan

@@ -297,3 +297,31 @@ def decayed_window_counts(
             F.round(F.sum(weight), 6).alias("decayed"),
         )
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_dur: str = "1 minute",
+    watermark: str = DEFAULT_WATERMARK,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Streaming DISTINCT-user estimates per tumbling window — the
+    streaming twin of the batch ``q_approx_unique_users``: exact
+    count-distinct on an unbounded stream needs an unbounded per-window
+    value set, so the state carried per window is an HLL++ sketch
+    (``approx_count_distinct``) — fixed-size, mergeable across
+    micro-batches, and register-max merging is ORDER-INSENSITIVE, so the
+    streamed result is bit-equal to running the same aggregate in batch
+    (pinned by tests/test_streaming.py).  Watermark bounds which windows
+    stay open; closed windows free their sketch."""
+    events = _event_time(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur))
+        .agg(
+            F.approx_count_distinct(user_col, rsd).alias("approx_users"),
+            F.count("*").alias("cnt"),
+        )
+    )

@@ -319,3 +319,45 @@ def test_shuffle_shards_offsets_broadcast(spark, sf_dir):
     back onto the data — the corpus itself is never globally sorted."""
     plan = _plan(spark, sf_dir, "q_corpus_shuffle_shards")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q9_partsupp_join_fused_away(spark, sf_dir):
+    """Q9's partsupp join is fused into a lineitem predicate + inline
+    projection: the plan must contain NO Generate (the 4-way partsupp
+    explode) and only the final groupBy exchange — while the derived
+    dimension itself (q_partsupp_derived) does explode."""
+    plan = _plan(spark, sf_dir, "q_tpch_q9")
+    assert "Generate" not in plan
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) <= 2, exchanges  # groupBy (+ orders join at scale)
+    derived = _plan(spark, sf_dir, "q_partsupp_derived")
+    assert "Generate" in derived
+
+
+def test_q2_decorrelates_to_single_window(spark, sf_dir):
+    """The correlated MIN subquery runs as ONE window over ps_partkey —
+    not a second scan+join of partsupp."""
+    plan = _plan(spark, sf_dir, "q_tpch_q2")
+    window_nodes = [
+        l for l in plan.splitlines() if "Window" in l and "min(" in l
+    ]
+    assert len(window_nodes) == 1, window_nodes
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_anti_join_broadcasts(spark, sf_dir):
+    """Excluded suppliers apply as a broadcast LEFT ANTI join, never a
+    NOT IN nested loop."""
+    plan = _plan(spark, sf_dir, "q_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin LeftAnti" not in plan
+
+
+def test_q20_semi_joins_broadcast(spark, sf_dir):
+    """The qualifying-supplier set semi-joins into the region-filtered
+    supplier dim; the bolt-part prefilter broadcasts into lineitem."""
+    plan = _plan(spark, sf_dir, "q_tpch_q20")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan

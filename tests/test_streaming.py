@@ -925,3 +925,40 @@ def test_topk_sink_matches_batch_topk(spark, events_df, replay_dir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_windowed_distinct_users_stream_equals_batch(
+    spark, events_df, replay_dir
+):
+    """HLL register-max merging is order-insensitive, so the streamed
+    per-window distinct estimate is IDENTICAL to the batch run — and
+    within the configured rsd of the exact per-window distinct."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        windowed_distinct_users,
+    )
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"dus_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(windowed_distinct_users(stream), name, "complete")
+    got = {
+        r["window"]["start"]: r["approx_users"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        r["window"]["start"]: r["approx_users"]
+        for r in windowed_distinct_users(events_df).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+    exact = {
+        r["w"]: r["d"]
+        for r in events_df.groupBy(
+            F.window("ts", "1 minute").alias("win")
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .select(F.col("win.start").alias("w"), "d")
+        .collect()
+    }
+    for w, est in got.items():
+        assert abs(est - exact[w]) / exact[w] <= 0.05, (w, est, exact[w])

@@ -189,6 +189,47 @@ def _bloom_pos_sql(expr: str, k: int) -> str:
     return f"{md5_long_sql(salted)} % {BLOOM_M}"
 
 
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): one row per distinct 3-shingle of each document."""
+    return docs.select(
+        "doc_id", F.explode(shingles(_toks())).alias("s")
+    )
+
+
+def bloom_bits(sh: DataFrame) -> DataFrame:
+    """The Bloom filter as a relation: the DISTINCT set bit positions of
+    every shingle's {BLOOM_K} hashes — bounded by m = {BLOOM_M} rows
+    regardless of corpus size, so always broadcastable."""
+    all_pos = F.array(*[_bloom_pos(F.col("s"), k) for k in range(BLOOM_K)])
+    return sh.select(F.explode(all_pos).alias("pos")).distinct()
+
+
+def bloom_probe(probe_sh: DataFrame, seen_bits: DataFrame) -> DataFrame:
+    """Per-doc membership stats of probe shingles against a (static)
+    bit-set relation: a shingle is SEEN iff all {BLOOM_K} positions are
+    present.  The bit set broadcasts; the probe side never shuffles
+    except the per-doc rollup."""
+    all_pos = F.array(*[_bloom_pos(F.col("s"), k) for k in range(BLOOM_K)])
+    probe_pos = probe_sh.select(
+        "doc_id", "s", F.explode(all_pos).alias("pos")
+    )
+    matched = (
+        probe_pos.join(F.broadcast(seen_bits), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("hits"))
+    )
+    hit = F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)
+    return (
+        probe_sh.join(matched, ["doc_id", "s"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(hit).alias("n_seen"),
+            F.round(F.sum(hit) / F.count("*"), 6).alias("seen_ratio"),
+        )
+    )
+
+
 @register(
     "q_dedup_bloom_shingles",
     tags=("dedup", "bloom", "llm-pipeline", "scale"),
@@ -247,35 +288,12 @@ def q_dedup_bloom_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero shuffle of the probe stream.  On a real cluster the bit
     set compacts further into a bitmap via bit-OR partial aggregation;
     the distinct-position relation is the engine-portable equivalent
-    with identical semantics."""
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id", _toks().alias("toks")
-    )
-    sh = base.select("doc_id", F.explode(shingles(F.col("toks"))).alias("s"))
-    seen = sh.filter(F.col("doc_id") % 2 == 0)
-    probe = sh.filter(F.col("doc_id") % 2 == 1)
-    all_pos = F.array(*[_bloom_pos(F.col("s"), k) for k in range(BLOOM_K)])
-    seen_bits = (
-        seen.select(F.explode(all_pos).alias("pos")).distinct()
-    )
-    probe_pos = probe.select(
-        "doc_id", "s", F.explode(all_pos).alias("pos")
-    )
-    matched = (
-        probe_pos.join(F.broadcast(seen_bits), "pos")
-        .groupBy("doc_id", "s")
-        .agg(F.count("*").alias("hits"))
-    )
-    hit = F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)
-    return (
-        probe.join(matched, ["doc_id", "s"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(hit).alias("n_seen"),
-            F.round(F.sum(hit) / F.count("*"), 6).alias("seen_ratio"),
-        )
-    )
+    with identical semantics.  ``streaming/core.bloom_probe_stream``
+    runs the probe side per micro-batch against this same bit set."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_rows(docs)
+    seen_bits = bloom_bits(sh.filter(F.col("doc_id") % 2 == 0))
+    return bloom_probe(sh.filter(F.col("doc_id") % 2 == 1), seen_bits)
 
 
 # ---------------------------------------------------------------------------

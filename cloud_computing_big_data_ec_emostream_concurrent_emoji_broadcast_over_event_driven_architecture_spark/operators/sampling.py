@@ -715,3 +715,60 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "q_quantile_bins",
+    tags=("sampling", "stats", "scale"),
+    oracle="""
+        WITH cuts AS (
+            SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2),
+                    quantile_cont(value, 0.3), quantile_cont(value, 0.4),
+                    quantile_cont(value, 0.5), quantile_cont(value, 0.6),
+                    quantile_cont(value, 0.7), quantile_cont(value, 0.8),
+                    quantile_cont(value, 0.9)] AS cs
+            FROM events
+        )
+        SELECT CAST(len(list_filter(c.cs, x -> e.value > x)) AS BIGINT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(e.value), 6) AS min_v,
+               ROUND(MAX(e.value), 6) AS max_v
+        FROM events e CROSS JOIN cuts c
+        GROUP BY 1
+    """,
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH discretization (decile binning) — the feature-
+    engineering staple that fixed-width ``q_histogram`` can't provide on
+    skewed values: bin edges are the exact interpolated deciles, so every
+    bin holds ~10% of rows regardless of the distribution.
+
+    Plan: one exact-percentile aggregation produces the 9 cutoffs as a
+    single broadcast row (at 100 TB swap in the mergeable
+    ``approx_percentile`` sketch — same call shape, documented in
+    q_winsorize); assignment is a pure per-row expression (count of
+    cutoffs below the value — a 9-element array scan, no join per bin);
+    then one partial-combined rollup on the 10 bin keys.  Two passes
+    over the data, zero data-sized shuffles — binning never sorts."""
+    ev = table(spark, sf_dir, "events")
+    cuts = ev.agg(
+        F.array(
+            *[F.expr(f"percentile(value, {q / 10})") for q in range(1, 10)]
+        ).alias("cs")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr("size(filter(cs, x -> value > x))")
+            .cast("long")
+            .alias("bin"),
+            "value",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )

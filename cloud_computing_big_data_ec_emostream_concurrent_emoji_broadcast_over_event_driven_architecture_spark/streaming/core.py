@@ -325,3 +325,45 @@ def windowed_distinct_users(
             F.count("*").alias("cnt"),
         )
     )
+
+
+def bloom_probe_stream(
+    docs_stream: DataFrame,
+    seen_bits: DataFrame,
+    name: str = "bloom_probe",
+):
+    """STREAM-STATIC Bloom membership — incremental-crawl dedup as a
+    stream job: incoming documents are shingled and probed against the
+    STATIC reference-corpus bit set (built once by the batch side,
+    ``operators/corpus.bloom_bits``), emitting per-document
+    (n_shingles, n_seen, seen_ratio).
+
+    Runs via ``foreachBatch``: per micro-batch the probe is the exact
+    batch plan (explode → broadcast bit-set join → per-doc rollup), so
+    stream == batch by construction (pinned in tests), there is no
+    cross-batch streaming state at all — the membership decision is
+    per-document — and the bit set stays a broadcast bounded by m rows
+    no matter how much reference corpus it summarizes.  Returns the
+    started query writing to the global temp view ``name``."""
+    from ..operators.corpus import bloom_probe, shingle_rows
+
+    spark = docs_stream.sparkSession
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        out = bloom_probe(shingle_rows(batch), seen_bits)
+        existing = [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name == name
+        ]
+        if existing:
+            out = spark.table(f"global_temp.{name}").unionByName(out)
+        # eager localCheckpoint materializes the accumulated view so the
+        # next batch's union doesn't re-execute prior batches' plans
+        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(name)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(_probe)
+        .start()
+    )

@@ -962,3 +962,56 @@ def test_windowed_distinct_users_stream_equals_batch(
     }
     for w, est in got.items():
         assert abs(est - exact[w]) / exact[w] <= 0.05, (w, est, exact[w])
+
+
+def test_bloom_probe_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The stream-static Bloom probe over replayed documents converges
+    to the batch q_dedup_bloom_shingles result exactly (per micro-batch
+    it IS the batch plan; no cross-batch state)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table as cat_table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.corpus import (
+        bloom_bits,
+        q_dedup_bloom_shingles,
+        shingle_rows,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        bloom_probe_stream,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen_bits = bloom_bits(
+        shingle_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    ).localCheckpoint(eager=True)
+    probe_docs = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # replay the probe half as a 3-file stream
+    directory = str(tmp_path / "docs_replay")
+    rows = probe_docs.collect()
+    schema = probe_docs.schema
+    per = max(1, len(rows) // 3)
+    for i in range(0, len(rows), per):
+        spark.createDataFrame(rows[i : i + per], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(directory)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+
+    name = f"bloomp_{uuid.uuid4().hex[:8]}"
+    q = bloom_probe_stream(stream, seen_bits, name)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_seen"], r["seen_ratio"])
+        for r in spark.sql(f"SELECT * FROM global_temp.{name}").collect()
+    }
+    expected = {
+        r["doc_id"]: (r["n_shingles"], r["n_seen"], r["seen_ratio"])
+        for r in q_dedup_bloom_shingles(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) > 0

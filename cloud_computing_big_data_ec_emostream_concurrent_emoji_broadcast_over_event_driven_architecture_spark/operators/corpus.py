@@ -625,3 +625,106 @@ def q_corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sel_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. incremental-ingest composite pipeline
+
+INGEST_SEEN_MAX = 0.5  # reject docs with >= 50% of shingles already seen
+INGEST_MIN_TOKENS = 20  # quality gate
+
+
+@register(
+    "q_pipeline_incremental_ingest",
+    tags=("pipeline", "dedup", "bloom", "llm-pipeline", "scale"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source, {_FILTERED_TOKS} AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id, UNNEST({shingles_sql('toks')}) AS s FROM base
+        ), seen_bits AS (
+            SELECT DISTINCT {_bloom_pos_sql('s', 0)} AS pos
+            FROM sh WHERE doc_id % 2 = 0
+            UNION
+            SELECT DISTINCT {_bloom_pos_sql('s', 1)} FROM sh WHERE doc_id % 2 = 0
+            UNION
+            SELECT DISTINCT {_bloom_pos_sql('s', 2)} FROM sh WHERE doc_id % 2 = 0
+            UNION
+            SELECT DISTINCT {_bloom_pos_sql('s', 3)} FROM sh WHERE doc_id % 2 = 0
+        ), probe AS (
+            SELECT doc_id, s, COUNT(*) AS hits FROM (
+                SELECT sh.doc_id, sh.s,
+                       CASE u.k WHEN 0 THEN {_bloom_pos_sql('s', 0)}
+                                WHEN 1 THEN {_bloom_pos_sql('s', 1)}
+                                WHEN 2 THEN {_bloom_pos_sql('s', 2)}
+                                ELSE {_bloom_pos_sql('s', 3)} END AS pos
+                FROM sh CROSS JOIN UNNEST([0,1,2,3]) AS u(k)
+                WHERE doc_id % 2 = 1
+            ) p JOIN seen_bits USING (pos)
+            GROUP BY 1, 2
+        ), ratio AS (
+            SELECT sh.doc_id,
+                   SUM(CASE WHEN p.hits = {BLOOM_K} THEN 1 ELSE 0 END)
+                       * 1.0 / COUNT(*) AS seen_ratio
+            FROM sh LEFT JOIN probe p
+                ON sh.doc_id = p.doc_id AND sh.s = p.s
+            WHERE sh.doc_id % 2 = 1
+            GROUP BY 1
+        )
+        SELECT b.source,
+               CAST(COUNT(*) AS BIGINT) AS n_incoming,
+               CAST(SUM(CASE WHEN r.seen_ratio < {INGEST_SEEN_MAX}
+                              AND len(b.toks) >= {INGEST_MIN_TOKENS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+               CAST(SUM(CASE WHEN r.seen_ratio < {INGEST_SEEN_MAX}
+                              AND len(b.toks) >= {INGEST_MIN_TOKENS}
+                             THEN len(b.toks) ELSE 0 END) AS BIGINT)
+                   AS admitted_tokens
+        FROM base b JOIN ratio r USING (doc_id)
+        WHERE b.doc_id % 2 = 1
+        GROUP BY 1
+    """,
+)
+def q_pipeline_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL-INGEST composite — the nightly-crawl admission DAG as
+    one plan: Bloom-screen incoming documents (odd doc_ids) against the
+    reference corpus's bit set, reject docs whose shingles are
+    >= {INGEST_SEEN_MAX:.0%} already-seen (near-dups of existing data),
+    apply the {INGEST_MIN_TOKENS}-token quality floor, and report
+    per-source admission counts + token volume — the numbers a corpus
+    curator actually watches per ingest batch.
+
+    Plan: one Catalyst DAG — the screen is the broadcast bit-set probe
+    (`bloom_probe`), admission is a per-doc predicate, the rollup is a
+    20-group aggregate.  The reference bit set is the only state carried
+    between ingest batches, and it is bounded by m regardless of how
+    much corpus it absorbs — exactly why incremental crawls Bloom-screen
+    instead of re-running full pairwise dedup per batch (the full MinHash
+    tier then runs periodically over admitted docs only)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", _toks().alias("toks")
+    )
+    sh = shingle_rows(docs.select("doc_id", "text"))
+    seen_bits = bloom_bits(sh.filter(F.col("doc_id") % 2 == 0))
+    ratio = bloom_probe(
+        sh.filter(F.col("doc_id") % 2 == 1), seen_bits
+    ).select("doc_id", "seen_ratio")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.size("toks").alias("n_toks")
+    )
+    admitted = (F.col("seen_ratio") < INGEST_SEEN_MAX) & (
+        F.col("n_toks") >= INGEST_MIN_TOKENS
+    )
+    return (
+        incoming.join(ratio, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(F.when(admitted, 1).otherwise(0)).alias("n_admitted"),
+            F.sum(F.when(admitted, F.col("n_toks")).otherwise(0)).alias(
+                "admitted_tokens"
+            ),
+        )
+    )

@@ -772,3 +772,44 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_v"),
         )
     )
+
+
+@register(
+    "q_robust_mad",
+    tags=("stats", "cleaning"),
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS m
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               ROUND(MAX(med.m), 6) AS median_v,
+               ROUND(quantile_cont(ABS(e.value - med.m), 0.5), 6) AS mad
+        FROM events e JOIN med ON e.event_type = med.event_type
+        GROUP BY 1
+    """,
+)
+def q_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION per group — the robust spread measure
+    outlier-heavy telemetry needs where stddev is dragged by the tail
+    (pairs with q_winsorize: MAD picks the clip scale, winsorize applies
+    it).  Two exact-percentile passes: group medians (a groups-sized
+    aggregate, broadcast back), then the median of absolute deviations.
+    At 100 TB both passes swap to the mergeable ``approx_percentile``
+    sketch unchanged; the join stays broadcast while the group count is
+    dimension-sized, and falls back to a key-partitioned shuffle join —
+    never row-to-row — beyond that."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("m"), 6).alias("median_v"),
+            F.round(
+                F.expr("percentile(abs(value - m), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )

@@ -874,3 +874,135 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("sim", 6).alias("sim"))
     )
+
+
+PCA_DIM = 64  # fixture embedding width (FIXTURES.md)
+
+
+@register(
+    "q_embedding_pca_power",
+    tags=("similarity", "vector", "iterative", "scale"),
+    oracle=f"""
+        WITH m AS (
+            SELECT vec_id, i, embedding[i] AS v
+            FROM embeddings
+            CROSS JOIN UNNEST(range(1, {PCA_DIM} + 1)) AS u(i)
+        ), means AS (
+            SELECT i, AVG(v) AS mu FROM m GROUP BY 1
+        ), mc AS (
+            SELECT m.vec_id, m.i, m.v - means.mu AS v
+            FROM m JOIN means USING (i)
+        ), s1 AS (
+            SELECT vec_id, SUM(v * 1.0) AS s FROM mc GROUP BY 1
+        ), v1r AS (
+            SELECT mc.i AS dim, SUM(mc.v * s1.s) AS val
+            FROM mc JOIN s1 USING (vec_id) GROUP BY 1
+        ), n1 AS (
+            SELECT SQRT(SUM(val * val)) AS nrm FROM v1r
+        ), v1 AS (
+            SELECT dim, val / n1.nrm AS val FROM v1r CROSS JOIN n1
+        ), s2 AS (
+            SELECT mc.vec_id, SUM(mc.v * v1.val) AS s
+            FROM mc JOIN v1 ON mc.i = v1.dim GROUP BY 1
+        ), v2r AS (
+            SELECT mc.i AS dim, SUM(mc.v * s2.s) AS val
+            FROM mc JOIN s2 USING (vec_id) GROUP BY 1
+        ), n2 AS (
+            SELECT SQRT(SUM(val * val)) AS nrm FROM v2r
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               ROUND(val / n2.nrm, 6) AS component
+        FROM v2r CROSS JOIN n2
+    """,
+)
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the (mean-centered) embedding matrix
+    via two POWER ITERATIONS from the all-ones start — the
+    dimensionality-reduction primitive (whitening, drift monitoring,
+    coarse IVF axes) done without MLlib: v ← normalize(AᵀA v), where
+    each iteration is one narrow pass computing per-row scalars
+    s = ⟨centered_row, v⟩ (zip_with against the BROADCAST 64-float
+    direction — no join, no explode) plus one posexplode rollup
+    accumulating Σ s·row into the next direction (a {PCA_DIM}-group
+    aggregate).
+
+    At 100 TB: per iteration the data-sized work is one scan; everything
+    that crosses the wire is {PCA_DIM} partial sums per task (map-side
+    combined), and the direction vector re-enters as a broadcast row —
+    the classic distributed power iteration.  The mean vector rides the
+    same pattern.  The ORACLE unrolls the identical two iterations over
+    an explode-join formulation; the hash match pins every partial sum.
+    Deterministic sign: both engines start from all-ones."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def to_arr(df, dim_col, val_col):
+        # (dim, val) rows -> one broadcastable row holding the dense
+        # vector, ordered by dim (array_sort on struct sorts by field 1)
+        return df.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(dim_col, val_col))),
+                lambda x: x[val_col],
+            ).alias("vec")
+        )
+
+    m = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    )
+    means = m.groupBy("i").agg(F.avg("v").alias("mu"))
+    mean_arr = to_arr(means, "i", "mu")
+
+    centered = (
+        emb.crossJoin(F.broadcast(mean_arr))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "vec", lambda x, mu: x.cast("double") - mu
+            ).alias("c"),
+        )
+    )
+
+    def iterate(cent, v_arr_df):
+        s = cent.crossJoin(F.broadcast(v_arr_df)).select(
+            "vec_id",
+            "c",
+            F.aggregate(
+                F.zip_with("c", "vec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        vr = (
+            s.select(F.posexplode("c").alias("i", "v"), "s")
+            .groupBy("i")
+            .agg(F.sum(F.col("v") * F.col("s")).alias("val"))
+        )
+        nrm = vr.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n"))
+        return vr.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("val") / F.col("n")).alias("val")
+        )
+
+    ones = spark.range(1).select(
+        F.array(*[F.lit(1.0)] * PCA_DIM).alias("vec")
+    )
+    v1 = iterate(centered, ones)
+    v2_unnorm = (
+        centered.crossJoin(F.broadcast(to_arr(v1, "i", "val")))
+        .select(
+            "c",
+            F.aggregate(
+                F.zip_with("c", "vec", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        .select(F.posexplode("c").alias("i", "v"), "s")
+        .groupBy("i")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("val"))
+    )
+    nrm2 = v2_unnorm.agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n")
+    )
+    return v2_unnorm.crossJoin(F.broadcast(nrm2)).select(
+        (F.col("i") + 1).cast("long").alias("dim"),
+        F.round(F.col("val") / F.col("n"), 6).alias("component"),
+    )

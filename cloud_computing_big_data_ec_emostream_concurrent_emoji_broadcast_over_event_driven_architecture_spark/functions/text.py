@@ -72,3 +72,26 @@ def stopword_ratio_sql(words_expr: str) -> str:
 def bpe_token_count(text: Column) -> Column:
     """Regex token count (BPE-ish lexer)."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def shingles_ordered(words: Column, k: int = SHINGLE_K) -> Column:
+    """POSITIONAL k-word shingles — same zip_with construction as
+    :func:`shingles` but keeping order and duplicates (winnowing needs
+    the shingle *sequence*, not the set)."""
+    acc = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.size(words))
+        acc = F.zip_with(
+            acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.filter(acc, lambda s: s.isNotNull())
+
+
+def shingles_ordered_sql(words_expr: str, k: int = SHINGLE_K) -> str:
+    """DuckDB twin of :func:`shingles_ordered`."""
+    joined = " || ' ' || ".join(f"{words_expr}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({words_expr}) >= {k} THEN "
+        f"list_transform(range(1, len({words_expr}) - {k - 2}), i -> {joined}) "
+        f"ELSE [] END"
+    )

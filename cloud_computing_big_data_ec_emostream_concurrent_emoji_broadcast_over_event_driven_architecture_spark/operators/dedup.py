@@ -30,7 +30,13 @@ from ..functions.hashing import (
     md5_long,
     md5_long_sql,
 )
-from ..functions.text import shingles, shingles_sql, tokens
+from ..functions.text import (
+    shingles,
+    shingles_ordered,
+    shingles_ordered_sql,
+    shingles_sql,
+    tokens,
+)
 from ..plans.registry import register
 
 JACCARD_THRESHOLD = 0.8
@@ -1071,4 +1077,87 @@ def q_dedup_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common") / F.greatest(F.col("n_exact"), F.lit(1)), 6
             ).alias("recall"),
         )
+    )
+
+
+WINNOW_W = 4  # winnowing window (windows of w consecutive shingle hashes)
+WINNOW_MIN_SHARED = 2  # emit pairs sharing >= this many fingerprints
+
+
+@register(
+    "q_dedup_winnowing",
+    tags=("dedup", "fingerprint", "winnowing", "scale"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents
+        ), hseq AS (
+            SELECT doc_id,
+                   list_transform(
+                       {shingles_ordered_sql('toks')},
+                       s -> {md5_long_sql('s')}) AS hs
+            FROM base
+        ), wins AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(hs) - {WINNOW_W - 2}),
+                       j -> list_min(list_slice(hs, j, j + {WINNOW_W - 1}))))
+                       AS fps
+            FROM hseq
+        ), fp AS (
+            SELECT doc_id, UNNEST(fps) AS f FROM wins
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprints (the MOSS local-fingerprinting scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): hash the ORDERED 3-shingle
+    sequence, slide a {WINNOW_W}-hash window, keep each window's
+    minimum — guaranteeing any shared run of {WINNOW_W + 2} tokens
+    leaves at least one common fingerprint — then pair documents
+    sharing >= {WINNOW_MIN_SHARED} selected fingerprints.  Positional
+    robustness MinHash doesn't give: fingerprints localize WHERE the
+    overlap is, and density is ~2/w of the shingle count instead of a
+    fixed signature.
+
+    Plan: fingerprint selection is pure per-row array arithmetic (the
+    zip_with shingle chain, one transform of window minima — no explode
+    until the ~2m/w selected hashes), then the standard inverted-index
+    pair join keyed on the 44-bit fingerprint.  Index density is w/2×
+    sparser than the full ngram index (`q_dedup_ngram_jaccard`), which
+    is the winnowing trade: same-boilerplate hot keys shrink with it.
+    At 100 TB the pair join partial-combines on (fingerprint) before
+    the exchange and hot fingerprints fall under the same AQE skew
+    handling as the exact tier."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(tokens(F.col("text")), lambda w: w != "")
+    hs = F.transform(shingles_ordered(toks), md5_long)
+    d = docs.select("doc_id", hs.alias("hs"))
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
+        )
+    )
+    fp = d.select("doc_id", F.explode(wins).alias("f"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )

@@ -132,3 +132,25 @@ def test_zorder_files_bound_both_dims(spark, sf_dir):
     for r in rows:
         assert r["max_ub"] - r["min_ub"] <= 15, r
         assert r["max_mb"] - r["min_mb"] <= 15, r
+
+
+def test_winnowing_recovers_exact_tier_pairs(spark, sf_dir):
+    """Winnowing's guarantee: a shared run of w+k-1 tokens leaves a
+    common selected fingerprint — so the near-dup pairs the exact
+    Jaccard tier finds (long shared spans by construction) must all
+    surface in the winnowing pair list."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+        dedup,
+    )
+
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    winnow = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.q_dedup_winnowing(spark, sf_dir).collect()
+    }
+    assert exact, "exact tier found no pairs — fixture changed?"
+    missed = exact - winnow
+    assert not missed, f"winnowing missed exact-tier pairs: {missed}"

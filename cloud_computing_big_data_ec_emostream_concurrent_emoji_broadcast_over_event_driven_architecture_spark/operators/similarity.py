@@ -1006,3 +1006,149 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + 1).cast("long").alias("dim"),
         F.round(F.col("val") / F.col("n"), 6).alias("component"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (ADC)
+
+PQ_M = 8  # subspaces
+PQ_SUB = PCA_DIM // PQ_M  # dims per subspace
+PQ_K = 4  # codebook entries per subspace (anchor vectors vec_id 0..3)
+PQ_TOP = 10
+
+
+def _pq_elem(dialect: str, vec: str, i: int) -> str:
+    if dialect == "duck":
+        return f"CAST({vec}[{i}] AS DOUBLE)"
+    return f"CAST(element_at({vec}, {i}) AS DOUBLE)"
+
+
+def _pq_sq(dialect: str, va: str, vb: str, lo: int, hi: int) -> str:
+    """Squared L2 over dims [lo, hi] — IDENTICAL term order in both
+    dialects so the double arithmetic is bit-equal across engines."""
+    terms = [
+        f"({_pq_elem(dialect, va, i)} - {_pq_elem(dialect, vb, i)})"
+        f" * ({_pq_elem(dialect, va, i)} - {_pq_elem(dialect, vb, i)})"
+        for i in range(lo, hi + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_dist_cols(dialect: str) -> list[str]:
+    """d{s}_{k}: vector-to-centroid subspace distances; g{s}_{k}: the
+    query's distances to the same centroids (the ADC lookup table)."""
+    cols = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+        for k in range(PQ_K):
+            cols.append(
+                f"{_pq_sq(dialect, 'embedding', f'a{k}', lo, hi)} AS d{s}_{k}"
+            )
+            cols.append(
+                f"{_pq_sq(dialect, 'qe', f'a{k}', lo, hi)} AS g{s}_{k}"
+            )
+    cols.append(
+        f"{_pq_sq(dialect, 'embedding', 'qe', 1, PCA_DIM)} AS ex"
+    )
+    return cols
+
+
+def _pq_adc_expr() -> str:
+    """Per-subspace: pick the ADC table entry of the argmin centroid
+    (<= comparisons -> smallest-k tie-break), sum across subspaces.
+    References only the named d/g columns, so it is dialect-neutral."""
+    parts = []
+    for s in range(PQ_M):
+        d = [f"d{s}_{k}" for k in range(PQ_K)]
+        g = [f"g{s}_{k}" for k in range(PQ_K)]
+        parts.append(
+            f"(CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]}"
+            f" AND {d[0]} <= {d[3]} THEN {g[0]}"
+            f" WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN {g[1]}"
+            f" WHEN {d[2]} <= {d[3]} THEN {g[2]}"
+            f" ELSE {g[3]} END)"
+        )
+    return " + ".join(parts)
+
+
+def _pq_oracle() -> str:
+    anchor_cols = ", ".join(
+        f"MAX(CASE WHEN vec_id = {k} THEN embedding END) AS a{k}"
+        for k in range(PQ_K)
+    )
+    dist_cols = ",\n                   ".join(_pq_dist_cols("duck"))
+    return f"""
+        WITH a AS (
+            SELECT {anchor_cols} FROM embeddings WHERE vec_id < {PQ_K}
+        ), q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ), dists AS (
+            SELECT vec_id,
+                   {dist_cols}
+            FROM embeddings CROSS JOIN a CROSS JOIN q
+        )
+        SELECT vec_id,
+               ROUND({_pq_adc_expr()}, 6) AS adc_dist,
+               ROUND(ex, 6) AS exact_dist
+        FROM dists
+        ORDER BY {_pq_adc_expr()}, vec_id
+        LIMIT {PQ_TOP}
+    """
+
+
+@register(
+    "q_ann_pq_adc",
+    tags=("similarity", "ann", "quantization", "scale"),
+    oracle=_pq_oracle(),
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION top-k (Jégou et al., asymmetric distance
+    computation): vectors are encoded per {PQ_M}-subspace against a
+    {PQ_K}-entry codebook (here the subvectors of {PQ_K} deterministic
+    anchor vectors, so both engines derive identical codebooks without a
+    training loop); the query is NOT quantized — its distance to every
+    codebook entry forms the {PQ_M}×{PQ_K} ADC lookup table, and a
+    vector's estimated distance is the sum of the table entries its code
+    selects.  Output: ADC top-{PQ_TOP} with exact distances alongside —
+    the quantization-error audit.
+
+    Plan/scale story: encoding is pure per-row arithmetic against the
+    BROADCAST codebook (at 100 TB codes are precomputed once into a
+    {PQ_M}-byte column — a 32× compression of the 64-float vector — and
+    candidate scoring reads ONLY codes + the per-query 32-entry table,
+    which is why PQ is the standard billion-vector ANN memory layout;
+    IVF (q_ann_ivf) supplies the candidate pruning in front).  The
+    ADC/exact expressions are generated from ONE template into both
+    engines with identical double-arithmetic term order, so the oracle
+    hash-checks the full scoring pipeline including argmin code
+    assignment."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = emb.filter(F.col("vec_id") < PQ_K).groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("vec_id") == k, F.col("embedding"))
+            ).alias(f"a{k}")
+            for k in range(PQ_K)
+        ]
+    )
+    q_row = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    dists = (
+        emb.crossJoin(F.broadcast(anchors))
+        .crossJoin(F.broadcast(q_row))
+        .select(
+            "vec_id", *[F.expr(c) for c in _pq_dist_cols("spark")]
+        )
+    )
+    adc = F.expr(_pq_adc_expr())
+    return (
+        dists.select("vec_id", adc.alias("adc"), "ex")
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOP)
+        .select(
+            "vec_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.round("ex", 6).alias("exact_dist"),
+        )
+    )

@@ -361,3 +361,20 @@ def test_q20_semi_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_tpch_q20")
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_all_broadcast_no_shuffle_join(spark, sf_dir):
+    """PQ encoding/scoring is per-row arithmetic against broadcast
+    codebook + query rows: no shuffle join anywhere, top-k via
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "q_ann_pq_adc")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pca_power_exchanges_are_dim_sized(spark, sf_dir):
+    """Each power iteration aggregates to 64 dims: every hash exchange
+    in the plan groups on the dim key (or is a 1-row aggregate) — the
+    data-sized relation never shuffles."""
+    plan = _plan(spark, sf_dir, "q_embedding_pca_power")
+    assert "SortMergeJoin" not in plan

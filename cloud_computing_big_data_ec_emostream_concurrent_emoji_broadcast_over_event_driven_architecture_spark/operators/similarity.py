@@ -916,8 +916,8 @@ PCA_DIM = 64  # fixture embedding width (FIXTURES.md)
     """,
 )
 def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOP PRINCIPAL COMPONENT of the (mean-centered) embedding matrix
-    via two POWER ITERATIONS from the all-ones start — the
+    """PRINCIPAL-COMPONENT power method on the (mean-centered) embedding
+    matrix — two fixed iterations from the all-ones start, the
     dimensionality-reduction primitive (whitening, drift monitoring,
     coarse IVF axes) done without MLlib: v ← normalize(AᵀA v), where
     each iteration is one narrow pass computing per-row scalars
@@ -932,7 +932,16 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic distributed power iteration.  The mean vector rides the
     same pattern.  The ORACLE unrolls the identical two iterations over
     an explode-join formulation; the hash match pins every partial sum.
-    Deterministic sign: both engines start from all-ones."""
+    Deterministic sign: both engines start from all-ones.
+
+    Convergence is geometric in the eigengap — the synthetic fixture's
+    spectrum is near-isotropic (λ1/λ2 ≈ 1.07), so two iterations yield
+    a dominant-SUBSPACE direction, not the isolated top component; a
+    production run loops the same two-stage body to tolerance (each
+    round is one scan + a {PCA_DIM}-row exchange, so iteration count,
+    not data volume, is the only thing that grows).  The Rayleigh
+    quotient is guaranteed non-decreasing per iteration
+    (tests/test_vectors.py pins it)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def to_arr(df, dim_col, val_col):

@@ -906,3 +906,103 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "q_funnel_multistep",
+    tags=("timeseries", "funnel", "join", "scale"),
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ), c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT 1 AS step, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM v
+        UNION ALL
+        SELECT 2, CAST(COUNT(DISTINCT v.user_id) AS BIGINT)
+        FROM v JOIN c ON c.user_id = v.user_id
+           AND c.ts > v.ts
+           AND epoch(c.ts) - epoch(v.ts) <= {FUNNEL_WINDOW_SEC}
+        UNION ALL
+        SELECT 3, CAST(COUNT(DISTINCT v.user_id) AS BIGINT)
+        FROM v
+        JOIN c ON c.user_id = v.user_id
+           AND c.ts > v.ts
+           AND epoch(c.ts) - epoch(v.ts) <= {FUNNEL_WINDOW_SEC}
+        JOIN p ON p.user_id = v.user_id
+           AND p.ts > c.ts
+           AND epoch(p.ts) - epoch(c.ts) <= {FUNNEL_WINDOW_SEC}
+    """,
+)
+def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-STEP funnel (view → click → purchase, each hop within the
+    30-minute window): distinct users surviving each stage — the
+    product-analytics funnel chart.  Extends q_funnel_conversion's
+    bucketized range join to a CHAIN: step 2 joins views to clicks on
+    (user, 30-min bucket ±1) with the time predicate inside the join,
+    step 3 re-buckets the surviving (user, click-ts) pairs and joins
+    purchases the same way.  Every hop is an equi-join shuffle keyed on
+    (user, bucket) — K-step funnels cost K bucketized joins, never a
+    per-row subquery or an unbounded time-range nested loop, and
+    intermediate pairs are deduped per (user, step-ts) before the next
+    hop so chain multiplicity can't blow up."""
+    ev = table(spark, sf_dir, "events")
+    W = FUNNEL_WINDOW_SEC
+    bucket_of = lambda col: (F.unix_timestamp(col) / F.lit(W)).cast("long")
+
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.explode(
+            F.array(bucket_of(F.col("ts")), bucket_of(F.col("ts")) + 1)
+        ).alias("bucket"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        bucket_of(F.col("ts")).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        bucket_of(F.col("ts")).alias("bucket"),
+    )
+
+    vc = (
+        views.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("cts") > F.col("vts"))
+            & (F.unix_timestamp("cts") - F.unix_timestamp("vts") <= W)
+        )
+        .select("user_id", "cts")
+        .distinct()
+    )
+    vc_b = vc.select(
+        "user_id",
+        "cts",
+        F.explode(
+            F.array(bucket_of(F.col("cts")), bucket_of(F.col("cts")) + 1)
+        ).alias("bucket"),
+    )
+    vcp = (
+        vc_b.join(purchases, ["user_id", "bucket"])
+        .filter(
+            (F.col("pts") > F.col("cts"))
+            & (F.unix_timestamp("pts") - F.unix_timestamp("cts") <= W)
+        )
+        .select("user_id")
+    )
+
+    s1 = ev.filter(F.col("event_type") == "view").agg(
+        F.lit(1).alias("step"), F.countDistinct("user_id").alias("n_users")
+    )
+    s2 = vc.agg(
+        F.lit(2).alias("step"), F.countDistinct("user_id").alias("n_users")
+    )
+    s3 = vcp.agg(
+        F.lit(3).alias("step"), F.countDistinct("user_id").alias("n_users")
+    )
+    return s1.unionByName(s2).unionByName(s3)

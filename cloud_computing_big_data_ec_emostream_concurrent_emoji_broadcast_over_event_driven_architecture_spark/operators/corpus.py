@@ -728,3 +728,142 @@ def q_pipeline_incremental_ingest(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. KMV set-operation estimates (theta-sketch style)
+
+
+def _kmv_cte(name: str, where: str) -> str:
+    """CTE pair: distinct KMV hashes of user_id under ``where``, then
+    the k-smallest summary (kth min + realized k)."""
+    h = md5_long_sql("'kmv:' || CAST(user_id AS VARCHAR)")
+    return f"""{name}_h AS (
+            SELECT DISTINCT {h} AS hv FROM events WHERE {where}
+        ), {name}_k AS (
+            SELECT MAX(hv) AS hk, COUNT(*) AS kk
+            FROM (SELECT hv FROM {name}_h ORDER BY hv LIMIT {KMV_K})
+        )"""
+
+
+@register(
+    "q_sketch_kmv_setops",
+    tags=("sketch", "setop", "agg", "scale"),
+    oracle=f"""
+        WITH {_kmv_cte('a', "event_type = 'click'")},
+        {_kmv_cte('b', "event_type = 'purchase'")},
+        u_h AS (
+            SELECT hv FROM a_h UNION SELECT hv FROM b_h
+        ), u_k AS (
+            SELECT MAX(hv) AS hk, COUNT(*) AS kk
+            FROM (SELECT hv FROM u_h ORDER BY hv LIMIT {KMV_K})
+        ), ex AS (
+            SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                            THEN user_id END) AS BIGINT)
+                       AS exact_a,
+                   CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                            THEN user_id END) AS BIGINT)
+                       AS exact_b,
+                   CAST(COUNT(DISTINCT CASE WHEN event_type
+                                            IN ('click', 'purchase')
+                                            THEN user_id END) AS BIGINT)
+                       AS exact_union
+            FROM events
+        )
+        SELECT ROUND((a_k.kk - 1) * {float(HASH_SPACE)} / a_k.hk, 4)
+                   AS est_a,
+               ROUND((b_k.kk - 1) * {float(HASH_SPACE)} / b_k.hk, 4)
+                   AS est_b,
+               ROUND((u_k.kk - 1) * {float(HASH_SPACE)} / u_k.hk, 4)
+                   AS est_union,
+               ROUND((a_k.kk - 1) * {float(HASH_SPACE)} / a_k.hk
+                     + (b_k.kk - 1) * {float(HASH_SPACE)} / b_k.hk
+                     - (u_k.kk - 1) * {float(HASH_SPACE)} / u_k.hk, 4)
+                   AS est_intersection,
+               ex.exact_a, ex.exact_b, ex.exact_union,
+               CAST(ex.exact_a + ex.exact_b - ex.exact_union AS BIGINT)
+                   AS exact_intersection
+        FROM a_k CROSS JOIN b_k CROSS JOIN u_k CROSS JOIN ex
+    """,
+)
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET-OPERATION estimates (the theta-sketch use case): distinct
+    clickers, distinct purchasers, their UNION — estimated by merging
+    the two k-minimum-values sketches (union of hash sets → k smallest;
+    sketch merge is exactly how theta/KMV sketches compose) — and the
+    INTERSECTION by inclusion-exclusion, each next to its exact value.
+    This is the audience-overlap query every analytics store answers
+    from pre-aggregated per-segment sketches instead of re-scanning raw
+    events.
+
+    Plan: each sketch is a distinct + TakeOrdered top-k (fixed-size
+    mergeable state per partition — at 100 TB the sketches live in a
+    per-segment summary table of {KMV_K} longs each and the merge never
+    touches the fact table); the exacts ride one conditional
+    count-distinct pass to ground the errors."""
+    ev = table(spark, sf_dir, "events")
+    hv = md5_long(
+        F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+    ).alias("hv")
+
+    def sketch(pred):
+        h = ev.filter(pred).select(hv).distinct()
+        return h.orderBy("hv").limit(KMV_K).agg(
+            F.max("hv").alias("hk"), F.count("*").alias("kk")
+        )
+
+    a_h = ev.filter(F.col("event_type") == "click").select(hv).distinct()
+    b_h = ev.filter(F.col("event_type") == "purchase").select(hv).distinct()
+    a_k = sketch(F.col("event_type") == "click")
+    b_k = sketch(F.col("event_type") == "purchase")
+    u_k = (
+        a_h.union(b_h)
+        .distinct()
+        .orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").alias("hk"), F.count("*").alias("kk"))
+    )
+    ex = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"),
+                F.col("user_id"),
+            )
+        ).alias("exact_union"),
+    )
+
+    def est(kdf):
+        return (F.col(f"{kdf}_kk") - 1) * F.lit(float(HASH_SPACE)) / F.col(
+            f"{kdf}_hk"
+        )
+
+    joined = (
+        a_k.select(F.col("hk").alias("a_hk"), F.col("kk").alias("a_kk"))
+        .crossJoin(
+            b_k.select(F.col("hk").alias("b_hk"), F.col("kk").alias("b_kk"))
+        )
+        .crossJoin(
+            u_k.select(F.col("hk").alias("u_hk"), F.col("kk").alias("u_kk"))
+        )
+        .crossJoin(ex)
+    )
+    return joined.select(
+        F.round(est("a"), 4).alias("est_a"),
+        F.round(est("b"), 4).alias("est_b"),
+        F.round(est("u"), 4).alias("est_union"),
+        F.round(est("a") + est("b") - est("u"), 4).alias(
+            "est_intersection"
+        ),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        .cast("long")
+        .alias("exact_intersection"),
+    )

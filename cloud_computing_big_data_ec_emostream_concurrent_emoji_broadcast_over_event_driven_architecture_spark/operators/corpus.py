@@ -456,6 +456,30 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6. two-phase distributed global shuffle + sharding
 
 
+def shard_assignments(docs: DataFrame) -> DataFrame:
+    """Input columns + (hv, b, grn, shard_id): the deterministic global
+    shuffle rank and shard of every document, computed with the
+    two-phase bucket construction (range-bucket on the hash's top bits,
+    prefix-summed bucket offsets + within-bucket row_number) — no
+    single-partition sort anywhere.  ``catalog.write_training_shards``
+    materializes this as shard-partitioned parquet."""
+    h = docs.withColumn(
+        "hv",
+        md5_long(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))),
+    ).withColumn("b", F.expr(f"hv div {SHUFFLE_SPAN}"))
+    counts = h.groupBy("b").agg(F.count("*").alias("bc"))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("b").orderBy("hv", "doc_id")
+    return (
+        h.join(F.broadcast(offsets), "b")
+        .withColumn("grn", F.col("off") + F.row_number().over(w_local))
+        .withColumn("shard_id", F.expr(f"(grn - 1) div {SHARD_SIZE}"))
+    )
+
+
 @register(
     "q_corpus_shuffle_shards",
     tags=("sampling", "llm-pipeline", "scale", "sort"),
@@ -494,30 +518,8 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``repartitionByRange`` + per-partition offsets does on a cluster),
     while the only global step touches {SHUFFLE_BUCKETS} count rows."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    h = docs.select(
-        "doc_id",
-        "n_chars",
-        md5_long(
-            F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))
-        ).alias("hv"),
-    ).withColumn("b", F.expr(f"hv div {SHUFFLE_SPAN}"))
-    counts = h.groupBy("b").agg(F.count("*").alias("bc"))
-    w_off = (
-        Window.orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "b", F.coalesce(F.sum("bc").over(w_off), F.lit(0)).alias("off")
-    )
-    w_local = Window.partitionBy("b").orderBy("hv", "doc_id")
-    ranked = (
-        h.join(F.broadcast(offsets), "b")
-        .withColumn("grn", F.col("off") + F.row_number().over(w_local))
-    )
     return (
-        ranked.withColumn(
-            "shard_id", F.expr(f"(grn - 1) div {SHARD_SIZE}")
-        )
+        shard_assignments(docs)
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),

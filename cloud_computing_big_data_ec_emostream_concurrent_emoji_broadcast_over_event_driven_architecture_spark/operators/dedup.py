@@ -1161,3 +1161,34 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "q_dedup_cluster_sizes",
+    tags=("dedup", "graph", "diagnostics"),
+    oracle=f"""
+        WITH labels AS ({_cc_oracle()})
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM labels GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE DISTRIBUTION — the corpus-health diagnostic
+    read off every dedup run (a long tail of pairs is normal; a giant
+    connected component usually means boilerplate gluing unrelated docs
+    together — the signal to tighten the shingle threshold before
+    deleting anything).  Two tiny aggregations over the converged
+    component labels; at 100 TB the histogram is component-count-sized,
+    and a skew-blowup in the first groupBy IS the anomaly this query
+    exists to catch."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )

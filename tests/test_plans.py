@@ -378,3 +378,18 @@ def test_pca_power_exchanges_are_dim_sized(spark, sf_dir):
     data-sized relation never shuffles."""
     plan = _plan(spark, sf_dir, "q_embedding_pca_power")
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_multistep_no_nested_loop(spark, sf_dir):
+    """Every funnel hop is a bucketized equi-join — no nested-loop /
+    cartesian fallback anywhere in the chain."""
+    plan = _plan(spark, sf_dir, "q_funnel_multistep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_setops_sketches_take_ordered(spark, sf_dir):
+    """All three sketches (A, B, merged union) build via TakeOrdered
+    top-k — the fact table is never globally sorted."""
+    plan = _plan(spark, sf_dir, "q_sketch_kmv_setops")
+    assert plan.count("TakeOrderedAndProject") >= 3

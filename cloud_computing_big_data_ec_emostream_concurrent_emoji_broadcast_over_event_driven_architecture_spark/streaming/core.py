@@ -367,3 +367,75 @@ def bloom_probe_stream(
         .foreachBatch(_probe)
         .start()
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    step_types: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_sec: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAMING multi-step funnel — the real-time twin of the batch
+    ``q_funnel_multistep``: one event stream filtered into the three
+    funnel legs and CHAINED through two stream-stream joins, each with
+    a time-range bound (next step strictly after the previous, within
+    ``window_sec``).  Emits one append-mode row per completed
+    view→click→purchase chain with all three timestamps.
+
+    State story: every leg carries its own watermark and every join has
+    a range bound, so Spark can evict join state once the watermark
+    passes vts + 2·window — state is bounded by (arrival rate ×
+    funnel horizon), independent of stream lifetime.  Chained
+    stream-stream inner joins are append-mode-only by construction,
+    which is exactly the semantics a funnel-completion feed wants
+    (each completion is a fact, never restated)."""
+    t1, t2, t3 = step_types
+    ev = _event_time(events, "ts")
+    v = (
+        ev.filter(F.col("event_type") == t1)
+        .select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+        )
+        .withWatermark("vts", watermark)
+    )
+    c = (
+        ev.filter(F.col("event_type") == t2)
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+        )
+        .withWatermark("cts", watermark)
+    )
+    p = (
+        ev.filter(F.col("event_type") == t3)
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+        )
+        .withWatermark("pts", watermark)
+    )
+    within = lambda later, earlier: (
+        (later > earlier)
+        & (later <= earlier + F.expr(f"INTERVAL {window_sec} SECONDS"))
+    )
+    vc = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & within(F.col("cts"), F.col("vts")),
+    )
+    # The joined stream carries TWO watermarked event-time columns (vts,
+    # cts); a further stream-stream join refuses that. Strip the
+    # event-time tag from vts with an exact unix_micros round trip —
+    # cts (the later step) remains the single event-time column driving
+    # the second join's state eviction.
+    vc = vc.select(
+        "v_user",
+        F.timestamp_micros(F.unix_micros(F.col("vts"))).alias("vts"),
+        "cts",
+    )
+    vcp = vc.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & within(F.col("pts"), F.col("cts")),
+    )
+    return vcp.select(
+        F.col("v_user").alias("user_id"), "vts", "cts", "pts"
+    )

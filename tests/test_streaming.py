@@ -1015,3 +1015,46 @@ def test_bloom_probe_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_funnel_stream_chained_joins(spark, tmp_path):
+    """Chained stream-stream joins complete the funnel only for users
+    whose steps arrive in order within the window: user 7 completes,
+    user 8 never purchases, user 9's purchase is outside the window."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        funnel_stream,
+    )
+
+    schema = "event_id long, ts_s string, user_id long, event_type string"
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view"),
+        (2, "2024-01-01 00:10:00", 7, "click"),
+        (3, "2024-01-01 00:20:00", 7, "purchase"),
+        (4, "2024-01-01 00:00:00", 8, "view"),
+        (5, "2024-01-01 00:05:00", 8, "click"),
+        (6, "2024-01-01 00:00:00", 9, "view"),
+        (7, "2024-01-01 00:10:00", 9, "click"),
+        (8, "2024-01-01 02:00:00", 9, "purchase"),  # > 30 min after click
+        (9, "2024-01-01 06:00:00", 99, "view"),  # watermark pusher
+        (10, "2024-01-01 06:00:00", 99, "click"),
+        (11, "2024-01-01 06:00:00", 99, "purchase"),
+    ]
+    d = tmp_path / f"fs_{uuid.uuid4().hex[:6]}"
+    spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).select("event_id", "ts", "user_id", "event_type").coalesce(
+        1
+    ).write.parquet(str(d))
+    stream = file_replay_stream(
+        spark, str(d), spark.read.parquet(str(d)).schema
+    )
+    name = f"fs_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(funnel_stream(stream), name, "append")
+    got = {
+        (r["user_id"], r["vts"].isoformat(), r["pts"].isoformat())
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert (7, "2024-01-01T00:00:00", "2024-01-01T00:20:00") in got
+    users = {u for (u, _, _) in got}
+    assert 8 not in users
+    assert 9 not in users

@@ -869,3 +869,75 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("exact_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. per-source distribution shift (KL divergence)
+
+
+@register(
+    "q_corpus_source_kl",
+    tags=("text", "llm-pipeline", "quality", "stats"),
+    oracle="""
+        WITH w AS (
+            SELECT source, word FROM (
+                SELECT source, UNNEST(string_split(text, ' ')) AS word
+                FROM documents
+            ) WHERE word <> ''
+        ), sc AS (
+            SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+        ), st AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS stot
+            FROM sc GROUP BY 1
+        ), gc AS (
+            SELECT word, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM sc GROUP BY 1
+        ), gt AS (
+            SELECT CAST(SUM(gcnt) AS BIGINT) AS gtot FROM gc
+        )
+        SELECT sc.source,
+               CAST(MAX(st.stot) AS BIGINT) AS n_tokens,
+               ROUND(SUM((sc.cnt * 1.0 / st.stot)
+                         * ln((sc.cnt * 1.0 / st.stot)
+                              / (gc.gcnt * 1.0 / gt.gtot))), 6) AS kl_nats
+        FROM sc
+        JOIN st USING (source)
+        JOIN gc USING (word)
+        CROSS JOIN gt
+        GROUP BY 1
+    """,
+)
+def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-SHIFT audit: KL divergence of each source's unigram
+    distribution from the whole-corpus distribution (nats) — the
+    monitoring number a corpus curator watches per ingest source: a
+    source drifting away from the mix (scraper broke, language flipped,
+    spam burst) spikes its KL before any downstream eval moves.  Every
+    source word also appears in the corpus distribution by construction,
+    so the divergence is always finite — no smoothing term needed.
+
+    Plan: one (source, word) count aggregation (partial-combined), the
+    per-source totals as a 20-row broadcast, the corpus distribution
+    re-aggregated FROM the per-source counts (never a second scan of the
+    text) and broadcast back onto the (source, word) rows — vocab-sized,
+    same broadcast-over-Zipf-skew reasoning as q_corpus_unigram_logprob;
+    the final rollup is 20 groups."""
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    w = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    sc = w.groupBy("source", "word").agg(F.count("*").alias("cnt"))
+    st = sc.groupBy("source").agg(F.sum("cnt").alias("stot"))
+    gc = sc.groupBy("word").agg(F.sum("cnt").alias("gcnt"))
+    gt = gc.agg(F.sum("gcnt").alias("gtot"))
+    p = F.col("cnt") / F.col("stot")
+    q = F.col("gcnt") / F.col("gtot")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(gc), "word")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.max("stot").cast("long").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+    )

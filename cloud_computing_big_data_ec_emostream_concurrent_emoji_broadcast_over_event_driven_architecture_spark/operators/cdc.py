@@ -228,3 +228,59 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_to.alias("effective_to"),
         eff_to.isNull().alias("is_current"),
     )
+
+
+_MV_SPLIT_TS = "2024-01-24 00:00:00"
+
+
+@register(
+    "q_incremental_mv",
+    tags=("cdc", "agg", "scale"),
+    oracle=f"""
+        SELECT event_type,
+               CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW maintenance: the per-(type, minute)
+    count/sum rollup computed as BASE PARTIALS (history, ts < {_MV_SPLIT_TS})
+    merged with DELTA PARTIALS (the new ingest batch) — count and sum are
+    re-aggregable, so merge = union the partial rows and re-sum, exactly
+    the algebra a warehouse uses to refresh a stored MV from a nightly
+    delta WITHOUT rescanning history.  The ORACLE is the full direct
+    recompute over all events — the hash match proves
+    incremental-refresh ≡ full-recompute.
+
+    At 100 TB this is the difference between scanning one day and
+    scanning three years per refresh: the stored MV is partition-pruned
+    history partials, the delta aggregation touches only new files, and
+    the merge shuffles rows proportional to |distinct keys in the
+    delta|, not the fact table.  Decimal-exact sums so the merge order
+    can't drift the result."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_MV_SPLIT_TS).cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sval"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < split))
+    delta = partial(ev.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "minute")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.sum("sval"), 4).cast("double").alias("sum_value"),
+        )
+    )

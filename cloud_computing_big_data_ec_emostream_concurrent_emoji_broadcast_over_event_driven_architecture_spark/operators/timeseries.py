@@ -1006,3 +1006,62 @@ def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("step"), F.countDistinct("user_id").alias("n_users")
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "q_forecast_seasonal_naive",
+    tags=("timeseries", "forecast", "agg"),
+    oracle="""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               ROUND(AVG(ABS(a.cnt - b.cnt)), 6) AS mae_seasonal,
+               ROUND(AVG(a.cnt * 1.0), 6) AS mean_cnt
+        FROM h a JOIN h b
+          ON b.event_type = a.event_type
+         AND b.hr = a.hr - INTERVAL 24 HOURS
+        GROUP BY 1
+    """,
+)
+def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST-BASELINE evaluation: the seasonal-naive predictor (this
+    hour's count = the count 24 h earlier) scored by MAE per event type
+    — the floor every real capacity-planning model must beat, and the
+    standard health check before shipping anything fancier.  The mean
+    hourly count sits alongside so the MAE reads as a relative error.
+
+    Plan: one hour-level aggregation of the fact table (partial-combined
+    to |types|×|hours| rows), then a SELF-join of that tiny aggregate
+    shifted by exactly 24 h — an interval-shifted equi-join, which is
+    gap-safe (a missing prior hour drops the row) where a lag(24-rows)
+    window would silently misalign across gaps.  The fact table is
+    scanned once; everything after is aggregate-sized."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (
+                F.col("b.hr")
+                == F.col("a.hr") - F.expr("INTERVAL 24 HOURS")
+            ),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(F.avg(F.abs(F.col("a.cnt") - F.col("b.cnt"))), 6).alias(
+                "mae_seasonal"
+            ),
+            F.round(F.avg(F.col("a.cnt")), 6).alias("mean_cnt"),
+        )
+    )

@@ -393,3 +393,19 @@ def test_kmv_setops_sketches_take_ordered(spark, sf_dir):
     top-k — the fact table is never globally sorted."""
     plan = _plan(spark, sf_dir, "q_sketch_kmv_setops")
     assert plan.count("TakeOrderedAndProject") >= 3
+
+
+def test_incremental_mv_merges_without_join(spark, sf_dir):
+    """The MV refresh is pure aggregation algebra: partials + union +
+    re-aggregate — no join anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q_incremental_mv")
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_seasonal_naive_self_join_is_aggregate_sized(spark, sf_dir):
+    """The 24h-shift join runs over the hour-level aggregate (tiny), so
+    it broadcasts — the fact table is scanned once, never joined."""
+    plan = _plan(spark, sf_dir, "q_forecast_seasonal_naive")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

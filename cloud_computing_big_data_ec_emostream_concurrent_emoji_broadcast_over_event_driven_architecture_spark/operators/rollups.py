@@ -337,3 +337,90 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.count(F.when(discounted, F.lit(1))) / F.count("*"), 6
         ).alias("pct_discounted"),
     )
+
+
+@register(
+    "q_cooccurrence_lift",
+    tags=("agg", "join", "stats"),
+    oracle="""
+        WITH cells AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('minute', ts) AS minute, event_type
+            FROM events
+        ), singles AS (
+            SELECT event_type, COUNT(*) AS cnt FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT COUNT(DISTINCT (user_id, minute)) AS n FROM cells
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_cnt,
+               ROUND(COUNT(*) * 1.0 * MAX(tot.n)
+                     / (MAX(sa.cnt) * MAX(sb.cnt)), 6) AS lift
+        FROM cells a
+        JOIN cells b ON a.user_id = b.user_id AND a.minute = b.minute
+                    AND a.event_type < b.event_type
+        JOIN singles sa ON sa.event_type = a.event_type
+        JOIN singles sb ON sb.event_type = b.event_type
+        CROSS JOIN tot
+        GROUP BY 1, 2
+    """,
+)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-OCCURRENCE LIFT (market-basket over time cells): which event
+    types appear together in the same (user, minute) more often than
+    independence predicts — lift = P(a,b) / (P(a)·P(b)) over the
+    distinct user-minute baskets.  Lift > 1 flags coupled behaviors
+    (click→purchase), < 1 mutually exclusive ones.
+
+    Plan: baskets are deduped FIRST (distinct (user, minute, type) — at
+    most |types| rows per basket survive), the pair self-join keys on
+    the (user, minute) basket id so its output is bounded by
+    baskets × C(|types|,2) — never events² — and the marginals join as
+    a |types|-row broadcast with the basket total as a 1-row broadcast.
+    The only data-sized shuffle is the initial distinct."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+        "event_type",
+    ).distinct()
+    singles = cells.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    tot = cells.select("user_id", "minute").distinct().agg(
+        F.count("*").alias("n")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.minute") == F.col("b.minute"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "pair_cnt",
+            F.round(
+                F.col("pair_cnt") * F.col("n")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

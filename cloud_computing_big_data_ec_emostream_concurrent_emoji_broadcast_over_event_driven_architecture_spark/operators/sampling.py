@@ -813,3 +813,39 @@ def q_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+KFOLD_K = 5
+
+
+@register(
+    "q_kfold_stratified",
+    tags=("sampling", "hash", "llm-pipeline"),
+    oracle=f"""
+        SELECT lang,
+               CAST({md5_long_sql("'fold:' || CAST(doc_id AS VARCHAR)")}
+                    % {KFOLD_K} AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def q_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD cross-validation assignment ({KFOLD_K} folds): fold =
+    hash(doc_id) mod K — deterministic, storage-free (recomputable from
+    the key anywhere, any engine, any partitioning), and uniform WITHIN
+    each stratum, reported as per-(lang, fold) counts so the balance is
+    auditable.  The eval loop trains on K-1 folds with a pure filter
+    predicate — no data movement to "create" a split, which is the
+    whole point at 100 TB (materializing K copies is K× storage;
+    a hash predicate is free and pushes to the scan)."""
+    docs = table(spark, sf_dir, "documents")
+    fold = (
+        md5_long(F.concat(F.lit("fold:"), F.col("doc_id").cast("string")))
+        % KFOLD_K
+    )
+    return docs.groupBy("lang", fold.alias("fold")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -888,3 +888,58 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(sh) > 0) & (rep > REPETITION_MAX), 1
         ).otherwise(0).alias("is_repetitive"),
     )
+
+
+BLOCKLIST = ("spam", "scam", "xxx", "casino", "viagra")
+BLOCK_MAX_RATIO = 0.0  # any blocklisted token rejects the doc (C4 policy)
+
+
+@register(
+    "q_text_blocklist_filter",
+    tags=("text", "llm-pipeline", "cleaning"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS toks
+            FROM documents
+        ), flagged AS (
+            SELECT doc_id, lang, len(toks) AS n_tokens,
+                   len(list_filter(toks,
+                       w -> w IN ({", ".join(f"'{w}'" for w in BLOCKLIST)})))
+                       AS n_blocked
+            FROM base
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_blocked > {BLOCK_MAX_RATIO} THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_rejected,
+               CAST(SUM(n_blocked) AS BIGINT) AS total_blocked_tokens
+        FROM flagged
+        GROUP BY 1
+    """,
+)
+def q_text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKLIST filtering (the C4 "bad words" gate): count blocklisted
+    tokens per document, reject any document containing one, report the
+    rejection rate per language — the cleaning step that runs BEFORE
+    dedup so junk never costs shingle hashing.  The list here is a tiny
+    embedded stand-in; production lists (~2k terms) ride the same plan.
+
+    Plan: pure per-row array arithmetic (a lambda filter over the token
+    array against an inlined literal set — for large lists, a broadcast
+    join against an exploded token stream) + one language-sized rollup.
+    No shuffle of the text, ever."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.filter(tokens(F.col("text")), lambda w: w != "")
+    n_blocked = F.size(F.filter(toks, lambda w: w.isin(*BLOCKLIST)))
+    flagged = docs.select(
+        "lang",
+        n_blocked.alias("n_blocked"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_blocked") > BLOCK_MAX_RATIO, 1).otherwise(0)
+        ).alias("n_rejected"),
+        F.sum("n_blocked").alias("total_blocked_tokens"),
+    )

@@ -943,3 +943,61 @@ def q_text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_rejected"),
         F.sum("n_blocked").alias("total_blocked_tokens"),
     )
+
+
+@register(
+    "q_text_zipf_fit",
+    tags=("text", "stats", "agg"),
+    oracle="""
+        WITH wc AS (
+            SELECT word, COUNT(*) AS cnt FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS word
+                FROM documents
+            ) WHERE word <> ''
+            GROUP BY 1
+        ), ranked AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+            FROM wc
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               ROUND(regr_slope(ln(cnt * 1.0), ln(rnk * 1.0)), 6)
+                   AS zipf_slope,
+               ROUND(regr_r2(ln(cnt * 1.0), ln(rnk * 1.0)), 6) AS r2
+        FROM ranked
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit: the log-log rank-frequency slope of the corpus
+    vocabulary (natural text ≈ −1; the synthetic fixture's flat 31-word
+    vocabulary fits ≈ −0.18) — a one-number corpus-naturalness
+    diagnostic: machine-generated or template spam bends the curve, and
+    the fit degrading over ingest batches is a cheap drift alarm
+    alongside ``q_corpus_source_kl``.
+
+    Plan: one word-count aggregation, a rank window over the
+    VOCABULARY-sized result (never the token stream), and the built-in
+    ``regr_slope``/``regr_r2`` least-squares aggregates — single-pass
+    co-moment sums, identical in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = wc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("rnk"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(F.expr("regr_slope(ln(cnt * 1.0), ln(rnk * 1.0))"), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.expr("regr_r2(ln(cnt * 1.0), ln(rnk * 1.0))"), 6).alias(
+            "r2"
+        ),
+    )

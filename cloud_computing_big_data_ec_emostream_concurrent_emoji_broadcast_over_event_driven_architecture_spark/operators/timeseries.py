@@ -1065,3 +1065,150 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("a.cnt")), 6).alias("mean_cnt"),
         )
     )
+
+
+@register(
+    "q_markov_transitions",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ), pairs AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   COUNT(*) AS cnt
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT from_type, SUM(cnt) AS tot FROM pairs GROUP BY 1
+        )
+        SELECT p.from_type, p.to_type,
+               CAST(p.cnt AS BIGINT) AS cnt,
+               ROUND(p.cnt * 1.0 / t.tot, 6) AS prob
+        FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV transition matrix over per-user event
+    sequences: P(next type | current type) — the behavioral model under
+    next-action prediction, anomaly scoring (improbable transitions),
+    and the funnel queries' statistical generalization.
+
+    Plan: ONE window pass (lead over the user-partitioned, time-ordered
+    stream — same shuffle the sessionizer pays), then two aggregations
+    over the |types|²-sized pair counts; the row-normalizing totals join
+    back as a |types|-row broadcast.  Sequence construction never pairs
+    events across users by construction, so the shuffle is the
+    user-keyed exchange and nothing else."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("cnt"))
+    totals = pairs.groupBy("from_type").agg(F.sum("cnt").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "cnt",
+            F.round(F.col("cnt") / F.col("tot"), 6).alias("prob"),
+        )
+    )
+
+
+@register(
+    "q_session_stats",
+    tags=("timeseries", "session", "window", "stats"),
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id))) AS BIGINT)
+                             > 1800
+                             OR lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                       - CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                       AS duration_sec,
+                   COUNT(*) AS n_events
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               ROUND(AVG(duration_sec * 1.0), 6) AS avg_duration_sec,
+               ROUND(quantile_cont(duration_sec, 0.5), 6) AS p50_duration,
+               ROUND(quantile_cont(duration_sec, 0.95), 6) AS p95_duration,
+               ROUND(AVG(n_events * 1.0), 6) AS avg_events
+        FROM sessions
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-LEVEL statistics (duration percentiles, events/session)
+    over the same >30-min-gap sessionization as ``q_sessionize`` — the
+    engagement summary a product dashboard reports.
+
+    Plan: the gap flag and the running session counter share ONE
+    user-partitioned window sort; sessions then collapse with a
+    (user, session) groupBy, and the final summary aggregates
+    session-count-sized rows (exact percentiles here;
+    ``approx_percentile`` is the mergeable drop-in at 100 TB)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev_sec = F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev_sec.isNull() | ((sec - prev_sec) > 1800), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w_run).alias("session_id"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        (
+            F.unix_timestamp(F.max("ts").cast("timestamp"))
+            - F.unix_timestamp(F.min("ts").cast("timestamp"))
+        ).alias("duration_sec"),
+        F.count("*").alias("n_events"),
+    )
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("duration_sec"), 6).alias("avg_duration_sec"),
+        F.round(F.expr("percentile(duration_sec, 0.5)"), 6).alias(
+            "p50_duration"
+        ),
+        F.round(F.expr("percentile(duration_sec, 0.95)"), 6).alias(
+            "p95_duration"
+        ),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )

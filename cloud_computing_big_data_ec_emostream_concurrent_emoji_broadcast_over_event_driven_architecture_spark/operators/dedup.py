@@ -1192,3 +1192,169 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
     )
+
+
+def _sig_cols_sql() -> str:
+    return ",\n                   ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+        f" AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+
+
+def _band_cand_sql(band_size: int, prefix: str) -> str:
+    """bands + distinct candidate-pair CTEs for an arbitrary banding of
+    the SAME 16-hash signatures (r rows × 16/r bands)."""
+    nb = len(MINHASH_AB) // band_size
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"CAST(s{b * band_size + j} AS VARCHAR)"
+                for j in range(band_size)
+            ),
+        )
+        for b in range(nb)
+    )
+    return f"""{prefix}bands AS (
+            {band_selects}
+        ), {prefix}cand AS (
+            SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+            FROM {prefix}bands x JOIN {prefix}bands y
+              ON x.band = y.band AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id
+        )"""
+
+
+def _band_sensitivity_oracle() -> str:
+    per_config = "\n        UNION ALL\n        ".join(
+        f"""SELECT 'bands{len(MINHASH_AB) // r}x{r}' AS config,
+               CAST((SELECT COUNT(*) FROM {p}cand) AS BIGINT)
+                   AS n_candidates,
+               CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT)
+                   AS n_exact,
+               CAST((SELECT COUNT(*) FROM exact_pairs e
+                     JOIN {p}cand c ON e.doc_id_a = c.doc_id_a
+                                   AND e.doc_id_b = c.doc_id_b) AS BIGINT)
+                   AS n_found,
+               ROUND((SELECT COUNT(*) FROM exact_pairs e
+                      JOIN {p}cand c ON e.doc_id_a = c.doc_id_a
+                                    AND e.doc_id_b = c.doc_id_b) * 1.0
+                     / GREATEST((SELECT COUNT(*) FROM exact_pairs), 1), 6)
+                   AS recall"""
+        for r, p in ((4, "b4"), (2, "b2"))
+    )
+    return f"""
+        WITH {_HS_CTE},
+        sig AS (
+            SELECT doc_id,
+                   {_sig_cols_sql()}
+            FROM ne
+        ),
+        {_band_cand_sql(4, "b4")},
+        {_band_cand_sql(2, "b2")},
+        inter AS (
+            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS c
+            FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        exact_pairs AS (
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN ne sa ON inter.doc_id_a = sa.doc_id
+            JOIN ne sb ON inter.doc_id_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        )
+        {per_config}
+    """
+
+
+@register(
+    "q_minhash_band_sensitivity",
+    tags=("dedup", "minhash", "lsh", "diagnostics", "scale"),
+    oracle=_band_sensitivity_oracle(),
+)
+def q_minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-CURVE sensitivity audit: the SAME 16 minhashes banded two
+    ways — 4 bands × 4 rows (the production config) vs 8 bands × 2 rows
+    — with candidate volume and realized recall against the exact tier
+    side by side.  The theory: P(candidate) = 1-(1-J^r)^b, so at
+    J = 0.8, 4×4 catches ≈ 88% per the curve while 8×2 catches ≈ 99.97%
+    at the cost of more (lower-precision) candidates.  This is the
+    dial-turning evidence for choosing a banding at 100 TB: measure the
+    recall/cost tradeoff on a sample with THIS query before committing
+    a config to the full corpus.
+
+    Plan: signatures come from the shared cache; each config is one
+    band-key equi-join (never all-pairs); the exact tier reuses the
+    inverted-index join.  All counts are aggregates over pair lists —
+    the output is two rows."""
+    hdf = _hashed_shingle_sets(spark, sf_dir)
+    exact_pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+
+    def band_rows(band_size: int) -> DataFrame:
+        nb = len(MINHASH_AB) // band_size
+        return hdf.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.element_at(
+                                        "sig", b * band_size + j + 1
+                                    ).cast("string")
+                                    for j in range(band_size)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.band_key")
+
+    def config_row(band_size: int) -> DataFrame:
+        br = band_rows(band_size)
+        x, y = br.alias("x"), br.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_id_a"),
+                F.col("y.doc_id").alias("doc_id_b"),
+            )
+            .distinct()
+        )
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        n_found = cand.join(
+            exact_pairs, ["doc_id_a", "doc_id_b"]
+        ).agg(F.count("*").alias("n_found"))
+        n_exact = exact_pairs.agg(F.count("*").alias("n_exact"))
+        nb = len(MINHASH_AB) // band_size
+        return (
+            n_cand.crossJoin(n_exact)
+            .crossJoin(n_found)
+            .select(
+                F.lit(f"bands{nb}x{band_size}").alias("config"),
+                "n_candidates",
+                "n_exact",
+                "n_found",
+                F.round(
+                    F.col("n_found")
+                    / F.greatest(F.col("n_exact"), F.lit(1)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+
+    return config_row(4).unionByName(config_row(2))

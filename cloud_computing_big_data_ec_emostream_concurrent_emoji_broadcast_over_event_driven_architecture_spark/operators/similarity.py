@@ -1161,3 +1161,94 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ex", 6).alias("exact_dist"),
         )
     )
+
+
+OUTLIER_Z = 2.0
+
+
+@register(
+    "q_embedding_outliers",
+    tags=("similarity", "vector", "stats", "cleaning"),
+    oracle=f"""
+        WITH m AS (
+            SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings
+            CROSS JOIN UNNEST(range(1, {PCA_DIM} + 1)) AS u(i)
+        ), cent AS (
+            SELECT label, i, AVG(v) AS mu FROM m GROUP BY 1, 2
+        ), d AS (
+            SELECT m.vec_id, m.label,
+                   SQRT(SUM((m.v - c.mu) * (m.v - c.mu))) AS dist
+            FROM m JOIN cent c ON m.label = c.label AND m.i = c.i
+            GROUP BY 1, 2
+        ), stats AS (
+            SELECT label, AVG(dist) AS md, STDDEV_SAMP(dist) AS sd
+            FROM d GROUP BY 1
+        )
+        SELECT d.vec_id, CAST(d.label AS BIGINT) AS label,
+               ROUND(d.dist, 6) AS dist,
+               ROUND((d.dist - s.md) / s.sd, 6) AS z,
+               (ROUND((d.dist - s.md) / s.sd, 6) > {OUTLIER_Z}) AS is_outlier
+        FROM d JOIN stats s USING (label)
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER detection: each vector's L2 distance to its
+    label centroid, z-scored within the label; z > {OUTLIER_Z} flags the
+    corrupt/mislabeled/degenerate vectors an embedding pipeline should
+    quarantine before they poison ANN indexes or centroid-based
+    training.  (The outlier flag compares the ROUNDED z so the boundary
+    can't flip on last-bit float differences between engines.)
+
+    Plan: centroids come from one posexplode aggregation
+    ({PCA_DIM}×|labels| partial sums), re-packed as per-label dense
+    arrays and BROADCAST back; each vector's distance is then a single
+    narrow zip_with — no explode, no join of data-sized relations; the
+    per-label moments are a |labels|-row broadcast.  Three scans of a
+    columnar table, everything on the wire aggregate-sized."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    m = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = m.groupBy("label", "i").agg(
+        F.avg(F.col("v").cast("double")).alias("mu")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu"))),
+            lambda x: x["mu"],
+        ).alias("cvec")
+    )
+    d = (
+        emb.join(F.broadcast(cent_arr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "cvec",
+                        lambda x, mu: (x.cast("double") - mu)
+                        * (x.cast("double") - mu),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("dist"),
+        )
+    )
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("md"), F.stddev_samp("dist").alias("sd")
+    )
+    z = F.round((F.col("dist") - F.col("md")) / F.col("sd"), 6)
+    return (
+        d.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round("dist", 6).alias("dist"),
+            z.alias("z"),
+            (z > OUTLIER_Z).alias("is_outlier"),
+        )
+    )

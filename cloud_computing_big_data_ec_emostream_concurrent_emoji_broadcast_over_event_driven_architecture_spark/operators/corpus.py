@@ -98,12 +98,18 @@ def q_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     P = PASSAGE_TOKENS
     d = docs.select("doc_id", _toks().alias("toks"))
     npass = F.ceil(F.size("toks") / F.lit(float(P))).cast("long")
-    passages = F.transform(
-        F.sequence(F.lit(0).cast("long"), npass - 1),
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(F.col("toks"), i * P + 1, P))
+    # Guard: npass=0 (empty/whitespace-only doc) would make
+    # sequence(0, -1) DESCEND in Spark ([0,-1] -> two phantom md5('')
+    # passages) where DuckDB's range(0) is empty — emit none in both.
+    passages = F.when(
+        npass > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), npass - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), i * P + 1, P))
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     p = d.select("doc_id", F.explode(passages).alias("ph"))
     cnt = p.groupBy("ph").agg(F.count("*").alias("occ"))
     dup = F.when(F.col("occ") >= 2, 1).otherwise(0)
@@ -138,7 +144,9 @@ def q_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT w.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(AVG(ln(v.cnt * 1.0 / t.total)), 6) AS avg_logprob
+               ROUND(CAST(SUM(CAST(ln(v.cnt * 1.0 / t.total)
+                                   AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_logprob
         FROM w JOIN v USING (word) CROSS JOIN t
         GROUP BY 1
     """,
@@ -171,7 +179,13 @@ def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            # decimal(28,10) accumulation: order-independent exact sum so
+            # the 6-dp round can't flip across engines/partitionings.
+            F.round(
+                F.sum(logp.cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
         )
     )
 
@@ -896,9 +910,11 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT sc.source,
                CAST(MAX(st.stot) AS BIGINT) AS n_tokens,
-               ROUND(SUM((sc.cnt * 1.0 / st.stot)
+               ROUND(CAST(SUM(CAST(
+                         (sc.cnt * 1.0 / st.stot)
                          * ln((sc.cnt * 1.0 / st.stot)
-                              / (gc.gcnt * 1.0 / gt.gtot))), 6) AS kl_nats
+                              / (gc.gcnt * 1.0 / gt.gtot))
+                     AS DECIMAL(28,10))) AS DOUBLE), 6) AS kl_nats
         FROM sc
         JOIN st USING (source)
         JOIN gc USING (word)
@@ -938,6 +954,12 @@ def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.max("stot").cast("long").alias("n_tokens"),
-            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+            # decimal(28,10) accumulation — see q_corpus_unigram_logprob.
+            F.round(
+                F.sum(
+                    (p * F.log(p / q)).cast("decimal(28,10)")
+                ).cast("double"),
+                6,
+            ).alias("kl_nats"),
         )
     )

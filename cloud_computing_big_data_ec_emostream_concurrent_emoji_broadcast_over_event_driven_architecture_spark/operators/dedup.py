@@ -1139,12 +1139,19 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(tokens(F.col("text")), lambda w: w != "")
     hs = F.transform(shingles_ordered(toks), md5_long)
     d = docs.select("doc_id", hs.alias("hs"))
-    wins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
-            lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
-        )
-    )
+    # Guard: for docs with < WINNOW_W shingles Spark's sequence(1, n)
+    # with n < 1 produces a DESCENDING sequence (step defaults to -1)
+    # and slice(start=0) then throws — DuckDB's range() yields empty.
+    # Emit no fingerprints for such docs in both engines.
+    wins = F.when(
+        F.size("hs") >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     fp = d.select("doc_id", F.explode(wins).alias("f"))
     a = fp.alias("a")
     b = fp.alias("b")

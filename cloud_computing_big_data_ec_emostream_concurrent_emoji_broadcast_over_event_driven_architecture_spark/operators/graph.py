@@ -27,7 +27,9 @@ def _pagerank_oracle() -> str:
         iters.append(
             f"""r{i} AS (
             SELECT e.dst AS doc_id,
-                   {1 - PR_DAMPING} + {PR_DAMPING} * SUM(r.pr / d.d) AS pr
+                   {1 - PR_DAMPING} + {PR_DAMPING} * CAST(
+                       SUM(CAST(r.pr / d.d AS DECIMAL(28,10)))
+                       AS DOUBLE) AS pr
             FROM edges e
             JOIN {prev} r ON e.src = r.doc_id
             JOIN deg d ON e.src = d.src
@@ -90,10 +92,15 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(ranks, F.col("src") == F.col("doc_id"))
             .select(F.col("dst"), (F.col("pr") / F.col("d")).alias("c"))
         )
+        # Contributions accumulate as decimal(28,10): the sum becomes
+        # order-independent (exact), so the cross-engine hash gate can't
+        # flip on a double near a 6-dp rounding boundary.
         ranks = contribs.groupBy(F.col("dst").alias("doc_id")).agg(
-            (F.lit(1 - PR_DAMPING) + F.lit(PR_DAMPING) * F.sum("c")).alias(
-                "pr"
-            )
+            (
+                F.lit(1 - PR_DAMPING)
+                + F.lit(PR_DAMPING)
+                * F.sum(F.col("c").cast("decimal(28,10)")).cast("double")
+            ).alias("pr")
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("doc_id", F.round("pr", 6).alias("pagerank"))

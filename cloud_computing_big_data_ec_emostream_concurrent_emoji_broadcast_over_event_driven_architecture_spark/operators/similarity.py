@@ -888,27 +888,41 @@ PCA_DIM = 64  # fixture embedding width (FIXTURES.md)
             FROM embeddings
             CROSS JOIN UNNEST(range(1, {PCA_DIM} + 1)) AS u(i)
         ), means AS (
-            SELECT i, AVG(v) AS mu FROM m GROUP BY 1
+            SELECT i,
+                   CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+                       / COUNT(*) AS mu
+            FROM m GROUP BY 1
         ), mc AS (
             SELECT m.vec_id, m.i, m.v - means.mu AS v
             FROM m JOIN means USING (i)
         ), s1 AS (
-            SELECT vec_id, SUM(v * 1.0) AS s FROM mc GROUP BY 1
+            SELECT vec_id,
+                   CAST(SUM(CAST(v * 1.0 AS DECIMAL(28,10))) AS DOUBLE)
+                       AS s
+            FROM mc GROUP BY 1
         ), v1r AS (
-            SELECT mc.i AS dim, SUM(mc.v * s1.s) AS val
+            SELECT mc.i AS dim,
+                   CAST(SUM(CAST(mc.v * s1.s AS DECIMAL(28,10)))
+                        AS DOUBLE) AS val
             FROM mc JOIN s1 USING (vec_id) GROUP BY 1
         ), n1 AS (
-            SELECT SQRT(SUM(val * val)) AS nrm FROM v1r
+            SELECT SQRT(CAST(SUM(CAST(val * val AS DECIMAL(28,10)))
+                             AS DOUBLE)) AS nrm FROM v1r
         ), v1 AS (
             SELECT dim, val / n1.nrm AS val FROM v1r CROSS JOIN n1
         ), s2 AS (
-            SELECT mc.vec_id, SUM(mc.v * v1.val) AS s
+            SELECT mc.vec_id,
+                   CAST(SUM(CAST(mc.v * v1.val AS DECIMAL(28,10)))
+                        AS DOUBLE) AS s
             FROM mc JOIN v1 ON mc.i = v1.dim GROUP BY 1
         ), v2r AS (
-            SELECT mc.i AS dim, SUM(mc.v * s2.s) AS val
+            SELECT mc.i AS dim,
+                   CAST(SUM(CAST(mc.v * s2.s AS DECIMAL(28,10)))
+                        AS DOUBLE) AS val
             FROM mc JOIN s2 USING (vec_id) GROUP BY 1
         ), n2 AS (
-            SELECT SQRT(SUM(val * val)) AS nrm FROM v2r
+            SELECT SQRT(CAST(SUM(CAST(val * val AS DECIMAL(28,10)))
+                             AS DOUBLE)) AS nrm FROM v2r
         )
         SELECT CAST(dim AS BIGINT) AS dim,
                ROUND(val / n2.nrm, 6) AS component
@@ -954,10 +968,31 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vec")
         )
 
+    # Every cross-row double sum accumulates as decimal(28,10) (exact,
+    # order-independent) then re-enters double arithmetic — same
+    # convention as the MV/RHP folds, so the chained iterations produce
+    # bit-identical doubles in both engines instead of relying on
+    # ROUND(...,6) to absorb summation-order drift.
+    def dsum(col):
+        return F.sum(col.cast("decimal(28,10)")).cast("double")
+
+    def dfold(arr):
+        # exact array fold: per-element cast to decimal, decimal adds
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(38,10)"),
+            lambda acc, x: (acc + x.cast("decimal(28,10)")).cast(
+                "decimal(38,10)"
+            ),
+            lambda acc: acc.cast("double"),
+        )
+
     m = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "v")
     )
-    means = m.groupBy("i").agg(F.avg("v").alias("mu"))
+    means = m.groupBy("i").agg(
+        (dsum(F.col("v")) / F.count("*")).alias("mu")
+    )
     mean_arr = to_arr(means, "i", "mu")
 
     centered = (
@@ -974,18 +1009,14 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = cent.crossJoin(F.broadcast(v_arr_df)).select(
             "vec_id",
             "c",
-            F.aggregate(
-                F.zip_with("c", "vec", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("s"),
+            dfold(F.zip_with("c", "vec", lambda x, y: x * y)).alias("s"),
         )
         vr = (
             s.select(F.posexplode("c").alias("i", "v"), "s")
             .groupBy("i")
-            .agg(F.sum(F.col("v") * F.col("s")).alias("val"))
+            .agg(dsum(F.col("v") * F.col("s")).alias("val"))
         )
-        nrm = vr.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n"))
+        nrm = vr.agg(F.sqrt(dsum(F.col("val") * F.col("val"))).alias("n"))
         return vr.crossJoin(F.broadcast(nrm)).select(
             "i", (F.col("val") / F.col("n")).alias("val")
         )
@@ -998,18 +1029,14 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         centered.crossJoin(F.broadcast(to_arr(v1, "i", "val")))
         .select(
             "c",
-            F.aggregate(
-                F.zip_with("c", "vec", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("s"),
+            dfold(F.zip_with("c", "vec", lambda x, y: x * y)).alias("s"),
         )
         .select(F.posexplode("c").alias("i", "v"), "s")
         .groupBy("i")
-        .agg(F.sum(F.col("v") * F.col("s")).alias("val"))
+        .agg(dsum(F.col("v") * F.col("s")).alias("val"))
     )
     nrm2 = v2_unnorm.agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n")
+        F.sqrt(dsum(F.col("val") * F.col("val"))).alias("n")
     )
     return v2_unnorm.crossJoin(F.broadcast(nrm2)).select(
         (F.col("i") + 1).cast("long").alias("dim"),

@@ -1129,7 +1129,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "session", "window", "stats"),
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                              - CAST(floor(epoch(lag(ts) OVER (
                                    PARTITION BY user_id
@@ -1143,7 +1143,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), numbered AS (
             SELECT user_id, ts,
                    SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS session_id
             FROM flagged
@@ -1180,13 +1180,16 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             prev_sec.isNull() | ((sec - prev_sec) > 1800), 1
         ).otherwise(0).alias("new_session"),
     )
+    # event_id tie-break keeps session assignment deterministic for
+    # duplicate timestamps (and in lockstep with the gap-flag window).
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     numbered = flagged.select(

@@ -26,11 +26,41 @@ supplier counts are 10/100/1000.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..plans.registry import register
+
+
+def has_real_partsupp(sf_dir: str) -> bool:
+    """True iff the fixture dir ships a real ``partsupp.parquet``.
+
+    The driver's fixture set has none, so the five queries fall back to
+    the derived dimension there; a user pointing the engine at a real
+    TPC-H dataset gets the real join plans.  (Local-path probe — on a
+    cluster the deploy would resolve this through the catalog/metastore,
+    but fixture dirs here are always local.)"""
+    return os.path.exists(os.path.join(sf_dir, "partsupp.parquet"))
+
+
+def partsupp_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``partsupp`` from the real parquet when present, else derived.
+
+    Both paths expose the same 4-column schema, so every consumer below
+    is agnostic to the source; ``tests/test_partsupp_real.py`` pins that
+    materializing the derived dimension to parquet and re-running through
+    the real-table branch is hash-identical."""
+    if has_real_partsupp(sf_dir):
+        # direct read: partsupp is not in the driver's TABLES contract
+        # (no nano-timestamp columns to repair either)
+        return spark.read.parquet(
+            os.path.join(sf_dir, "partsupp.parquet")
+        ).select("ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost")
+    return derived_partsupp(spark, sf_dir)
+
 
 # The oracle-side derivation, prepended as a CTE to each query's SQL.
 # Integer-only arithmetic (plus one exact /100 at the end) so DuckDB and
@@ -161,7 +191,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps_eu = derived_partsupp(spark, sf_dir).join(
+    ps_eu = partsupp_source(spark, sf_dir).join(
         F.broadcast(sup_eu), F.col("ps_suppkey") == F.col("s_suppkey")
     )
     w = Window.partitionBy("ps_partkey")
@@ -224,23 +254,42 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier⨝nation broadcast into lineitem, one big-big shuffle with
     orders on orderkey, then a partial-agg'd groupBy on (nation, year).
     At 100 TB this eliminates the one midsize shuffle join (partsupp)
-    entirely — a generated dimension should cost zero I/O."""
-    s_cnt_row = (
-        table(spark, sf_dir, "supplier").agg(F.count("*").alias("s_cnt"))
-    )
-    li = table(spark, sf_dir, "lineitem").crossJoin(F.broadcast(s_cnt_row))
-    s4 = F.expr("s_cnt div 4")
-    # (l_suppkey - l_partkey) mod S, normalized non-negative; member iff it
-    # is i * (S div 4) for i in 0..3.
-    d = F.pmod(F.col("l_suppkey") - F.col("l_partkey"), F.col("s_cnt"))
-    member = (F.pmod(d, s4) == 0) & (F.expr(
-        "pmod(l_suppkey - l_partkey, s_cnt) div (s_cnt div 4)"
-    ) <= 3)
-    supplycost = (
-        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 90000)
-        .cast("double") / 100.0 + 100.0
-    )
-    li = li.filter(member).withColumn("ps_supplycost", supplycost)
+    entirely — a generated dimension should cost zero I/O.
+
+    When a REAL ``partsupp.parquet`` exists in ``sf_dir`` the fusion does
+    not apply (attributes are arbitrary) — the query then runs the real
+    join on (l_partkey, l_suppkey); partsupp is 4×|part| ≈ 0.8% of
+    lineitem, so it broadcasts up to the threshold and AQE-shuffles
+    beyond it.  ``tests/test_partsupp_real.py`` hash-matches the two
+    paths against each other."""
+    if has_real_partsupp(sf_dir):
+        ps = partsupp_source(spark, sf_dir).select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost"
+        )
+        li = table(spark, sf_dir, "lineitem").join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+    else:
+        s_cnt_row = (
+            table(spark, sf_dir, "supplier").agg(F.count("*").alias("s_cnt"))
+        )
+        li = table(spark, sf_dir, "lineitem").crossJoin(
+            F.broadcast(s_cnt_row)
+        )
+        s4 = F.expr("s_cnt div 4")
+        # (l_suppkey - l_partkey) mod S, normalized non-negative; member
+        # iff it is i * (S div 4) for i in 0..3.
+        d = F.pmod(F.col("l_suppkey") - F.col("l_partkey"), F.col("s_cnt"))
+        member = (F.pmod(d, s4) == 0) & (F.expr(
+            "pmod(l_suppkey - l_partkey, s_cnt) div (s_cnt div 4)"
+        ) <= 3)
+        supplycost = (
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 90000)
+            .cast("double") / 100.0 + 100.0
+        )
+        li = li.filter(member).withColumn("ps_supplycost", supplycost)
 
     p_bolt = (
         table(spark, sf_dir, "part")
@@ -323,7 +372,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     base = (
-        derived_partsupp(spark, sf_dir)
+        partsupp_source(spark, sf_dir)
         .join(F.broadcast(sup_n), F.col("ps_suppkey") == F.col("s_suppkey"))
         .select(
             "ps_partkey",
@@ -385,7 +434,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        derived_partsupp(spark, sf_dir)
+        partsupp_source(spark, sf_dir)
         .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(excl),
@@ -455,7 +504,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("qty"))
     )
     qualifying = (
-        derived_partsupp(spark, sf_dir)
+        partsupp_source(spark, sf_dir)
         .join(
             F.broadcast(p_bolt), F.col("ps_partkey") == F.col("p_partkey")
         )

@@ -7,10 +7,10 @@
   tier): the scale-safe candidate generator for near-dup pairs — a
   bucketed equi-join on (band, code), never an all-pairs or
   label-blocked join.
-- IVF-style ANN: assign every vector to its nearest of K pseudo-centroids,
-  probe only the query's centroid bucket — the index-shaped scale path;
-  deterministic (centroids := the first K vectors), so fully
-  oracle-checkable.
+- IVF-style ANN: assign every vector to its nearest of K k-means-trained
+  centroids (deterministic first-K init + unrolled Lloyd iterations, so
+  fully oracle-checkable), probe only the query's centroid bucket — the
+  index-shaped scale path.
 
 All cosine math is float64 after explicit casts in BOTH engines; outputs
 round to 6 dp before hashing. The LSH hyperplanes are derived from an
@@ -299,7 +299,7 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_CACHE: dict[tuple[str, ...], DataFrame] = {}
 
 
 def clear_ivf_cache() -> None:
@@ -311,14 +311,74 @@ def clear_ivf_cache() -> None:
     _IVF_CACHE.clear()
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cent_id, cv) — the K deterministic pseudo-centroids (tiny;
-    always broadcast)."""
-    emb = table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"),
-        as_double(F.col("embedding")).alias("cv"),
+KMEANS_ITERS = 2
+
+
+def _kmeans_assign(emb: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """One Lloyd assignment: every (vec_id, v) row to its nearest
+    (cosine; cent_id tie-break) centroid of the BROADCAST (cent_id, cv)
+    set. One codegen'd pass + a rank-1 window per vector."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents_df))
+        .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cent_id")
     )
+
+
+def _kmeans_recenter(assigned_df: DataFrame) -> DataFrame:
+    """Re-estimate centroids from an assignment: decimal-exact mean per
+    (cluster, dimension), rebuilt into an ordered array — so both engines
+    produce bit-identical centroid vectors regardless of row order."""
+    cx = (
+        assigned_df.select("cent_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                / F.count("*")
+            ).alias("cx")
+        )
+    )
+    return cx.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+            lambda s: s["cx"],
+        ).alias("cv")
+    )
+
+
+def trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cent_id, cv) — K-MEANS-TRAINED centroids: {KMEANS_ITERS} Lloyd
+    iterations from the deterministic first-K init (the same unrolled
+    iterations ``q_kmeans`` registers, so the DuckDB oracle replays the
+    training bit-for-bit).  Replaces the round-3 ``vec_id < K``
+    pseudo-centroids: trained centroids spread over the data's actual
+    modes, so IVF buckets are balanced and recall-at-nprobe improves
+    (tests/test_ann_recall.py pins trained ≥ pseudo at equal nprobe)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _kmeans_recenter(_kmeans_assign(emb, cents))
+    return cents
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained centroids, PERSISTED per (session, sf_dir): K rows, but
+    their lineage is {KMEANS_ITERS} passes over the corpus — training
+    runs once per session (the index-build job), never per query."""
+    key = (spark.sparkContext.applicationId, sf_dir, "cents")
+    if key not in _IVF_CACHE:
+        _IVF_CACHE[key] = trained_centroids(spark, sf_dir).persist()
+    return _IVF_CACHE[key]
 
 
 def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +389,7 @@ def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale this is the index-build job whose output would live as a
     bucketed table; rebuilding it per query — the previous shape — is
     what the 10× scaling run flagged."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "assigned")
     if key not in _IVF_CACHE:
         from pyspark.sql import Window
 
@@ -356,11 +416,60 @@ def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _IVF_CACHE[key]
 
 
+def _kmeans_assign_sql(cents_cte: str) -> str:
+    """One Lloyd assignment in DuckDB SQL against a (cent_id, cv) CTE."""
+    return f"""(
+            SELECT vec_id, v, cent_id FROM (
+                SELECT e.vec_id, e.v, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'c.cv')} DESC, c.cent_id
+                       ) AS rn
+                FROM ev e, {cents_cte} c
+            ) WHERE rn = 1
+        )"""
+
+
+def _kmeans_recenter_sql(assign_cte: str) -> str:
+    """Re-estimate centroids from an assignment CTE (decimal-exact mean
+    per dimension, rebuilt into an ordered list)."""
+    return f"""(
+            SELECT cent_id, list(cx ORDER BY pos) AS cv FROM (
+                SELECT cent_id, pos,
+                       CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(*) AS cx
+                FROM (
+                    SELECT cent_id,
+                           generate_subscripts(v, 1) AS pos,
+                           unnest(v) AS x
+                    FROM {assign_cte}
+                ) GROUP BY cent_id, pos
+            ) GROUP BY cent_id
+        )"""
+
+
+def _trained_cents_ctes() -> str:
+    """The CTE chain replaying :func:`trained_centroids`: ev, c0 (first-K
+    init), then {KMEANS_ITERS} unrolled assign/recenter rounds, ending in
+    a ``cents`` CTE — the oracle's twin of the Spark-side IVF index
+    training."""
+    ctes = [
+        f"ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, {as_double_sql('embedding')}"
+        f" AS cv FROM embeddings WHERE vec_id < {IVF_K})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"kma{i} AS {_kmeans_assign_sql(f'c{i}')}")
+        ctes.append(f"c{i + 1} AS {_kmeans_recenter_sql(f'kma{i}')}")
+    ctes.append(
+        f"cents AS (SELECT cent_id, cv FROM c{KMEANS_ITERS})"
+    )
+    return ",\n        ".join(ctes)
+
+
 _ASSIGN_SQL = f"""
-        cents AS (
-            SELECT vec_id AS cent_id, {as_double_sql('embedding')} AS cv
-            FROM embeddings WHERE vec_id < {IVF_K}
-        ),
+        {_trained_cents_ctes()},
         assigned AS (
             SELECT vec_id, embedding, cent_id FROM (
                 SELECT e.vec_id, e.embedding, c.cent_id,
@@ -396,8 +505,9 @@ _ASSIGN_SQL = f"""
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: vectors are partitioned into K
-    centroid buckets (centroids = the first K vectors — deterministic, so
-    the oracle replays the identical index); the query probes only its own
+    centroid buckets (centroids = k-means-trained from the deterministic
+    first-K init — the oracle replays the identical Lloyd iterations, so
+    the whole index is hash-checkable); the query probes only its own
     bucket. At 100 TB: centroids broadcast, assignment is one codegen'd
     pass PERSISTED per session (`_ivf_assignment`) — the index is built
     once and every subsequent ANN query reads it, exactly how a serving
@@ -476,41 +586,6 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KMEANS_ITERS = 2
-
-
-def _kmeans_assign_sql(cents_cte: str) -> str:
-    """One Lloyd assignment in DuckDB SQL against a (cent_id, cv) CTE."""
-    return f"""(
-            SELECT vec_id, v, cent_id FROM (
-                SELECT e.vec_id, e.v, c.cent_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {cosine_sql('e.v', 'c.cv')} DESC, c.cent_id
-                       ) AS rn
-                FROM ev e, {cents_cte} c
-            ) WHERE rn = 1
-        )"""
-
-
-def _kmeans_recenter_sql(assign_cte: str) -> str:
-    """Re-estimate centroids from an assignment CTE (decimal-exact mean
-    per dimension, rebuilt into an ordered list)."""
-    return f"""(
-            SELECT cent_id, list(cx ORDER BY pos) AS cv FROM (
-                SELECT cent_id, pos,
-                       CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
-                           / COUNT(*) AS cx
-                FROM (
-                    SELECT cent_id,
-                           generate_subscripts(v, 1) AS pos,
-                           unnest(v) AS x
-                    FROM {assign_cte}
-                ) GROUP BY cent_id, pos
-            ) GROUP BY cent_id
-        )"""
-
-
 def _kmeans_oracle() -> str:
     ctes = [
         f"ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v FROM embeddings)",
@@ -547,51 +622,14 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one DAG. The oracle unrolls the SAME iterations in SQL, so every
     intermediate assignment must agree across engines. At 100 TB each
     iteration would be checkpointed to cut lineage; 2 unrolled
-    iterations keep the driver-contract query self-contained."""
-    from pyspark.sql import Window
-
+    iterations keep the driver-contract query self-contained.  The
+    trained centroids double as the session's IVF index centroids
+    (:func:`trained_centroids` — the shared training loop)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    cents = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-
-    def assign(cents_df):
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("sim"), F.asc("cent_id")
-        )
-        return (
-            emb.crossJoin(F.broadcast(cents_df))
-            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cent_id")
-        )
-
-    def recenter(assigned_df):
-        cx = (
-            assigned_df.select(
-                "cent_id", F.posexplode("v").alias("pos", "x")
-            )
-            .groupBy("cent_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
-                    / F.count("*")
-                ).alias("cx")
-            )
-        )
-        return cx.groupBy("cent_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
-                lambda s: s["cx"],
-            ).alias("cv")
-        )
-
-    for _ in range(KMEANS_ITERS):
-        cents = recenter(assign(cents))
-    final = assign(cents)
+    cents = trained_centroids(spark, sf_dir)
+    final = _kmeans_assign(emb, cents)
     norm = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("cv"), F.col("cv"), lambda a, b: a * b),

@@ -88,3 +88,81 @@ def test_registered_multiprobe_matches_helper(spark, sf_dir):
         r["vec_id"] for r in ann_ivf_topk(spark, sf_dir, IVF_PROBES).collect()
     ]
     assert reg == helper
+
+
+def test_trained_centroids_recall_at_least_pseudo(spark, sf_dir):
+    """VERDICT r3 #3: the k-means-trained IVF index must recall at least
+    as much as the old vec_id<K pseudo-centroid index at equal nprobe."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        TOP_K,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    pseudo_cents = ev.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def ivf_topk_with(cents, nprobe):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("sim"), F.asc("cent_id")
+        )
+        assigned = (
+            ev.crossJoin(F.broadcast(cents))
+            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cent_id")
+        )
+        q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("v").alias("qv")
+        )
+        qw = Window.orderBy(F.desc("q_sim"), F.asc("cent_id"))
+        probes = (
+            cents.crossJoin(F.broadcast(q))
+            .select(
+                "cent_id", cosine(F.col("cv"), F.col("qv")).alias("q_sim")
+            )
+            .withColumn("rn", F.row_number().over(qw))
+            .filter(F.col("rn") <= nprobe)
+            .select(F.col("cent_id").alias("q_cent"))
+        )
+        return {
+            r["vec_id"]
+            for r in (
+                assigned.join(
+                    F.broadcast(probes), F.col("cent_id") == F.col("q_cent")
+                )
+                .filter(F.col("vec_id") != QUERY_VEC_ID)
+                .crossJoin(F.broadcast(q))
+                .select("vec_id", cosine("v", "qv").alias("sim"))
+                .orderBy(F.desc("sim"), F.asc("vec_id"))
+                .limit(TOP_K)
+                .collect()
+            )
+        }
+
+    exact = {r["vec_id"] for r in q_similarity_topk(spark, sf_dir).collect()}
+    for nprobe in (1, 2):
+        trained = ann_ivf_topk(spark, sf_dir, nprobe)
+        trained_recall = (
+            len({r["vec_id"] for r in trained.collect()} & exact) / len(exact)
+        )
+        pseudo_recall = (
+            len(ivf_topk_with(pseudo_cents, nprobe) & exact) / len(exact)
+        )
+        assert trained_recall >= pseudo_recall, (
+            f"nprobe={nprobe}: trained {trained_recall:.2f} "
+            f"< pseudo {pseudo_recall:.2f}"
+        )

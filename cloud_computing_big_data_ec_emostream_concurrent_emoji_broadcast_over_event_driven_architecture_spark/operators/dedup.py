@@ -167,61 +167,106 @@ _HS_CTE = f"""
 """
 
 
+# Shingles appearing in more than this many documents are dropped from
+# the INVERTED INDEX (candidate generation only — verification still
+# intersects the full shingle sets, so any surviving pair's Jaccard is
+# exact). Pair fan-out per shingle is then bounded by cap² instead of
+# df²: the skew wall the round-3 audit flagged. A pair is lost only if
+# EVERY shared shingle is corpus-hot — for Jaccard ≥ 0.8 that means a
+# document made almost entirely of boilerplate, which the repetition /
+# blocklist gates remove upstream. Fixture max df is 25 (sf0.1), so the
+# cap is inert at test scale and both engines replay it identically.
+JACCARD_DF_CAP = 64
+
+
 @register(
     "q_dedup_ngram_jaccard",
     headline=True,
     tags=("dedup", "jaccard"),
     oracle=f"""
         WITH {_HS_CTE},
-        inter AS (
-            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
-                   COUNT(*) AS c
-            FROM sh x JOIN sh y
+        hot AS (
+            SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {JACCARD_DF_CAP}
+        ),
+        idx AS (
+            SELECT doc_id, h FROM sh ANTI JOIN hot USING (h)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+            FROM idx x JOIN idx y
               ON x.h = y.h AND x.doc_id < y.doc_id
-            GROUP BY 1, 2
+        ),
+        verified AS (
+            SELECT c.doc_id_a, c.doc_id_b,
+                   len(list_intersect(sa.hs, sb.hs)) AS c,
+                   sa.n AS na, sb.n AS nb
+            FROM cand c
+            JOIN ne sa ON c.doc_id_a = sa.doc_id
+            JOIN ne sb ON c.doc_id_b = sb.doc_id
         )
         SELECT doc_id_a, doc_id_b,
-               ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-        FROM inter
-        JOIN ne sa ON inter.doc_id_a = sa.doc_id
-        JOIN ne sb ON inter.doc_id_b = sb.doc_id
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+               ROUND(c * 1.0 / (na + nb - c), 6) AS jaccard
+        FROM verified
+        WHERE c * 1.0 / (na + nb - c) >= {JACCARD_THRESHOLD}
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via an inverted-
     index self-join (pairs must share ≥1 shingle — never all-pairs). The
     index is built over the 44-bit shingle hashes, not the strings — the
-    join key and shuffle payload are 8-byte longs. The shuffle key is the
-    shingle; hot shingles are the skew risk at scale, which the MinHash
-    tier exists to avoid. The oracle replays the identical hashed pipeline
-    so both engines see the same (hash-collision-identical) sets."""
+    join key and shuffle payload are 8-byte longs.
+
+    SKEW HARDENING (round 4): shingles with document frequency >
+    {JACCARD_DF_CAP} are dropped from the index before the pair join —
+    the hot-key relation is tiny (≤ total-occurrences/cap rows) so the
+    anti-join broadcasts, and per-shingle pair fan-out is bounded by
+    cap². Candidates are then verified EXACTLY against the full cached
+    shingle arrays (same shape as the MinHash tier's verify), so the
+    reported Jaccard is unaffected by the cap. The oracle replays the
+    identical capped pipeline. Recall-vs-cap is pinned by
+    tests/test_skew.py (planted hot shingles)."""
     hdf = _hashed_shingle_sets(spark, sf_dir)
     ex = hdf.select("doc_id", F.explode("hs").alias("h"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
+    hot = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("h")
+    )
+    idx = ex.join(F.broadcast(hot), "h", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .agg(F.count("*").alias("c"))
+        .distinct()
     )
-    sza = hdf.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"))
-    szb = hdf.select(F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    sa = hdf.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    sb = hdf.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = c / (F.col("na") + F.col("nb") - c)
     # no broadcast hint: AQE broadcasts these at test scale from runtime
     # stats and falls back to shuffle joins when the doc table outgrows
     # the broadcast limit — a forced broadcast of every document would
     # cap the operator at the 8 GB broadcast ceiling.
     return (
-        inter.join(sza, "doc_id_a")
-        .join(szb, "doc_id_b")
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")

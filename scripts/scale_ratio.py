@@ -110,6 +110,74 @@ def synthesize(spark) -> None:
     )
 
 
+SKEW1 = "/tmp/sfskew1"
+SKEW10 = "/tmp/sfskew10"
+
+
+def synthesize_skewed(spark) -> None:
+    """Skewed-corpus mode (round-4): documents where a shared 12-token
+    boilerplate prefix plants shingles with df = |corpus| — the hot-key
+    regime the n-gram tier's JACCARD_DF_CAP exists for. 1x = 5k docs,
+    10x = 50k docs; near-dup pairs (one per 100 docs, sharing rare
+    shingles) scale exactly 10x, while hot-shingle df scales from 5k to
+    50k. Without the cap the pair join is quadratic in df (2.5e7 ->
+    2.5e9 index pairs); with it the ratio must track the 10x output."""
+    import pyspark.sql.functions as SF
+
+    for path, n_docs in ((SKEW1, 5_000), (SKEW10, 50_000)):
+        if os.path.isdir(os.path.join(path, "documents.parquet")):
+            continue
+        boiler = " ".join(f"hot{j}" for j in range(12))
+        base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+        uniq = SF.array_join(
+            SF.transform(
+                SF.sequence(SF.lit(0), SF.lit(39)),
+                lambda j: SF.concat_ws(
+                    "", SF.lit("d"), SF.col("doc_id").cast("string"),
+                    SF.lit("w"), j.cast("string"),
+                ),
+            ),
+            " ",
+        )
+        # every 100th doc gets a near-identical twin (doc_id + n_docs):
+        # same unique tail except the final token — rare-shingle pairs
+        twin_uniq = SF.array_join(
+            SF.transform(
+                SF.sequence(SF.lit(0), SF.lit(39)),
+                lambda j: SF.concat_ws(
+                    "", SF.lit("d"), (SF.col("doc_id") - n_docs).cast("string"),
+                    SF.lit("w"),
+                    SF.when(j == 39, SF.lit("zz")).otherwise(j.cast("string")),
+                ),
+            ),
+            " ",
+        )
+        originals = base.select(
+            "doc_id",
+            SF.concat(SF.lit(boiler + " "), uniq).alias("text"),
+        )
+        twins = (
+            base.filter(SF.col("doc_id") % 100 == 0)
+            .select((SF.col("doc_id") + n_docs).alias("doc_id"))
+            .select(
+                "doc_id",
+                SF.concat(SF.lit(boiler + " "), twin_uniq).alias("text"),
+            )
+        )
+        (
+            originals.unionByName(twins)
+            .select(
+                "doc_id",
+                "text",
+                SF.lit("en").alias("lang"),
+                SF.lit("web").alias("source"),
+                SF.length("text").alias("n_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/documents.parquet")
+        )
+
+
 def best_of_2(fn, spark, sf_dir) -> float:
     best = None
     for _ in range(2):
@@ -121,16 +189,28 @@ def best_of_2(fn, spark, sf_dir) -> float:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    skewed = "--skewed" in args
+    names = [a for a in args if not a.startswith("--")] or (
+        ["q_dedup_ngram_jaccard", "q_dedup_minhash"]
+        if skewed
+        else DEFAULT_QUERIES
+    )
     spark = build_session(app_name="scale_ratio")
-    synthesize(spark)
     specs = all_specs()
+    if skewed:
+        synthesize_skewed(spark)
+        lo, hi = SKEW1, SKEW10
+        print("(skewed corpus: planted hot shingles, df = |corpus|)")
+    else:
+        synthesize(spark)
+        lo, hi = SF1, SF10
     print("| query | 1x (s) | 10x (s) | ratio |")
     print("|---|---|---|---|")
     for n in names:
         fn = specs[n].fn
-        t1 = best_of_2(fn, spark, SF1)
-        t10 = best_of_2(fn, spark, SF10)
+        t1 = best_of_2(fn, spark, lo)
+        t10 = best_of_2(fn, spark, hi)
         print(f"| {n} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f} |")
     spark.stop()
 

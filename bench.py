@@ -43,12 +43,25 @@ def main() -> None:
         _hashed_shingle_sets,
     )
 
+    # cold/warm pair: `cache_build` is the one-time materialization (the
+    # only number a cold cluster pays; compare it round-over-round against
+    # the documented cold reference in NOTES, not against a warm rerun),
+    # `cache_warm` is a second count over the persisted blocks — if THAT
+    # is slow the host is throttled and the whole run's absolutes are
+    # suspect (round 3's 2.58 s vs 0.27 s confusion).
     t0 = time.perf_counter()
     _hashed_shingle_sets(spark, sf_dir).count()
     cache_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _hashed_shingle_sets(spark, sf_dir).count()
+    cache_warm = time.perf_counter() - t0
     per_query["cache_build"] = round(cache_build, 4)
+    per_query["cache_warm"] = round(cache_warm, 4)
     total += cache_build
-    print(f"# cache_build: {cache_build:.3f}s", file=sys.stderr)
+    print(
+        f"# cache_build: {cache_build:.3f}s (warm recount {cache_warm:.3f}s)",
+        file=sys.stderr,
+    )
     for name, spec in sorted(specs.items()):
         # best of 2: the machine shares cores with other tenants, so a
         # single sample can be 2-3x off; min measures the query, not the

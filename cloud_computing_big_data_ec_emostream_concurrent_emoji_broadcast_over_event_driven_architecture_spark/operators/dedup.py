@@ -41,6 +41,18 @@ from ..plans.registry import register
 
 JACCARD_THRESHOLD = 0.8
 
+# Shingles appearing in more than this many documents are dropped from
+# the exact tier's INVERTED INDEX (candidate generation only —
+# verification still intersects the full shingle sets, so any surviving
+# pair's Jaccard is exact). Pair fan-out per shingle is then bounded by
+# cap² instead of df²: the skew wall the round-3 audit flagged. A pair
+# is lost only if EVERY shared shingle is corpus-hot — for Jaccard ≥ 0.8
+# that means a document made almost entirely of boilerplate, which the
+# repetition / blocklist gates remove upstream. Fixture max df is 25
+# (sf0.1), so the cap is inert at test scale and both engines replay it
+# identically.
+JACCARD_DF_CAP = 64
+
 
 @register(
     "q_dedup_exact",
@@ -143,9 +155,29 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for a, b in MINHASH_AB
             ]
         )
+        # hs_idx: the DF-CAPPED index view of hs — shingles whose corpus
+        # document frequency exceeds JACCARD_DF_CAP removed via one
+        # array_except against the (tiny, broadcast) hot list. Computed
+        # here, at index-build time, so the exact tier's self-join reads
+        # it as a cache column instead of re-deriving the df aggregation
+        # on both sides of the join (measured 3.4× slower that way).
+        hot_arr = (
+            base.select(F.explode("hs").alias("h"))
+            .groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > JACCARD_DF_CAP)
+            .agg(F.collect_list("h").alias("hot"))
+        )
         enriched = (
             base.filter(F.size("hs") > 0)
-            .select("doc_id", "hs", F.size("hs").alias("n"), sig.alias("sig"))
+            .crossJoin(F.broadcast(hot_arr))
+            .select(
+                "doc_id",
+                "hs",
+                F.size("hs").alias("n"),
+                sig.alias("sig"),
+                F.array_except("hs", "hot").alias("hs_idx"),
+            )
             .persist()
         )
         _HASHSET_CACHE[key] = (enriched, base)
@@ -165,18 +197,6 @@ _HS_CTE = f"""
         ),
         sh AS (SELECT doc_id, unnest(hs) AS h FROM ne)
 """
-
-
-# Shingles appearing in more than this many documents are dropped from
-# the INVERTED INDEX (candidate generation only — verification still
-# intersects the full shingle sets, so any surviving pair's Jaccard is
-# exact). Pair fan-out per shingle is then bounded by cap² instead of
-# df²: the skew wall the round-3 audit flagged. A pair is lost only if
-# EVERY shared shingle is corpus-hot — for Jaccard ≥ 0.8 that means a
-# document made almost entirely of boilerplate, which the repetition /
-# blocklist gates remove upstream. Fixture max df is 25 (sf0.1), so the
-# cap is inert at test scale and both engines replay it identically.
-JACCARD_DF_CAP = 64
 
 
 @register(
@@ -217,23 +237,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key and shuffle payload are 8-byte longs.
 
     SKEW HARDENING (round 4): shingles with document frequency >
-    {JACCARD_DF_CAP} are dropped from the index before the pair join —
-    the hot-key relation is tiny (≤ total-occurrences/cap rows) so the
-    anti-join broadcasts, and per-shingle pair fan-out is bounded by
-    cap². Candidates are then verified EXACTLY against the full cached
-    shingle arrays (same shape as the MinHash tier's verify), so the
-    reported Jaccard is unaffected by the cap. The oracle replays the
-    identical capped pipeline. Recall-vs-cap is pinned by
-    tests/test_skew.py (planted hot shingles)."""
+    {JACCARD_DF_CAP} are dropped from the index before the pair join
+    (the ``hs_idx`` cache column — the hot list is built once at
+    index-build time and applied as a per-row array_except, so this
+    query's plan shape is unchanged from the uncapped form), bounding
+    per-shingle pair fan-out by cap². Candidates are then verified
+    EXACTLY against the full cached shingle arrays (same shape as the
+    MinHash tier's verify), so the reported Jaccard is unaffected by the
+    cap. The oracle replays the identical capped pipeline. Recall-vs-cap
+    is pinned by tests/test_skew.py (planted hot shingles)."""
     hdf = _hashed_shingle_sets(spark, sf_dir)
-    ex = hdf.select("doc_id", F.explode("hs").alias("h"))
-    hot = (
-        ex.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > JACCARD_DF_CAP)
-        .select("h")
-    )
-    idx = ex.join(F.broadcast(hot), "h", "left_anti")
+    idx = hdf.select("doc_id", F.explode("hs_idx").alias("h"))
     a = idx.alias("a")
     b = idx.alias("b")
     cand = (

@@ -124,6 +124,8 @@ def running_key_stats_tws(
     key_col: str = "event_type",
     value_col: str = "value",
     ts_col: str = "ts",
+    watermark: str = "1 minute",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """The same per-key running (count, sum) on ``transformWithState`` —
     Spark 4's successor to applyInPandasWithState. The operator owns NAMED
@@ -134,6 +136,13 @@ def running_key_stats_tws(
     scale story (RocksDB provider, key-partitioned) is unchanged. Kept
     semantically identical to :func:`running_key_stats` so one batch
     equivalence test pins both APIs.
+
+    With ``ttl_ms`` set the processor mirrors
+    :func:`running_key_stats`'s event-time TTL through TWS's own timer
+    surface: each batch re-arms a per-key timer at watermark + ttl
+    (deleting the previous one — TWS timers don't auto-replace the way
+    ``setTimeoutTimestamp`` does), and ``handleExpiredTimer`` emits the
+    final ``evicted=true`` row and clears the state cell.
 
     Environment notes: requires the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass``) and the
@@ -146,9 +155,14 @@ def running_key_stats_tws(
 
     class RunningStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
             self._stats = handle.getValueState(
                 "stats", "n BIGINT, total DOUBLE"
             )
+            if ttl_ms is not None:
+                # the currently-armed expiry, so the next batch can
+                # delete-then-re-arm instead of stacking stale timers
+                self._armed = handle.getValueState("armed", "t BIGINT")
 
         def handleInputRows(
             self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
@@ -160,11 +174,38 @@ def running_key_stats_tws(
                 n += len(pdf)
                 total += float(pdf[value_col].sum())
             self._stats.update((n, total))
+            if ttl_ms is not None:
+                new_expiry = timerValues.getCurrentWatermarkInMs() + ttl_ms
+                if self._armed.exists():
+                    (old,) = self._armed.get()
+                    if old != new_expiry:
+                        self._handle.deleteTimer(old)
+                self._handle.registerTimer(new_expiry)
+                self._armed.update((new_expiry,))
             yield pd.DataFrame(
                 {
                     "key": [key[0]],
                     "n_events": [n],
                     "total_value": [total],
+                    "evicted": [False],
+                }
+            )
+
+        def handleExpiredTimer(
+            self, key: tuple, timerValues: Any, expiredTimerInfo: Any
+        ) -> Iterator[pd.DataFrame]:
+            if not self._stats.exists():
+                return
+            n, total = self._stats.get()
+            self._stats.clear()
+            if ttl_ms is not None and self._armed.exists():
+                self._armed.clear()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "evicted": [True],
                 }
             )
 
@@ -172,9 +213,14 @@ def running_key_stats_tws(
             pass
 
     stream = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if ttl_ms is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
         statefulProcessor=RunningStats(),
-        outputStructType="key STRING, n_events BIGINT, total_value DOUBLE",
+        outputStructType=(
+            "key STRING, n_events BIGINT, total_value DOUBLE, "
+            "evicted BOOLEAN"
+        ),
         outputMode="update",
-        timeMode="none",
+        timeMode="none" if ttl_ms is None else "eventTime",
     )

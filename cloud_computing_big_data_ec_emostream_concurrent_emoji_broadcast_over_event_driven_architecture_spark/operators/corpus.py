@@ -963,3 +963,104 @@ def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. bigram-LM document scoring (add-k smoothed)
+
+BIGRAM_K = 0.5  # add-k smoothing constant
+
+
+@register(
+    "q_corpus_bigram_logprob",
+    tags=("text", "llm-pipeline", "quality"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                       AS toks
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, UNNEST(
+                list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])
+            ) AS bigram,
+            UNNEST(list_transform(range(1, len(toks)), i -> toks[i]))
+                AS w1
+            FROM base WHERE len(toks) >= 2
+        ), bc AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1
+        ), uc AS (
+            SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+        ), v AS (
+            SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS vsize FROM bg
+        )
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(
+                   ln((bc.c12 + {BIGRAM_K})
+                      / (uc.c1 + {BIGRAM_K} * v.vsize))
+                   AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_logprob
+        FROM bg
+        JOIN bc USING (bigram)
+        JOIN uc USING (w1)
+        CROSS JOIN v
+        GROUP BY 1
+    """,
+)
+def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM document scoring with add-{BIGRAM_K} smoothing — the
+    next rung above ``q_corpus_unigram_logprob`` on the cheap-perplexity
+    ladder: P(w₂|w₁) = (c(w₁w₂)+k) / (c(w₁)+k·V), scored as each doc's
+    mean bigram log-probability.  Catches scrambled/gibberish text the
+    unigram proxy scores as fluent (right words, wrong order).
+
+    Plan: bigram construction is a narrow per-row transform (no explode
+    until the bigram is a scalar string), then ONE (bigram)-keyed count
+    and ONE (w₁)-keyed count — both partial-combined.  The count tables
+    join back onto the bigram stream by key; hot heads ('the …') make
+    the w₁ join Zipf-skewed, so AQE's skew-join split handles the tail
+    while the bigram join stays near-uniform (bigram distribution is
+    much flatter).  V and the per-doc rollup are aggregate-sized.
+    decimal(28,10) accumulation keeps the mean order-independent."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select("doc_id", _toks().alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ).alias("bigram"),
+            F.element_at(F.col("toks"), i).alias("w1"),
+        ),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("p")).select(
+        "doc_id", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1")
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = bg.agg(F.countDistinct("w1").alias("vsize"))
+    logp = F.log(
+        (F.col("c12") + F.lit(BIGRAM_K))
+        / (F.col("c1") + F.lit(BIGRAM_K) * F.col("vsize"))
+    )
+    return (
+        bg.join(bc, "bigram")
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

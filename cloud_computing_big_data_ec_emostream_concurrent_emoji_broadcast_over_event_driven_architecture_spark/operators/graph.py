@@ -104,3 +104,77 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("doc_id", F.round("pr", 6).alias("pagerank"))
+
+
+def _triangles_oracle() -> str:
+    return f"""
+        WITH pairs AS ({_minhash_oracle()}),
+        e AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs),
+        tri AS (
+            SELECT e1.a AS a, e1.b AS b, e2.b AS c
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        nodes AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY 1
+    """
+
+
+@register(
+    "q_graph_triangles",
+    tags=("graph", "dedup", "diagnostics", "scale"),
+    oracle=_triangles_oracle(),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE participation counts over the near-dup graph — the
+    clustering-coefficient signal: near-dup neighborhoods that are true
+    cliques (every copy similar to every other) triangle densely, while
+    boilerplate 'hub' pairs form stars with few triangles — a cheap
+    structural check on whether a cluster is safe to collapse to one
+    keeper.
+
+    Plan: the canonical two-join triangle enumeration over the ORIENTED
+    edge list (a < b everywhere, so each triangle a<b<c is produced
+    exactly once and no orientation dedup is needed): wedges from
+    e1.b = e2.a, closed by an equi-join back to the edge list on
+    (a, c). Every join is an equi-join keyed on node ids; at 100 TB the
+    wedge count — Σ deg²(v), the known hot spot — is bounded because the
+    input is the LSH-banded pair list (band width caps per-key degree),
+    and AQE skew-splits any residual hub. The per-node rollup is one
+    partial-combined aggregation of triangle-count-sized data."""
+    # persist: the pair list is referenced by all three join branches —
+    # without it the whole MinHash pipeline would run three times (same
+    # pattern as q_pagerank_neardup's edge list)
+    pairs = (
+        q_dedup_minhash(spark, sf_dir)
+        .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .persist()
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))

@@ -1317,3 +1317,116 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z > OUTLIER_Z).alias("is_outlier"),
         )
     )
+
+
+def _ivf_pq_oracle() -> str:
+    anchor_cols = ", ".join(
+        f"MAX(CASE WHEN vec_id = {k} THEN embedding END) AS a{k}"
+        for k in range(PQ_K)
+    )
+    dist_cols = ",\n                   ".join(_pq_dist_cols("duck"))
+    return f"""
+        WITH {_ASSIGN_SQL},
+        qv AS (
+            SELECT {as_double_sql('embedding')} AS qvv FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        probes AS (
+            SELECT cent_id FROM (
+                SELECT c.cent_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY {cosine_sql('c.cv', 'qv.qvv')} DESC,
+                                    c.cent_id
+                       ) AS rn
+                FROM cents c, qv
+            ) WHERE rn <= {IVF_PROBES}
+        ),
+        anch AS (
+            SELECT {anchor_cols} FROM embeddings WHERE vec_id < {PQ_K}
+        ),
+        qe_row AS (
+            SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        dists AS (
+            SELECT s.vec_id,
+                   {dist_cols}
+            FROM assigned s
+            JOIN probes p ON s.cent_id = p.cent_id
+            CROSS JOIN anch CROSS JOIN qe_row
+            WHERE s.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id,
+               ROUND({_pq_adc_expr()}, 6) AS adc_dist,
+               ROUND(ex, 6) AS exact_dist
+        FROM dists
+        ORDER BY {_pq_adc_expr()}, vec_id
+        LIMIT {PQ_TOP}
+    """
+
+
+@register(
+    "q_ann_ivf_pq",
+    tags=("similarity", "ann", "quantization", "scale"),
+    oracle=_ivf_pq_oracle(),
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the composed billion-vector ANN layout (FAISS's IVFPQ):
+    the k-means-trained coarse quantizer restricts the search to the
+    query's {IVF_PROBES} nearest centroid buckets (the session-persisted
+    assignment from ``q_ann_ivf``), and candidates inside those buckets
+    are scored by PQ asymmetric distance (the broadcast codebook + the
+    per-query {PQ_M}×{PQ_K} lookup table from ``q_ann_pq_adc``) with the
+    exact distance alongside as the quantization-error audit.
+
+    Scale story: this is the arrangement that makes 1e9+ vectors
+    searchable — the coarse index prunes to ~N·P/K candidates, and each
+    candidate costs a {PQ_M}-entry table lookup over its {PQ_M}-byte
+    code instead of a {PCA_DIM}-float scan. Both stages are already
+    individually oracle-checked; this pins their composition (bucket
+    restriction must not change any surviving ADC score)."""
+    assigned = _ivf_assignment(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from pyspark.sql import Window
+
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        as_double(F.col("embedding")).alias("qvv")
+    )
+    qw = Window.orderBy(F.desc("q_sim"), F.asc("cent_id"))
+    probes = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cent_id", cosine(F.col("cv"), F.col("qvv")).alias("q_sim"))
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("cent_id")
+    )
+    anchors = emb.filter(F.col("vec_id") < PQ_K).groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("vec_id") == k, F.col("embedding"))
+            ).alias(f"a{k}")
+            for k in range(PQ_K)
+        ]
+    )
+    qe_row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    dists = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(anchors))
+        .crossJoin(F.broadcast(qe_row))
+        .select("vec_id", *[F.expr(c) for c in _pq_dist_cols("spark")])
+    )
+    adc = F.expr(_pq_adc_expr())
+    return (
+        dists.select("vec_id", adc.alias("adc"), "ex")
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOP)
+        .select(
+            "vec_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.round("ex", 6).alias("exact_dist"),
+        )
+    )

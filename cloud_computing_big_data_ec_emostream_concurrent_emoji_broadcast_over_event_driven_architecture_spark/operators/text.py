@@ -1001,3 +1001,156 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+# Gopher-style hard rule gate (Rae et al. 2021 §A1.1, simplified to the
+# fixture's newline-free text): each rule is a named boolean so a corpus
+# curator sees WHY a doc fails, not just that it did. Thresholds are
+# compile-time dials; word-count bounds are scaled to the synthetic
+# fixture's short docs.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.20
+
+
+@register(
+    "q_quality_gopher_rules",
+    tags=("text", "quality", "llm-pipeline"),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                       AS toks,
+                   length(replace(text, ' ', '')) AS n_nonspace,
+                   length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       AS n_symbols
+            FROM documents
+        ), feat AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE list_sum(list_transform(toks, w ->
+                                 CAST(length(w) AS DOUBLE))) / len(toks)
+                   END AS mean_word_len,
+                   CASE WHEN n_nonspace = 0 THEN 1.0
+                        ELSE n_symbols * 1.0 / n_nonspace END AS sym_ratio,
+                   len(list_filter(toks, w -> w IN
+                       ({", ".join(f"'{w}'" for w in EN_STOPWORDS)})))
+                       AS n_stop,
+                   CASE WHEN len(toks) = 0 THEN 1.0 ELSE (
+                       SELECT MAX(c) * 1.0 / len(toks) FROM (
+                           SELECT COUNT(*) AS c
+                           FROM UNNEST(toks) AS u(w) GROUP BY w
+                       )
+                   ) END AS top_frac
+            FROM base
+        )
+        SELECT doc_id, n_words,
+               ROUND(mean_word_len, 6) AS mean_word_len,
+               ROUND(sym_ratio, 6) AS sym_ratio,
+               n_stop,
+               ROUND(top_frac, 6) AS top_token_frac,
+               (n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}) AS ok_words,
+               (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN})
+                   AS ok_word_len,
+               (sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbols,
+               (n_stop >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+               (top_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC}) AS ok_repetition,
+               (n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+                AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                AND sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND n_stop >= {GOPHER_MIN_STOPWORDS}
+                AND top_frac <= {GOPHER_MAX_TOP_TOKEN_FRAC}) AS passes
+        FROM feat
+    """,
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-STYLE hard rule gate — the named-rule quality filter every
+    pretraining pipeline runs before model-based scoring: word-count
+    bounds, mean-word-length bounds, symbol-to-character ratio, minimum
+    stopword evidence, and a top-token-fraction repetition cap, each
+    emitted as its own boolean plus the conjunction.  Differs from
+    ``q_text_quality`` (a soft weighted score) the way Gopher's rules
+    differ from a learned classifier: hard gates with auditable reasons.
+
+    Plan: every feature is per-row array arithmetic over the tokenized
+    text — zero joins, zero shuffles, scan-bound at any scale (the
+    most-frequent-token fraction folds inside the row via
+    aggregate-over-distinct rather than an explode + groupBy).  All
+    thresholds compare identically-derived doubles in both engines, so
+    the booleans are hash-stable."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(F.col("text")), lambda w: w != "")
+    n_words = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_symbols = F.length(
+        F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")
+    )
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, w: acc + F.length(w).cast("double"),
+        )
+        / n_words
+    )
+    sym_ratio = F.when(n_nonspace == 0, F.lit(1.0)).otherwise(
+        n_symbols * F.lit(1.0) / n_nonspace
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS)))
+    # most-frequent-token count without exploding: for each DISTINCT
+    # token, count its occurrences inside the row's array, take the max
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda w: w == d)),
+        )
+    )
+    top_frac = F.when(n_words == 0, F.lit(1.0)).otherwise(
+        top_cnt * F.lit(1.0) / n_words
+    )
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mwl"),
+        sym_ratio.alias("sr"),
+        n_stop.alias("n_stop"),
+        top_frac.alias("tf"),
+    )
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_word_len = (F.col("mwl") >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        F.col("mwl") <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_symbols = F.col("sr") <= GOPHER_MAX_SYMBOL_RATIO
+    ok_stopwords = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    ok_repetition = F.col("tf") <= GOPHER_MAX_TOP_TOKEN_FRAC
+    return feat.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("sr", 6).alias("sym_ratio"),
+        "n_stop",
+        F.round("tf", 6).alias("top_token_frac"),
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stopwords.alias("ok_stopwords"),
+        ok_repetition.alias("ok_repetition"),
+        (
+            ok_words
+            & ok_word_len
+            & ok_symbols
+            & ok_stopwords
+            & ok_repetition
+        ).alias("passes"),
+    )

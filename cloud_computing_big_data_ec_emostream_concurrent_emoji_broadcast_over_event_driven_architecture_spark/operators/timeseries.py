@@ -1215,3 +1215,59 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("n_events"), 6).alias("avg_events"),
     )
+
+
+@register(
+    "q_running_distinct_users",
+    tags=("timeseries", "window", "distinct", "scale"),
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CAST(date_trunc('minute', ts) AS TIMESTAMP))
+                       AS first_minute
+            FROM events GROUP BY 1
+        ), new_per_minute AS (
+            SELECT first_minute AS minute,
+                   CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM firsts GROUP BY 1
+        )
+        SELECT minute, new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY minute ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_users
+        FROM new_per_minute
+    """,
+)
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE DISTINCT users over time (the 'total unique users so
+    far' dashboard line): running COUNT(DISTINCT) is not incrementally
+    aggregatable, so the engine uses the FIRST-OCCURRENCE decomposition
+    — each user contributes exactly once, at their first-seen minute —
+    turning the running distinct into a running SUM of per-minute
+    first-seen counts.
+
+    Plan: one user-keyed aggregation (min ts per user — partial
+    combines, shuffle carries |users| rows not |events|), a minute-keyed
+    rollup of calendar size, then an unpartitioned running-sum window
+    over minute-bucket rows ONLY (thousands of rows at any corpus scale
+    — never the fact table; the single-partition window is safe because
+    its input is calendar-sized).  The same decomposition is how the
+    streaming twin would do it with a first-seen dedup state."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("minute", F.col("ts").cast("timestamp"))).alias(
+            "first_minute"
+        )
+    )
+    new_per_minute = firsts.groupBy(
+        F.col("first_minute").alias("minute")
+    ).agg(F.count("*").alias("new_users"))
+    w = (
+        Window.orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return new_per_minute.select(
+        "minute",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

@@ -409,3 +409,52 @@ def test_seasonal_naive_self_join_is_aggregate_sized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_forecast_seasonal_naive")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_triangles_all_equi_joins(spark, sf_dir):
+    """Triangle enumeration is two equi-joins over the oriented edge
+    list — never a cartesian, and the only nested-loop nodes are the
+    upstream MinHash pipeline's 1-row scalar cross joins (Cross type);
+    the persisted pair list keeps that pipeline from running 3×."""
+    plan = _plan(spark, sf_dir, "q_graph_triangles")
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, f"non-scalar nested loop: {ln.strip()}"
+
+
+def test_gopher_rules_scan_bound(spark, sf_dir):
+    """Every Gopher rule is per-row array arithmetic: no join and no
+    aggregation exchange anywhere — one codegen'd scan."""
+    plan = _plan(spark, sf_dir, "q_quality_gopher_rules")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_running_distinct_windows_calendar_rows_only(spark, sf_dir):
+    """The running-sum window runs over minute buckets (calendar-sized),
+    after a user-keyed first-seen aggregation — the fact table itself is
+    never window-sorted."""
+    plan = _plan(spark, sf_dir, "q_running_distinct_users")
+    # two aggregations (user first-seen, minute rollup), one window
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_pq_bucket_restricted_and_broadcast(spark, sf_dir):
+    """IVF+PQ composition: the candidate set is the broadcast-semi-joined
+    probe buckets, PQ scoring is per-row against broadcast codebook rows,
+    and the top-k is TakeOrderedAndProject — no shuffle join, no global
+    sort."""
+    plan = _plan(spark, sf_dir, "q_ann_ivf_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_single_explode_partial_aggs(spark, sf_dir):
+    """Bigram construction stays narrow until the scalar bigram string
+    explodes once; count tables join by key (AQE handles the Zipf head).
+    No cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "q_corpus_bigram_logprob")
+    assert "CartesianProduct" not in plan

@@ -457,3 +457,150 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("k").eqNullSafe(F.col("kb"))).select(
         F.col("k").alias("event_key"), "cnt_a", "cnt_b"
     )
+
+
+# interval-overlap join: sessions × daily maintenance windows
+IVL_GAP_SEC = 1800  # session gap (same rule as q_sessionize)
+IVL_WIN_START_H = 2  # maintenance window [02:00, 03:00) each day
+IVL_WIN_END_H = 3
+
+
+@register(
+    "q_join_interval_overlap",
+    tags=("join", "interval", "scale"),
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id))) AS BIGINT)
+                             > {IVL_GAP_SEC}
+                             OR lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_start,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS s_end
+            FROM numbered GROUP BY 1, 2
+        ), wins AS (
+            SELECT day,
+                   CAST(floor(epoch(day)) AS BIGINT)
+                       + {IVL_WIN_START_H} * 3600 AS w_start,
+                   CAST(floor(epoch(day)) AS BIGINT)
+                       + {IVL_WIN_END_H} * 3600 AS w_end
+            FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS day FROM events)
+        )
+        SELECT w.day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(LEAST(s.s_end, w.w_end)
+                        - GREATEST(s.s_start, w.w_start)) AS BIGINT)
+                   AS overlap_sec
+        FROM sessions s JOIN wins w
+          ON s.s_start < w.w_end AND w.w_start < s.s_end
+        GROUP BY 1
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — two interval relations (user sessions from
+    the >{IVL_GAP_SEC}s-gap sessionizer × daily [0{IVL_WIN_START_H}:00,
+    0{IVL_WIN_END_H}:00) maintenance windows), matched on the strict
+    half-open overlap predicate, rolled up to per-window session counts
+    and total overlapped seconds — the ops question ("how much activity
+    does the nightly window collide with?") that needs a real
+    interval×interval join, not the point-in-range shape of
+    ``q_join_range``.
+
+    Plan: both interval sets explode onto an HOUR GRID and the join is
+    an **equi-join on the hour bucket** plus the exact overlap
+    predicate; a (session, window) pair sharing several buckets is
+    collapsed by a pre-aggregation DISTINCT. The oracle runs the naive
+    theta join — the hash match proves the grid decomposition exact. At
+    100 TB the theta form is a cartesian death sentence while the grid
+    form shuffles each interval once per covered hour (bounded by
+    interval length / grid step — the standard interval-join
+    discretization); grid step is a compile-time dial matched to typical
+    interval length."""
+    ev = table(spark, sf_dir, "events")
+    w_flag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev_sec = F.unix_timestamp(F.lag("ts").over(w_flag).cast("timestamp"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_sec.isNull() | ((sec - prev_sec) > IVL_GAP_SEC), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w_run).alias("session_id"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts").cast("timestamp")).alias("s_start"),
+        F.unix_timestamp(F.max("ts").cast("timestamp")).alias("s_end"),
+    )
+    day_epoch = F.unix_timestamp(
+        F.date_trunc("day", F.col("ts")).cast("timestamp")
+    )
+    wins = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (day_epoch + IVL_WIN_START_H * 3600).alias("w_start"),
+            (day_epoch + IVL_WIN_END_H * 3600).alias("w_end"),
+        )
+        .distinct()
+    )
+    s_bucketed = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("s_start") / 3600).cast("long"),
+                (F.col("s_end") / 3600).cast("long"),
+            )
+        ),
+    )
+    w_bucketed = wins.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("w_start") / 3600).cast("long"),
+                (F.col("w_end") / 3600).cast("long"),
+            )
+        ),
+    )
+    matched = (
+        s_bucketed.join(w_bucketed, "bucket")
+        .filter(
+            (F.col("s_start") < F.col("w_end"))
+            & (F.col("w_start") < F.col("s_end"))
+        )
+        .select(
+            "day", "w_start", "w_end", "user_id", "session_id",
+            "s_start", "s_end",
+        )
+        .distinct()
+    )
+    overlap = F.least("s_end", "w_end") - F.greatest("s_start", "w_start")
+    return matched.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(overlap).cast("long").alias("overlap_sec"),
+    )

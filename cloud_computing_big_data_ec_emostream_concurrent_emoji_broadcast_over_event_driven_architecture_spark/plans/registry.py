@@ -71,6 +71,7 @@ def _load_all() -> None:
         cdc,
         corpus,
         dedup,
+        frontier,
         graph,
         joins,
         layout,

@@ -458,3 +458,22 @@ def test_bigram_lm_single_explode_partial_aggs(spark, sf_dir):
     No cartesian anywhere."""
     plan = _plan(spark, sf_dir, "q_corpus_bigram_logprob")
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_grid_equi_join(spark, sf_dir):
+    """The interval×interval join decomposes onto the hour grid: an
+    equi-join on the bucket, never the naive theta/cartesian form the
+    oracle runs."""
+    plan = _plan(spark, sf_dir, "q_join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """The skyline uses the sort-scan decomposition: one window over
+    distinct-x rows + a join back on x — never the quadratic NOT-EXISTS
+    self-join of the oracle."""
+    plan = _plan(spark, sf_dir, "q_skyline_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1

@@ -439,3 +439,34 @@ def funnel_stream(
     return vcp.select(
         F.col("v_user").alias("user_id"), "vts", "cts", "pts"
     )
+
+
+def new_users_per_minute(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "365 days",
+) -> DataFrame:
+    """Streaming twin of ``q_running_distinct_users``'s first stage: the
+    per-minute count of FIRST-SEEN users. ``dropDuplicates`` on the user
+    key keeps one state row per user forever (the cumulative-distinct
+    question is inherently unbounded — at 100 TB keyspaces the HLL
+    variant ``windowed_distinct_users`` is the bounded-state trade), so
+    each user survives exactly once, at first arrival; a windowed count
+    then yields new-users-per-minute, and the consumer accumulates the
+    running total (a monotone sum over append-mode rows — the
+    foreachBatch sink adds each closed window once).
+
+    CAVEAT vs batch: streaming first-seen is ARRIVAL-order first; the
+    batch form is EVENT-TIME min. They agree whenever each user's events
+    arrive in event-time order (true for the replay fixtures, pinned in
+    tests); under disorder the streaming answer attributes the user to
+    the minute of the first-arriving event — documented divergence, same
+    class as SURVEY §2 ST4."""
+    events = _event_time(events, ts_col)
+    firsts = events.dropDuplicates([user_col])
+    return (
+        firsts.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 minute"))
+        .agg(F.count("*").alias("new_users"))
+    )

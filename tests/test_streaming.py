@@ -1261,3 +1261,36 @@ def test_tws_checkpoint_recovery_resumes_state(
     for k, (n, total) in expected.items():
         assert last[k][0] == n
         assert last[k][1] == pytest.approx(total, rel=1e-9)
+
+
+def test_new_users_per_minute_stream_equals_batch(
+    spark, events_df, replay_dir
+):
+    """Streaming first-seen user counts equal the batch first-occurrence
+    decomposition (q_running_distinct_users' first stage) on in-order
+    replay — and their running sum ends at the exact distinct-user
+    count."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        new_users_per_minute,
+    )
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    name = f"nu_{uuid.uuid4().hex[:8]}"
+    _run_to_completion(
+        new_users_per_minute(stream), name, "complete"
+    )
+    got = {
+        r["window"]["start"]: r["new_users"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        r["minute"]: r["n"]
+        for r in events_df.groupBy("user_id")
+        .agg(F.min(F.date_trunc("minute", "ts")).alias("minute"))
+        .groupBy("minute")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+    assert sum(got.values()) == events_df.select("user_id").distinct().count()

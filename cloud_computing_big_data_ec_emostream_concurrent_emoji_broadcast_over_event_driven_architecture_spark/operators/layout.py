@@ -1,12 +1,20 @@
-"""Data-layout operators: Z-ORDER clustering keys.
+"""Data-layout operators: Z-ORDER clustering keys, zone-map skipping,
+small-file compaction planning.
 
-Write-side scale lever: sorting/range-partitioning a fact table by an
+Write-side scale levers: sorting/range-partitioning a fact table by an
 interleaved-bit (Morton) key keeps parquet row-group min/max statistics
 tight on BOTH interleaved dimensions at once, so 2-D predicates skip
 files that a 1-D sort could only skip on its leading column.  The
 operator computes the key and PROVES the locality property: grouped by
 key-range "file", both dimensions stay within a bounded sub-range
 (pinned by tests/test_corpus.py's layout test).
+
+``q_layout_zonemap_skip`` quantifies WHY layout matters: it simulates
+parquet footer min/max pruning for two physical layouts of the same
+fact table and reports the files/rows a date predicate skips in each.
+``q_layout_compaction_bins`` is the maintenance side — the greedy
+in-order bin-packing a table service runs to rewrite many small files
+into target-sized compaction groups.
 """
 
 from __future__ import annotations
@@ -86,4 +94,169 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mb").alias("min_mb"),
             F.max("mb").alias("max_mb"),
         )
+    )
+
+
+# --- zone-map (min/max footer-stats) skipping simulation --------------------
+ZM_ORDERS_PER_FILE = 1024  # natural layout: one "file" per orderkey range
+ZM_PRED_LO = "1996-01-01"
+ZM_PRED_HI = "1996-12-31"
+
+
+def _zm_rollup_sql(file_expr: str) -> str:
+    """Per-file min/max stats -> skip verdict, as one aggregation."""
+    return f"""
+        SELECT {file_expr} AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               (MAX(l_shipdate) < TIMESTAMP '{ZM_PRED_LO} 00:00:00'
+                OR MIN(l_shipdate) > TIMESTAMP '{ZM_PRED_HI} 00:00:00')
+                   AS skipped
+        FROM lineitem
+        GROUP BY 1
+    """
+
+
+@register(
+    "q_layout_zonemap_skip",
+    tags=("layout", "scale", "pushdown"),
+    oracle=f"""
+        WITH nat AS ({_zm_rollup_sql('l_orderkey // ' + str(ZM_ORDERS_PER_FILE))}),
+        dat AS ({_zm_rollup_sql(
+            "(EXTRACT(year FROM l_shipdate) * 12 + EXTRACT(month FROM l_shipdate))"
+        )}),
+        u AS (
+            SELECT 'natural' AS layout, * FROM nat
+            UNION ALL
+            SELECT 'date_clustered' AS layout, * FROM dat
+        )
+        SELECT layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_skipped,
+               CAST(SUM(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_skipped
+        FROM u GROUP BY layout
+    """,
+)
+def q_layout_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning simulation: per-"file" min/max(l_shipdate)
+    footer stats for two layouts of lineitem — natural (files are
+    orderkey ranges, {ZM_ORDERS_PER_FILE} orders each) and
+    date-clustered (files are ship months) — then the count of files
+    and rows a one-year ship-date predicate skips on stats alone.
+    The date-clustered layout skips every out-of-range month file;
+    the natural layout skips only files whose orderkey range happens
+    to miss the year — exactly the asymmetry that makes
+    repartitionByRange-on-date writes worth their shuffle at 100 TB.
+
+    Plan: two aggregations over one scan + a union of tiny per-file
+    stat relations (file-count-sized, not row-count-sized); the final
+    rollup is over n_files rows. No joins, no windows."""
+    li = table(spark, sf_dir, "lineitem")
+    lo = F.to_timestamp(F.lit(f"{ZM_PRED_LO} 00:00:00"))
+    hi = F.to_timestamp(F.lit(f"{ZM_PRED_HI} 00:00:00"))
+
+    def rollup(file_col, layout: str) -> DataFrame:
+        return (
+            li.groupBy(file_col.alias("file_id"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("l_shipdate").alias("mn"),
+                F.max("l_shipdate").alias("mx"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "n_rows",
+                ((F.col("mx") < lo) | (F.col("mn") > hi)).alias("skipped"),
+            )
+        )
+
+    nat = rollup(
+        F.expr(f"l_orderkey div {ZM_ORDERS_PER_FILE}"), "natural"
+    )
+    dat = rollup(
+        F.year("l_shipdate") * 12 + F.month("l_shipdate"), "date_clustered"
+    )
+    return (
+        nat.unionAll(dat)
+        .groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.when(F.col("skipped"), 1).otherwise(0)).alias(
+                "files_skipped"
+            ),
+            F.sum(F.when(F.col("skipped"), F.col("n_rows")).otherwise(0)).alias(
+                "rows_skipped"
+            ),
+        )
+    )
+
+
+# --- small-file compaction planner ------------------------------------------
+COMPACT_DOCS_PER_FILE = 5  # simulated small files: 5 docs each
+COMPACT_TARGET_BYTES = 2000  # rewrite goal: ~2 KB compaction groups
+
+
+@register(
+    "q_layout_compaction_bins",
+    tags=("layout", "scale"),
+    oracle=f"""
+        WITH files AS (
+            SELECT source, doc_id // {COMPACT_DOCS_PER_FILE} AS file_id,
+                   SUM(n_chars) AS file_bytes
+            FROM documents GROUP BY 1, 2
+        ),
+        planned AS (
+            SELECT source, file_id, file_bytes,
+                   (SUM(file_bytes) OVER (PARTITION BY source ORDER BY file_id
+                        ROWS UNBOUNDED PRECEDING) - file_bytes)
+                       // {COMPACT_TARGET_BYTES} AS bin_id
+            FROM files
+        )
+        SELECT source, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(file_bytes) AS BIGINT) AS total_bytes,
+               CAST(MIN(file_id) AS BIGINT) AS first_file,
+               CAST(MAX(file_id) AS BIGINT) AS last_file
+        FROM planned GROUP BY 1, 2
+    """,
+)
+def q_layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/rewrite step a table
+    service schedules): simulated small files ({COMPACT_DOCS_PER_FILE}
+    docs each, sized by total chars) are greedily packed IN FILE ORDER
+    into ~{COMPACT_TARGET_BYTES}-byte rewrite groups per source —
+    bin = floor(running_bytes_before_this_file / target), the
+    prefix-sum form of first-fit-in-order. In-order packing preserves
+    any existing sort/cluster key ordering across the rewrite, which
+    is why real services (Delta OPTIMIZE, Iceberg binpack) use it over
+    global best-fit.
+
+    Plan: one agg builds the per-file size relation (file-count-sized),
+    one source-partitioned running-sum window assigns bins, one final
+    rollup. The window partitions by source, so planning parallelizes
+    across sources; within a source the prefix sum is the inherent
+    sequential dependency of ordered packing — over file stats, not
+    data rows."""
+    docs = table(spark, sf_dir, "documents")
+    files = (
+        docs.groupBy(
+            "source",
+            F.expr(f"doc_id div {COMPACT_DOCS_PER_FILE}").alias("file_id"),
+        )
+        .agg(F.sum("n_chars").alias("file_bytes"))
+    )
+    planned = files.withColumn(
+        "bin_id",
+        F.expr(
+            f"(sum(file_bytes) over (partition by source order by file_id "
+            f"rows between unbounded preceding and current row) - file_bytes) "
+            f"div {COMPACT_TARGET_BYTES}"
+        ),
+    )
+    return planned.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum("file_bytes").alias("total_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
     )

@@ -849,3 +849,78 @@ def q_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+TEMP_ALPHA = 0.7  # mC4 / XLM-R temperature exponent
+_DOC_HASH = md5_long_sql("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "q_sample_temperature",
+    tags=("sampling", "hash", "llm-pipeline", "scale"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_docs) AS total FROM counts),
+        w AS (
+            SELECT c.source, c.n_docs,
+                   pow(c.n_docs * 1.0 / t.total, {TEMP_ALPHA} - 1.0) AS boost
+            FROM counts c, tot t
+        ),
+        mx AS (SELECT MAX(boost) AS max_boost FROM w),
+        rates AS (
+            SELECT w.source, w.n_docs,
+                   ROUND(w.boost / m.max_boost, 6) AS rate
+            FROM w, mx m
+        )
+        SELECT r.source, r.n_docs, r.rate,
+               CAST(SUM(CASE WHEN {_DOC_HASH} % 1000000
+                                  < CAST(r.rate * 1000000 AS BIGINT)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM documents d JOIN rates r ON d.source = r.source
+        GROUP BY r.source, r.n_docs, r.rate
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED source sampling (mC4 / XLM-R α={TEMP_ALPHA}):
+    each source's keep-rate is proportional to share^(α-1), normalized
+    so the rarest source keeps 100% — the standard rebalancing that
+    up-samples tail domains/languages without exploding head ones. The
+    realized sample is the usual deterministic Bernoulli-by-hash
+    predicate (md5(doc_id) mod 1e6 under the integerized rate), so the
+    SAME documents survive on every run and any cluster layout.
+
+    Determinism: the only transcendental is pow(share, α-1), rounded to
+    6 dp before integerizing the threshold — a cross-engine last-ulp
+    difference cannot move the integer cut.
+
+    Plan: one aggregation builds the per-source count relation (source-
+    count-sized); two scalar folds over it (total, max boost) broadcast
+    back as single rows; the rate table then BROADCAST-joins onto the
+    corpus scan — the big table is read once, never shuffled, and the
+    per-row verdict is a projection."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.pow(F.col("n_docs") / F.col("total"), F.lit(TEMP_ALPHA - 1.0)).alias(
+            "boost"
+        ),
+    )
+    mx = w.agg(F.max("boost").alias("max_boost"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("boost") / F.col("max_boost"), 6).alias("rate"),
+    )
+    keep = md5_long(F.col("doc_id").cast("string")) % 1000000 < (
+        F.col("rate") * 1000000
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"))
+    )

@@ -1271,3 +1271,150 @@ def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@register(
+    "q_resample_interpolate",
+    tags=("time", "window", "llm-pipeline"),
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                         / COUNT(*), 6) AS v_obs
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT t.event_type, g.hour
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                      AS hour FROM bounds) g
+        ),
+        joined AS (
+            SELECT g.event_type, g.hour, o.v_obs,
+                   CASE WHEN o.v_obs IS NOT NULL THEN g.hour END AS h_known
+            FROM grid g LEFT JOIN obs o
+              ON o.event_type = g.event_type AND o.hour = g.hour
+        ),
+        ctx AS (
+            SELECT event_type, hour, v_obs,
+                   LAST_VALUE(v_obs IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS UNBOUNDED PRECEDING) AS pv,
+                   LAST_VALUE(h_known IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS UNBOUNDED PRECEDING) AS ph,
+                   FIRST_VALUE(v_obs IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nv,
+                   FIRST_VALUE(h_known IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nh
+            FROM joined
+        )
+        SELECT event_type, hour,
+               ROUND(CASE
+                   WHEN v_obs IS NOT NULL THEN v_obs
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv)
+                        * (epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))
+               END, 6) AS v_interp,
+               (v_obs IS NULL) AS filled
+        FROM ctx
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESAMPLE-TO-GRID with LINEAR INTERPOLATION — the time-series
+    regularization step (sensor/metrics pipelines, feature windows for
+    forecasting): per event type, the hourly mean of ``value`` is laid
+    onto the complete hour grid between the corpus' first and last
+    hour; missing hours are linearly interpolated between the nearest
+    observed neighbors (edges fall back to nearest-value fill), with a
+    ``filled`` flag marking synthesized rows (no nullable column in the
+    contract surface — NULL round-trips differently through pandas-based
+    canonicalizers).
+
+    Determinism: hourly means fold exact decimal(28,10) sums before one
+    double division + round, so partition order can't flip the hash;
+    the interpolation itself is arithmetic over those stabilized
+    doubles and integer epoch gaps — identical in both engines.
+
+    Plan: one fact-table aggregation (partial combines; shuffle carries
+    type×hour rows), a broadcast of the single-row bounds onto the tiny
+    type list, sequence+explode for the grid (calendar-sized: hours ×
+    types, NOT event-count), a grid-sized left join, and two
+    type-partitioned windows over grid rows only. At 100 TB the fact
+    table is touched exactly once; everything downstream is
+    calendar-sized."""
+    ev = table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("v_obs")
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(obs, ["event_type", "hour"], "left").withColumn(
+        "h_known", F.when(F.col("v_obs").isNotNull(), F.col("hour"))
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "event_type",
+        "hour",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(back).alias("pv"),
+        F.last("h_known", ignorenulls=True).over(back).alias("ph"),
+        F.first("v_obs", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("h_known", ignorenulls=True).over(fwd).alias("nh"),
+    )
+    ep = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
+    interp = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (ep("hour") - ep("ph"))
+            / (ep("nh") - ep("ph"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "hour",
+        F.round(interp, 6).alias("v_interp"),
+        F.col("v_obs").isNull().alias("filled"),
+    )

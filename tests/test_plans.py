@@ -477,3 +477,39 @@ def test_skyline_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_zonemap_skip_no_joins(spark, sf_dir):
+    """Zone-map simulation is two aggregations + a union — any join node
+    means someone re-joined the stat relations to the fact table."""
+    plan = _plan(spark, sf_dir, "q_layout_zonemap_skip")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+
+
+def test_compaction_bins_window_over_file_stats(spark, sf_dir):
+    """The packing window runs over the per-file stat relation (post-agg),
+    never the raw document rows, and nothing joins back to documents."""
+    plan = _plan(spark, sf_dir, "q_layout_compaction_bins")
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    # the fact table is scanned exactly once
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_resample_single_fact_pass_no_cartesian(spark, sf_dir):
+    """Gap-fill reads events for the hourly agg + tiny bounds/type
+    relations; the grid join must not plan as a cartesian product."""
+    plan = _plan(spark, sf_dir, "q_resample_interpolate")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_temperature_rates_broadcast_onto_corpus(spark, sf_dir):
+    """The per-source rate table broadcast-joins onto the documents scan
+    — the corpus is never shuffled to be labeled with its rate."""
+    plan = _plan(spark, sf_dir, "q_sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

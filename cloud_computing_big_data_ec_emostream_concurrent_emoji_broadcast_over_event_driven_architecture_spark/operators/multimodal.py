@@ -211,3 +211,147 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(resized, "utf-8")).alias("resized_md5"),
         F.lit(RESIZE_BYTES).alias("n_bytes"),
     )
+
+
+# --- block-hash (pHash-style) near-duplicate detection ----------------------
+PH_BLOCKS = 16  # fixed-offset blocks -> 4 bits each = 64-bit hash
+PH_BLOCK_BYTES = 32  # hash covers the first 512 payload bytes
+PH_BANDS = 4  # 4 bands x 16 bits for the LSH-style candidate join
+PH_BAND_BYTES = PH_BLOCK_BYTES * (PH_BLOCKS // PH_BANDS)  # 128
+PH_HAM_MAX = 8  # max Hamming distance (of 64) to call a near-dup
+
+
+def _ph_hex_expr(dialect: str) -> str:
+    """16-hex-char block hash: first md5 hex char of each FIXED-OFFSET
+    {PH_BLOCK_BYTES}-byte payload block. Fixed offsets (not scaled) are
+    the byte-stream analog of pHash's spatial grid: a local edit
+    perturbs only the blocks it touches, so near-identical payloads
+    stay within Hamming budget; past-the-end blocks digest the empty
+    string identically in both engines."""
+    col = "payload" if dialect == "spark" else "text"
+    sub = "substring" if dialect == "spark" else "substr"
+    parts = [
+        f"{sub}(md5({sub}({col}, {i * PH_BLOCK_BYTES + 1},"
+        f" {PH_BLOCK_BYTES})), 1, 1)"
+        for i in range(PH_BLOCKS)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _ph_band_sql(dialect: str, j: int) -> str:
+    """Band j (16 bits) of the hex hash as a BIGINT."""
+    piece = f"substr(ph, {j * 4 + 1}, 4)"
+    if dialect == "spark":
+        return f"conv({piece}, 16, 10)"
+    return f"CAST('0x' || {piece} AS BIGINT)"
+
+
+@register(
+    "q_multimodal_phash",
+    tags=("multimodal", "dedup", "lsh", "scale"),
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, n_chars, {_ph_hex_expr('duck')} AS ph
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n_chars,
+                   {", ".join(_ph_band_sql('duck', j) + f' AS b{j}'
+                              for j in range(PH_BANDS))}
+            FROM h
+        ),
+        expl AS (
+            SELECT doc_id, b0, b1, b2, b3, band_idx,
+                   CASE band_idx WHEN 0 THEN b0 WHEN 1 THEN b1
+                                 WHEN 2 THEN b2 ELSE b3 END AS band_val
+            FROM b, (SELECT unnest(range(0, {PH_BANDS})) AS band_idx)
+            WHERE band_idx * {PH_BAND_BYTES} < n_chars
+        ),
+        cand AS (
+            SELECT DISTINCT
+                   a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   (bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+                    + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)))
+                       AS hamming
+            FROM expl a JOIN expl c
+              ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+             AND a.doc_id < c.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= {PH_HAM_MAX}
+    """,
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH near-duplicate detection over BINARY payloads —
+    the image-dedup pattern (blockhash/pHash): each payload is divided
+    into {PH_BLOCKS} fixed-offset {PH_BLOCK_BYTES}-byte blocks, each
+    block digests to 4 bits, and the 64-bit hash is banded
+    {PH_BANDS}×16 for an LSH-style candidate equi-join; candidates
+    verify on full 64-bit Hamming distance ≤ {PH_HAM_MAX}. Fixed
+    offsets are the byte-stream analog of pHash's spatial grid: a
+    local edit flips only the touched blocks' bits, so near-identical
+    payloads stay within budget while the band join keeps candidate
+    generation far from all-pairs.
+
+    The block digest is the deterministic md5 stand-in for a real
+    DCT/mean threshold (no image libs in env — see ``_fake_decode``);
+    band join, Hamming verify, and all plumbing are the production
+    shape, and the ASCII-text payload makes the DuckDB oracle replay
+    the hash bit-for-bit.
+
+    Skew guard: bands lying entirely past the payload's end would hash
+    every short document to one all-empty-block value — a corpus-sized
+    hot bucket — so band emission requires the band to cover at least
+    one real byte (both engines apply the same predicate).
+
+    Plan: hash = per-row projection (scan-bound); candidates = equi-join
+    on (band_idx, 16-bit band value); verify reuses the carried band
+    values (no join back to the corpus)."""
+    bf = binary_frame(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    h = bf.select(
+        "doc_id", "n_bytes", F.expr(_ph_hex_expr("spark")).alias("ph")
+    )
+    b = h.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.expr(_ph_band_sql("spark", j)).cast("long").alias(f"b{j}")
+            for j in range(PH_BANDS)
+        ],
+    )
+    expl = b.select(
+        "doc_id",
+        "n_bytes",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(PH_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    ).filter(F.col("band_idx") * PH_BAND_BYTES < F.col("n_bytes"))
+    a = expl.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(PH_BANDS)],
+        "band_idx",
+        "band_val",
+    )
+    c = expl.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(PH_BANDS)],
+        "band_idx",
+        "band_val",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}")))
+        for j in range(PH_BANDS)
+    )
+    cand = (
+        a.join(c, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= PH_HAM_MAX)

@@ -1430,3 +1430,76 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ex", 6).alias("exact_dist"),
         )
     )
+
+
+SEMDEDUP_EPS = 0.35  # within-cluster cosine threshold (family convention)
+
+
+@register(
+    "q_dedup_semdedup",
+    tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_trained_cents_ctes()},
+        a_final AS {_kmeans_assign_sql('cents')},
+        pairs AS (
+            SELECT a.cent_id, a.vec_id AS keep_cand, b.vec_id AS drop_id,
+                   {cosine_sql('a.v', 'b.v')} AS sim
+            FROM a_final a JOIN a_final b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE {cosine_sql('a.v', 'b.v')} >= {SEMDEDUP_EPS}
+        )
+        SELECT drop_id AS doc_id,
+               MIN(cent_id) AS cent_id,
+               MIN(keep_cand) AS kept_doc_id,
+               ROUND(MAX(sim), 6) AS max_sim
+        FROM pairs GROUP BY drop_id
+    """,
+)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP (Abbas et al. 2023): semantic dedup with K-MEANS CLUSTER
+    BUCKETING — embeddings are clustered, cosine comparisons happen ONLY
+    within a cluster, and of any ε-similar pair the larger id drops.
+    The published recipe for semantic dedup at web scale: clustering
+    bounds the candidate space the way LSH bands do for
+    ``q_dedup_embedding``, but with data-adaptive regions (a paraphrase
+    cluster is one bucket even when its members straddle LSH bands).
+
+    Scale contract: with K ∝ √N clusters, expected within-cluster pair
+    work is ~N^1.5/K ≈ N — the fixture's K={IVF_K} stands in for that
+    dial. The cluster self-join is an equi-join on cent_id (shuffle
+    co-locates one cluster per task; a skewed mega-cluster is handled
+    the same way the salted-join variant handles hot keys). Index reuse:
+    rides the SESSION-PERSISTED IVF assignment — training runs once,
+    SemDeDup and every ANN query share it.
+
+    Reference: the engine's dedup-tier convention (drop larger id, keep
+    smallest) matches q_dedup_exact/q_dedup_embedding so removal lists
+    compose across tiers."""
+    assigned = _ivf_assignment(spark, sf_dir)
+    sides = assigned.select(
+        "vec_id", "cent_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = sides.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("keep_cand"),
+        F.col("v").alias("va"),
+    )
+    b = sides.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("keep_cand") < F.col("drop_id"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= SEMDEDUP_EPS)
+    )
+    return (
+        pairs.groupBy(F.col("drop_id").alias("doc_id"))
+        .agg(
+            F.min("cent_id").alias("cent_id"),
+            F.min("keep_cand").alias("kept_doc_id"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+    )

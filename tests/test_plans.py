@@ -513,3 +513,23 @@ def test_temperature_rates_broadcast_onto_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sample_temperature")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_equi_join_on_cluster(spark, sf_dir):
+    """SemDeDup's pair join is an equi-join on cent_id — no cartesian
+    anywhere (the only BNLJ allowed is the broadcast centroid assign)."""
+    plan = _plan(spark, sf_dir, "q_dedup_semdedup")
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_band_equi_join_carries_verify_payload(spark, sf_dir):
+    """pHash candidates come from an equi-join on (band_idx, band_val);
+    the Hamming verify reuses carried band values — no THIRD scan joins
+    back to documents, no cartesian. (Spark plans a self-join as two
+    scans of the source — acceptable because each side projects only
+    (doc_id, text→hash); a session-cached band table would cut it to
+    one, as the dedup tier's shared shingle cache does.)"""
+    plan = _plan(spark, sf_dir, "q_multimodal_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 2

@@ -1064,3 +1064,152 @@ def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- mergeable equi-width histogram quantile sketch -------------------------
+HQ_BINS = 64
+HQ_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@register(
+    "q_sketch_hist_quantile",
+    tags=("sketch", "stats", "scale"),
+    oracle=f"""
+        WITH stats AS (
+            SELECT MIN(value) AS mn, MAX(value) AS mx,
+                   COUNT(*) AS n
+            FROM events
+        ),
+        binned AS (
+            SELECT LEAST({HQ_BINS} - 1, CAST(floor(
+                       (e.value - s.mn) / ((s.mx - s.mn) / {HQ_BINS})
+                   ) AS BIGINT)) AS bin
+            FROM events e, stats s
+        ),
+        hist AS (
+            SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS cum,
+                   SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       - cnt AS cum_prev
+            FROM hist
+        ),
+        qs AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in HQ_QUANTILES)}]) AS q),
+        hit AS (
+            SELECT q, bin, cnt, cum_prev, rn FROM (
+                SELECT qs.q, c.bin, c.cnt, c.cum_prev,
+                       ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY c.bin)
+                           AS rn
+                FROM qs JOIN cum c ON c.cum >= qs.q * (SELECT n FROM stats)
+            ) WHERE rn = 1
+        ),
+        est AS (
+            SELECT h.q,
+                   s.mn + ((s.mx - s.mn) / {HQ_BINS})
+                        * (h.bin + (h.q * s.n - h.cum_prev) / h.cnt)
+                       AS est
+            FROM hit h, stats s
+        ),
+        exact AS (
+            SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in HQ_QUANTILES)}]) AS q,
+                   unnest([{", ".join(
+                       f"quantile_cont(value, {q})" for q in HQ_QUANTILES
+                   )}]) AS exact
+            FROM events
+        )
+        SELECT e.q, ROUND(x.est, 4) AS est, ROUND(e.exact, 4) AS exact,
+               ROUND(abs(x.est - e.exact), 4) AS abs_err
+        FROM exact e JOIN est x ON e.q = x.q
+    """,
+)
+def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-WIDTH HISTOGRAM quantile sketch: a {HQ_BINS}-bin fixed-width
+    histogram (one agg pass; bins are MERGEABLE across partitions,
+    machines, and days — the property exact quantiles lack) answers
+    P50/P90/P99 by linear interpolation inside the covering bin, with
+    the exact interpolated quantile alongside as the realized-error
+    audit. The cheap first rung of the quantile-sketch ladder (below
+    KLL/t-digest): at 100 TB the full histogram is {HQ_BINS} longs per
+    partition folded by the partial agg, and the estimate's error is
+    bounded by bin width, reported not assumed.
+
+    Determinism: bin edges derive from global MIN/MAX doubles; bin
+    assignment, cumulative ranks, and interpolation are identical
+    rational arithmetic in both engines (both sides round at 4 dp).
+
+    Plan: one scan feeds the stats agg and (via a broadcast single-row
+    join) the binning pass; the cumulative window runs over {HQ_BINS}
+    rows; exact quantiles for the audit are Spark's percentile agg."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / HQ_BINS
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(HQ_BINS - 1),
+            F.floor((F.col("value") - F.col("mn")) / width).cast("long"),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_prev"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in HQ_QUANTILES], "q double"
+    )
+    whit = Window.partitionBy("q").orderBy("bin")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn("rn", F.row_number().over(whit))
+        .filter(F.col("rn") == 1)
+    )
+    est = hit.select(
+        "q",
+        (
+            F.col("mn")
+            + width
+            * (
+                F.col("bin")
+                + (F.col("q") * F.col("n") - F.col("cum_prev"))
+                / F.col("cnt")
+            )
+        ).alias("est"),
+    )
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"e{i}")
+            for i, q in enumerate(HQ_QUANTILES)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"e{i}").alias("exact")
+                    )
+                    for i, q in enumerate(HQ_QUANTILES)
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.q").alias("q"), F.col("s.exact").alias("exact"))
+    return (
+        exact.join(est, "q")
+        .select(
+            "q",
+            F.round("est", 4).alias("est"),
+            F.round("exact", 4).alias("exact"),
+            F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+        )
+    )

@@ -604,3 +604,156 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum(overlap).cast("long").alias("overlap_sec"),
     )
+
+
+# --- Bloom-filter-pruned join (runtime-filter pattern) ----------------------
+BJ_M = 1 << 16  # bloom bits
+BJ_WORDS = BJ_M // 64
+BJ_K = 3  # hashes per key
+BJ_PRIORITY = "1-URGENT"
+
+
+def _bj_pos_sql(dialect: str, k: int, key: str) -> str:
+    """Bloom position k for a bigint key — the same 44-bit md5 prefix
+    arithmetic the dedup tier uses, mod the bit-array size."""
+    if dialect == "spark":
+        arg = f"concat('{k}:', CAST({key} AS STRING))"
+        return f"(conv(substring(md5({arg}), 1, 11), 16, 10) % {BJ_M})"
+    arg = f"concat('{k}:', CAST({key} AS VARCHAR))"
+    return f"(CAST('0x' || substr(md5({arg}), 1, 11) AS BIGINT) % {BJ_M})"
+
+
+@register(
+    "q_join_bloom_pruned",
+    tags=("join", "bloom", "scale", "pushdown"),
+    oracle=f"""
+        WITH sel AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '{BJ_PRIORITY}'
+        ),
+        bits AS (
+            SELECT DISTINCT pos FROM (
+                {" UNION ALL ".join(
+                    f"SELECT {_bj_pos_sql('duck', k, 'o_orderkey')} AS pos"
+                    f" FROM sel" for k in range(BJ_K)
+                )}
+            )
+        ),
+        probed AS (
+            SELECT l.l_orderkey, l.l_extendedprice,
+                   ({" AND ".join(
+                       f"EXISTS (SELECT 1 FROM bits b WHERE b.pos = "
+                       f"{_bj_pos_sql('duck', k, 'l.l_orderkey')})"
+                       for k in range(BJ_K)
+                   )}) AS pass
+            FROM lineitem l
+        ),
+        joined AS (
+            SELECT p.pass, (s.o_orderkey IS NOT NULL) AS matched,
+                   p.l_extendedprice
+            FROM probed p LEFT JOIN sel s ON p.l_orderkey = s.o_orderkey
+            WHERE p.pass
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fact FROM lineitem)
+        SELECT t.n_fact,
+               CAST(COUNT(*) AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_joined,
+               CAST(SUM(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_false_pos,
+               CAST(ROUND(SUM(CASE WHEN matched THEN
+                   CAST(l_extendedprice AS DECIMAL(28,10)) ELSE 0 END), 2)
+                   AS DOUBLE) AS revenue
+        FROM joined, tot t
+        GROUP BY t.n_fact
+    """,
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PRUNED fact join — the runtime-filter pattern Spark's AQE
+    applies under `spark.sql.optimizer.runtimeFilter.bloomFilter`,
+    made explicit and deterministic: the filtered dimension
+    ({BJ_PRIORITY} orders) hashes its keys {BJ_K}× into a {BJ_M}-bit
+    Bloom filter, the filter ships to every fact partition as a
+    {BJ_WORDS}-word bitmap inside ONE broadcast row, and fact rows
+    failing any bit never reach the join. Output is the audit row:
+    total fact rows, bloom survivors, true joins, realized false
+    positives, and the joined revenue — the hash match proves
+    no-false-negatives end-to-end (the oracle probes the same bit SET
+    relationally; bitmap encode/decode must equal set membership).
+
+    Why it matters at 100 TB: a selective dim filter prunes the fact
+    scan BEFORE the join shuffle — survivors are ~selectivity + fp
+    rate of the fact table, so shuffle volume drops proportionally;
+    the bitmap costs {BJ_M // 8 // 1024} KiB however large the corpus.
+
+    Plan: bloom build = one pass over the filtered dim (distinct bit
+    positions, word-packed via bit_or partial aggs); probe = per-row
+    bit tests against the broadcast bitmap (codegen, no join); only
+    survivors hit the broadcast-hash join with the dim."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    sel = orders.filter(F.col("o_orderpriority") == BJ_PRIORITY).select(
+        "o_orderkey"
+    )
+    pos = sel.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bj_pos_sql("spark", k, "o_orderkey"))
+                    for k in range(BJ_K)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = pos.groupBy(F.expr("pos div 64").alias("word_id")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("word")
+    )
+    bitmap = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_id", "word"))
+        ).alias("wmap")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BJ_WORDS - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("wmap"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("words")
+    )
+    probed = li.select("l_orderkey", "l_extendedprice").crossJoin(
+        F.broadcast(bitmap)
+    )
+    hits = [
+        F.expr(
+            f"((element_at(words, cast({_bj_pos_sql('spark', k, 'l_orderkey')}"
+            f" div 64 as int) + 1) >> cast("
+            f"{_bj_pos_sql('spark', k, 'l_orderkey')} % 64 as int)) & 1) = 1"
+        )
+        for k in range(BJ_K)
+    ]
+    passed = probed.filter(hits[0] & hits[1] & hits[2])
+    joined = passed.join(
+        F.broadcast(sel), passed["l_orderkey"] == sel["o_orderkey"], "left"
+    ).select(
+        F.col("o_orderkey").isNotNull().alias("matched"), "l_extendedprice"
+    )
+    stats = joined.agg(
+        F.count("*").alias("n_pass"),
+        F.sum(F.when(F.col("matched"), 1).otherwise(0)).alias("n_joined"),
+        F.sum(F.when(F.col("matched"), 0).otherwise(1)).alias("n_false_pos"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("matched"),
+                    F.col("l_extendedprice").cast("decimal(28,10)"),
+                ).otherwise(F.lit(0).cast("decimal(28,10)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    tot = li.agg(F.count("*").alias("n_fact"))
+    return F.broadcast(tot).crossJoin(stats).select(
+        "n_fact", "n_pass", "n_joined", "n_false_pos", "revenue"
+    )

@@ -424,3 +424,65 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q_window_rank_suite",
+    tags=("window", "sql-surface"),
+    oracle="""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2)
+                        AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, user_id, total_value,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS dense_rnk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               NTILE(4) OVER w AS quartile
+        FROM per_user
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY total_value DESC, user_id)
+        QUALIFY RANK() OVER w <= 50
+    """,
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RANKING-FUNCTION surface in one query — rank,
+    dense_rank, percent_rank, cume_dist, ntile(4) over per-type user
+    leaderboards (top-50 per type via a rank predicate). Ordering keys
+    are (decimal-exact total, user_id), so ranks are deterministic and
+    every rank function agrees bit-for-bit across engines —
+    percent_rank/cume_dist are pure rational arithmetic over those
+    ranks.
+
+    Plan: one user-keyed aggregation (partial combines), then one
+    window over the per-(type,user) relation — |users|·|types| rows,
+    not event rows; the rank≤50 predicate prunes output driver-side
+    work but the window itself is the one inherent per-type sort."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("total_value")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        per_user.select(
+            "event_type",
+            "user_id",
+            "total_value",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("dense_rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )

@@ -533,3 +533,38 @@ def test_phash_band_equi_join_carries_verify_payload(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("FileScan parquet") == 2
+
+
+def test_dq_audit_event_checks_single_agg_fk_broadcast_anti(spark, sf_dir):
+    """The four event checks fold into aggregation passes (no shuffle
+    join); the FK check is a broadcast LEFT ANTI — never a sort-merge."""
+    plan = _plan(spark, sf_dir, "q_dq_audit")
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_rank_suite_single_window_no_join(spark, sf_dir):
+    """All five rank functions share ONE window spec — one sort, no
+    joins anywhere."""
+    plan = _plan(spark, sf_dir, "q_window_rank_suite")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Window") == 1
+
+
+def test_hist_quantile_no_shuffle_joins(spark, sf_dir):
+    """Histogram sketch: stats and quantile targets ride broadcast
+    single-row joins; nothing sort-merges and the fact never shuffles
+    for a join."""
+    plan = _plan(spark, sf_dir, "q_sketch_hist_quantile")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_pruned_join_all_broadcast(spark, sf_dir):
+    """Bloom-pruned join: the bitmap and the dim both broadcast — the
+    fact table is never shuffled for a join, and the only equi-join is
+    the broadcast-hash verify against the filtered dim."""
+    plan = _plan(spark, sf_dir, "q_join_bloom_pruned")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

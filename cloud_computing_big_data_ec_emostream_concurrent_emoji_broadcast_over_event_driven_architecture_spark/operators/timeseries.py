@@ -1418,3 +1418,89 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("v_interp"),
         F.col("v_obs").isNull().alias("filled"),
     )
+
+
+SEQ_LETTER = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "signup": "s",
+    "error": "e",
+}
+SEQ_PATTERN = "vc+p"  # view, then 1+ clicks, then purchase
+
+
+def _seq_letter_case(col_sql: str) -> str:
+    """CASE mapping event types to single letters (both dialects)."""
+    whens = " ".join(
+        f"WHEN '{t}' THEN '{letter}'" for t, letter in SEQ_LETTER.items()
+    )
+    return f"CASE {col_sql} {whens} ELSE 'x' END"
+
+
+@register(
+    "q_event_sequence_pattern",
+    tags=("time", "window", "sql-surface"),
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg({_seq_letter_case('event_type')}, ''
+                       ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS BIGINT) AS seq_len,
+               CAST(len(regexp_extract_all(seq, '{SEQ_PATTERN}'))
+                    AS BIGINT) AS n_matches
+        FROM seqs
+        WHERE len(regexp_extract_all(seq, '{SEQ_PATTERN}')) > 0
+    """,
+)
+def q_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE shape): per
+    user, the time-ordered event-type sequence is encoded one letter
+    per event and scanned for the pattern ``{SEQ_PATTERN}`` (a view,
+    one or more clicks, then a purchase); output is every user with at
+    least one occurrence plus the non-overlapping match count — the
+    declarative form of funnel/journey pattern queries that row-by-row
+    consumers hand-code with state machines (the engine's streaming
+    funnel is the unbounded twin).
+
+    Determinism: ordering ties break on event_id; both engines' regex
+    scanners count non-overlapping matches left-to-right, and the
+    pattern uses only portable syntax (literal + class + quantifier).
+
+    Plan: one user-keyed aggregation building the sequence (state per
+    user is bounded by that user's event count — the batch trade-off;
+    unbounded histories belong to the streaming twin), then a per-row
+    regex — no joins, no windows, one shuffle total."""
+    ev = table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.expr(_seq_letter_case("event_type")).alias("letter"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["letter"]
+                ),
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count(F.col("seq"), F.lit(SEQ_PATTERN))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -568,3 +568,12 @@ def test_bloom_pruned_join_all_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_join_bloom_pruned")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_pattern_single_shuffle_no_join(spark, sf_dir):
+    """Sequence building is one user-keyed aggregation; the regex is a
+    projection — exactly one hash exchange, no joins, no windows."""
+    plan = _plan(spark, sf_dir, "q_event_sequence_pattern")
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert node not in plan

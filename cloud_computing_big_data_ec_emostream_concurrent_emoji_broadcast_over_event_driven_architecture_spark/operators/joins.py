@@ -625,6 +625,7 @@ def _bj_pos_sql(dialect: str, k: int, key: str) -> str:
 
 @register(
     "q_join_bloom_pruned",
+    headline=True,
     tags=("join", "bloom", "scale", "pushdown"),
     oracle=f"""
         WITH sel AS (
@@ -756,4 +757,90 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = li.agg(F.count("*").alias("n_fact"))
     return F.broadcast(tot).crossJoin(stats).select(
         "n_fact", "n_pass", "n_joined", "n_false_pos", "revenue"
+    )
+
+
+ATTR_WINDOW_DAYS = 3  # attribution lookback
+ATTR_TOUCHES = ("click", "view")  # attributable touchpoints
+
+
+@register(
+    "q_attribution_last_touch",
+    tags=("join", "asof", "window", "llm-pipeline"),
+    oracle=f"""
+        WITH touched AS (
+            SELECT event_id, event_type, ts, value,
+                   LAST_VALUE(CASE WHEN event_type IN
+                       ({", ".join(f"'{t}'" for t in ATTR_TOUCHES)})
+                       THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+                   LAST_VALUE(CASE WHEN event_type IN
+                       ({", ".join(f"'{t}'" for t in ATTR_TOUCHES)})
+                       THEN event_type END IGNORE NULLS) OVER w AS lt_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT CASE WHEN lt_ts IS NOT NULL
+                     AND lt_ts >= ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+                    THEN lt_type ELSE 'direct' END AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+                   AS attributed_value
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — the marketing-analytics application of
+    the as-of join: each purchase credits the same user's most recent
+    preceding click/view if it happened within the
+    {ATTR_WINDOW_DAYS}-day lookback, else 'direct'; per-channel
+    purchase counts and attributed value roll up decimal-exact.
+    Extends ``q_join_asof``'s mechanism (ignore-nulls last-value over
+    the per-user ordered window — no join node at all) with the
+    windowed-validity predicate and the value rollup a real
+    attribution pipeline needs.
+
+    Plan: one shuffle on user_id for the window, one channel rollup
+    over purchase rows only. The two ignore-nulls last-values share
+    one window spec (a single sort), and at 100 TB the state per user
+    is one running (ts, type) pair — the same shape the streaming
+    stateful twin keeps."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCHES)
+    touched = ev.select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        F.last(F.when(is_touch, F.col("ts").cast("timestamp")), ignorenulls=True)
+        .over(w)
+        .alias("lt_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+    )
+    channel = F.when(
+        F.col("lt_ts").isNotNull()
+        & (
+            F.col("lt_ts")
+            >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+        ),
+        F.col("lt_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
     )

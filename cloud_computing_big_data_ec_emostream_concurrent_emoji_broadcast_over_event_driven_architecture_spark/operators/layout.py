@@ -213,12 +213,12 @@ COMPACT_TARGET_BYTES = 2000  # rewrite goal: ~2 KB compaction groups
                        // {COMPACT_TARGET_BYTES} AS bin_id
             FROM files
         )
-        SELECT source, bin_id,
+        SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
                CAST(COUNT(*) AS BIGINT) AS n_files,
                CAST(SUM(file_bytes) AS BIGINT) AS total_bytes,
                CAST(MIN(file_id) AS BIGINT) AS first_file,
                CAST(MAX(file_id) AS BIGINT) AS last_file
-        FROM planned GROUP BY 1, 2
+        FROM planned GROUP BY source, bin_id
     """,
 )
 def q_layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:

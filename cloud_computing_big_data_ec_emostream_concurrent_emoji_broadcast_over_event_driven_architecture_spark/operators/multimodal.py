@@ -248,6 +248,7 @@ def _ph_band_sql(dialect: str, j: int) -> str:
 
 @register(
     "q_multimodal_phash",
+    headline=True,
     tags=("multimodal", "dedup", "lsh", "scale"),
     oracle=f"""
         WITH h AS (

@@ -1437,6 +1437,7 @@ SEMDEDUP_EPS = 0.35  # within-cluster cosine threshold (family convention)
 
 @register(
     "q_dedup_semdedup",
+    headline=True,
     tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
     oracle=f"""
         WITH {_trained_cents_ctes()},

@@ -1275,6 +1275,7 @@ def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_resample_interpolate",
+    headline=True,
     tags=("time", "window", "llm-pipeline"),
     oracle="""
         WITH obs AS (

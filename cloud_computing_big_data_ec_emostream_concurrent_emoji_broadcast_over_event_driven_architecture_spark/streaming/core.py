@@ -470,3 +470,40 @@ def new_users_per_minute(
         .groupBy(F.window(F.col(ts_col), "1 minute"))
         .agg(F.count("*").alias("new_users"))
     )
+
+
+DQ_STREAM_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def dq_monitor_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of ``q_dq_audit``'s per-row checks: a windowed
+    CONSTRAINT MONITOR emitting, per tumbling window, the row count and
+    the violation counts for the non-null and value-domain rules — the
+    continuous form of the batch audit (uniqueness and referential
+    integrity need cross-batch state and stay batch-side / in the
+    ``dedup_stream`` and enrichment paths).
+
+    Same conditional-sum arithmetic as the batch audit, so a replay of
+    the same rows produces identical counts (pinned by
+    tests/test_streaming.py). Wire this to an alerting sink via
+    ``fanout_foreach_batch`` with a ``violations > 0`` filter."""
+    events = _event_time(events, ts_col)
+    bad_type = ~F.col("event_type").isin(*DQ_STREAM_TYPES)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+                "null_user_violations"
+            ),
+            F.sum(F.when(bad_type, 1).otherwise(0)).alias(
+                "domain_violations"
+            ),
+        )
+    )

@@ -1294,3 +1294,54 @@ def test_new_users_per_minute_stream_equals_batch(
     }
     assert got == batch
     assert sum(got.values()) == events_df.select("user_id").distinct().count()
+
+
+def test_dq_monitor_stream_matches_batch_counts(spark, events_df, tmp_path):
+    """The streaming constraint monitor's per-window counts equal the
+    batch q_dq_audit arithmetic applied per minute — replaying the same
+    rows yields identical violation counts."""
+    import uuid as _uuid
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        DQ_STREAM_TYPES,
+        dq_monitor_stream,
+    )
+
+    out = tmp_path / f"dq_{_uuid.uuid4().hex[:8]}"
+    events_df.orderBy("ts", "event_id").coalesce(2).write.parquet(str(out))
+    stream = (
+        spark.readStream.schema(events_df.schema).parquet(str(out))
+    )
+    name = f"dqmon_{_uuid.uuid4().hex[:8]}"
+    q = (
+        dq_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window"]["start"], r["n_rows"],
+         r["null_user_violations"], r["domain_violations"])
+        for r in spark.table(name).collect()
+    }
+    bad_type = ~F.col("event_type").isin(*DQ_STREAM_TYPES)
+    expected = {
+        (r["minute"], r["n_rows"], r["nulls"], r["bad"])
+        for r in events_df.groupBy(
+            F.date_trunc("minute", F.col("ts").cast("timestamp")).alias(
+                "minute"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("user_id").isNull(), 1).otherwise(0)
+            ).alias("nulls"),
+            F.sum(F.when(bad_type, 1).otherwise(0)).alias("bad"),
+        )
+        .collect()
+    }
+    assert got == expected

@@ -692,6 +692,13 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit tests against the broadcast bitmap (codegen, no join); only
     survivors hit the broadcast-hash join with the dim."""
     li = table(spark, sf_dir, "lineitem")
+    # the probe is hash-bound (3 md5/row): low-SF local fixtures arrive as
+    # a couple of parquet splits, so fan the expression work out — at real
+    # scale the file splits already provide parallelism and this is a
+    # no-op (same guard as the shingle cache build)
+    par = spark.sparkContext.defaultParallelism
+    if len(li.inputFiles()) < par:
+        li = li.repartition(par)
     orders = table(spark, sf_dir, "orders")
     sel = orders.filter(F.col("o_orderpriority") == BJ_PRIORITY).select(
         "o_orderkey"
@@ -721,14 +728,26 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("words")
     )
-    probed = li.select("l_orderkey", "l_extendedprice").crossJoin(
-        F.broadcast(bitmap)
+    # each position is PROJECTED once (an md5 + conv per hash, the real
+    # probe cost at scale) and the bit test reuses the column — a single
+    # expression would evaluate the hash twice (word index + shift)
+    probed = (
+        li.select("l_orderkey", "l_extendedprice")
+        .crossJoin(F.broadcast(bitmap))
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            "words",
+            *[
+                F.expr(_bj_pos_sql("spark", k, "l_orderkey")).alias(f"p{k}")
+                for k in range(BJ_K)
+            ],
+        )
     )
     hits = [
         F.expr(
-            f"((element_at(words, cast({_bj_pos_sql('spark', k, 'l_orderkey')}"
-            f" div 64 as int) + 1) >> cast("
-            f"{_bj_pos_sql('spark', k, 'l_orderkey')} % 64 as int)) & 1) = 1"
+            f"((element_at(words, cast(p{k} div 64 as int) + 1)"
+            f" >> cast(p{k} % 64 as int)) & 1) = 1"
         )
         for k in range(BJ_K)
     ]

@@ -1504,3 +1504,82 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("sim"), 6).alias("max_sim"),
         )
     )
+
+
+ANN_BATCH_Q = 16  # query batch: vec_id < 16
+ANN_BATCH_K = 5  # top-k per query
+
+
+@register(
+    "q_ann_batch_queries",
+    tags=("similarity", "vector", "ann", "scale"),
+    oracle=f"""
+        WITH {_trained_cents_ctes()},
+        a_final AS {_kmeans_assign_sql('cents')},
+        queries AS (
+            SELECT vec_id AS q_id, cent_id AS q_cent, v AS qv
+            FROM a_final WHERE vec_id < {ANN_BATCH_Q}
+        ),
+        scored AS (
+            SELECT q.q_id, a.vec_id,
+                   {cosine_sql('a.v', 'q.qv')} AS sim
+            FROM a_final a JOIN queries q
+              ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
+               ROUND(sim, 6) AS sim
+        FROM ranked WHERE rnk <= {ANN_BATCH_K}
+    """,
+)
+def q_ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED ANN serving: {ANN_BATCH_Q} query vectors answered in ONE
+    join — each query probes its own IVF bucket (single-probe) and
+    takes its top-{ANN_BATCH_K} by cosine. This is how ANN runs in a
+    pipeline (dedupe-against-index, retrieval eval, embedding joins):
+    per-query loops die at scale; a query batch is a broadcast-sized
+    relation joined against the bucketed index, so N queries cost one
+    pass over the probed buckets regardless of N.
+
+    Plan: the session-persisted IVF assignment supplies both sides; the
+    query batch (rows, not plans) broadcasts onto the index's bucket
+    join; ranking is one (q_id)-partitioned window whose input is
+    bucket-sized. Rank ordering ties break on vec_id so cross-engine
+    ulp-identical cosines rank identically (both engines fold the
+    dot/norm sums in index order over identical doubles)."""
+    from pyspark.sql import Window
+
+    assigned = _ivf_assignment(spark, sf_dir)
+    sides = assigned.select(
+        "vec_id", "cent_id", as_double(F.col("embedding")).alias("v")
+    )
+    queries = sides.filter(F.col("vec_id") < ANN_BATCH_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cent_id").alias("q_cent"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        sides.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_BATCH_K)
+        .select(
+            "q_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+            F.round("sim", 6).alias("sim"),
+        )
+    )

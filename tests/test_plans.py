@@ -621,3 +621,12 @@ def test_attribution_no_join_single_user_shuffle(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
     assert plan.count("Window") == 1
+
+
+def test_ann_batch_queries_broadcast_bucket_join(spark, sf_dir):
+    """Batched ANN: the query batch broadcasts onto the bucketed index
+    join; ranking gets the WindowGroupLimit pushdown (top-k per query
+    without sorting whole buckets)."""
+    plan = _plan(spark, sf_dir, "q_ann_batch_queries")
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan

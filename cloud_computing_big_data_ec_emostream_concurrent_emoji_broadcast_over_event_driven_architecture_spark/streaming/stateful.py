@@ -224,3 +224,90 @@ def running_key_stats_tws(
         outputMode="update",
         timeMode="none" if ttl_ms is None else "eventTime",
     )
+
+
+ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("lt_us", T.LongType()),  # last-touch ts (microseconds)
+        T.StructField("lt_type", T.StringType()),
+    ]
+)
+
+ATTR_TOUCH_TYPES = ("click", "view")
+ATTR_LOOKBACK_US = 3 * 24 * 3600 * 1_000_000  # 3 days, matches batch op
+
+
+def attribution_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``q_attribution_last_touch``
+    (operators/joins.py): per-user LAST-TOUCH state — one (ts, type)
+    pair per user, the same state the batch window carries implicitly —
+    updated by click/view rows; every purchase emits its attributed
+    channel immediately (``direct`` when no touch within the 3-day
+    lookback). State is one tuple per user regardless of history
+    length — the constant-size-state property that makes attribution
+    streamable at all.
+
+    Rows within a micro-batch are processed in (ts, event_id) order, so
+    in-order replay reproduces the batch answer exactly (pinned by
+    tests/test_streaming.py); under cross-batch disorder the stream
+    attributes against the touches SEEN SO FAR — the same
+    arrival-vs-event-time divergence class as ``new_users_per_minute``
+    (SURVEY §2 ST4)."""
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover — no TTL configured
+            state.remove()
+            return
+        lt_us, lt_type = state.get if state.exists else (None, None)
+        out_user, out_event, out_channel, out_value = [], [], [], []
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples():
+            ts_us = int(row.ts.value // 1_000)  # pandas ns -> us
+            if row.event_type in ATTR_TOUCH_TYPES:
+                lt_us, lt_type = ts_us, row.event_type
+            elif row.event_type == "purchase":
+                if lt_us is not None and lt_us >= ts_us - ATTR_LOOKBACK_US:
+                    channel = lt_type
+                else:
+                    channel = "direct"
+                out_user.append(key[0])
+                out_event.append(row.event_id)
+                out_channel.append(channel)
+                out_value.append(row.value)
+        if lt_us is not None:
+            state.update((lt_us, lt_type))
+        if out_user:
+            yield pd.DataFrame(
+                {
+                    "user_id": out_user,
+                    "event_id": out_event,
+                    "channel": out_channel,
+                    "value": out_value,
+                }
+            )
+
+    stream = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.groupBy(F.col("user_id")).applyInPandasWithState(
+        update,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

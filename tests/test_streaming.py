@@ -1345,3 +1345,96 @@ def test_dq_monitor_stream_matches_batch_counts(spark, events_df, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_attribution_stream_matches_batch_on_inorder_replay(
+    spark, events_df, tmp_path
+):
+    """The stateful last-touch attribution stream reproduces the batch
+    window's per-purchase channel exactly when events replay in event-
+    time order (micro-batch boundaries included: state carries the last
+    touch across batches)."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.joins import (
+        ATTR_TOUCHES,
+        ATTR_WINDOW_DAYS,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.stateful import (
+        attribution_stream,
+    )
+
+    out = tmp_path / f"attr_{_uuid.uuid4().hex[:8]}"
+    # 4 ts-ordered files -> in-order micro-batches with maxFilesPerTrigger
+    rows = events_df.orderBy("ts", "event_id").collect()
+    chunk = len(rows) // 4 + 1
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, events_df.schema).coalesce(
+                1
+            ).write.parquet(str(out), mode="append")
+    stream = (
+        spark.readStream.schema(events_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    name = f"attr_{_uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_id"]): r["channel"]
+        for r in spark.table(name).collect()
+    }
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTR_TOUCHES)
+    batch = (
+        events_df.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.last(
+                F.when(is_touch, F.col("ts").cast("timestamp")),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias("lt_ts"),
+            F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+            .over(w)
+            .alias("lt_type"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.when(
+                F.col("lt_ts").isNotNull()
+                & (
+                    F.col("lt_ts")
+                    >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+                ),
+                F.col("lt_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["event_id"]): r["channel"] for r in batch.collect()
+    }
+    assert got == expected

@@ -1583,3 +1583,112 @@ def q_ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("sim"),
         )
     )
+
+
+SEMDEDUP_TARGET_CLUSTER = 64  # production dial: K = max(8, N/64)
+
+
+def _dyn_cents_ctes() -> str:
+    """The oracle CTE chain for DYNAMIC-K k-means: identical Lloyd
+    unrolling to :func:`_trained_cents_ctes`, but the first-K init
+    sizes K from the corpus (K = max(8, N/{SEMDEDUP_TARGET_CLUSTER}))
+    so expected cluster size stays constant as the corpus grows."""
+    k_sql = (
+        f"(SELECT greatest(8, COUNT(*) // {SEMDEDUP_TARGET_CLUSTER})"
+        " FROM embeddings)"
+    )
+    ctes = [
+        f"ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
+        " FROM embeddings)",
+        f"d0 AS (SELECT vec_id AS cent_id, {as_double_sql('embedding')}"
+        f" AS cv FROM embeddings WHERE vec_id < {k_sql})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(f"dkma{i} AS {_kmeans_assign_sql(f'd{i}')}")
+        ctes.append(f"d{i + 1} AS {_kmeans_recenter_sql(f'dkma{i}')}")
+    ctes.append(f"dcents AS (SELECT cent_id, cv FROM d{KMEANS_ITERS})")
+    return ",\n        ".join(ctes)
+
+
+def _semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cent_id) under DYNAMIC K — SemDeDup's own index,
+    session-persisted like the IVF assignment. K grows with the corpus
+    (K = max(8, N/{SEMDEDUP_TARGET_CLUSTER})), which holds expected
+    cluster size — and therefore per-cluster pair work — constant:
+    total candidate work is ~N·{SEMDEDUP_TARGET_CLUSTER}, linear."""
+    key = (spark.sparkContext.applicationId, sf_dir, "semdedup")
+    if key not in _IVF_CACHE:
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        k_row = emb.agg(F.count("*").alias("n")).select(
+            F.greatest(
+                F.lit(8), F.expr(f"n div {SEMDEDUP_TARGET_CLUSTER}")
+            ).alias("kd")
+        )
+        cents = (
+            emb.crossJoin(F.broadcast(k_row))
+            .filter(F.col("vec_id") < F.col("kd"))
+            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+        )
+        for _ in range(KMEANS_ITERS):
+            cents = _kmeans_recenter(_kmeans_assign(emb, cents))
+        _IVF_CACHE[key] = _kmeans_assign(emb, cents).persist()
+    return _IVF_CACHE[key]
+
+
+@register(
+    "q_dedup_semdedup_scaled",
+    tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_dyn_cents_ctes()},
+        da_final AS {_kmeans_assign_sql('dcents')},
+        dpairs AS (
+            SELECT a.cent_id, a.vec_id AS keep_cand, b.vec_id AS drop_id,
+                   {cosine_sql('a.v', 'b.v')} AS sim
+            FROM da_final a JOIN da_final b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
+        )
+        SELECT drop_id AS doc_id,
+               MIN(cent_id) AS cent_id,
+               MIN(keep_cand) AS kept_doc_id,
+               ROUND(MAX(sim), 6) AS max_sim
+        FROM dpairs GROUP BY drop_id
+    """,
+)
+def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION cluster dial: K = max(8,
+    N/{SEMDEDUP_TARGET_CLUSTER}) — the SemDeDup paper's actual regime
+    (50k clusters for 134M docs ⇒ ~constant cluster size), where total
+    within-cluster pair work is ~N·target, LINEAR in the corpus, vs the
+    fixture-constant-K form (``q_dedup_semdedup``) whose pair work is
+    quadratic. At the small fixtures K resolves to 8 and both forms
+    agree; the 10× scaling run is where they part (SCALING.md round 4).
+
+    Everything else matches ``q_dedup_semdedup``: deterministic first-K
+    init + unrolled Lloyd iterations (the oracle replays training with
+    the same dynamically-sized K via a scalar subquery), equi-join on
+    cent_id, drop-larger-id convention."""
+    assigned = _semdedup_assignment(spark, sf_dir)
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("keep_cand"),
+        F.col("v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("keep_cand") < F.col("drop_id"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= NEAR_DUP_COS)
+    )
+    return pairs.groupBy(F.col("drop_id").alias("doc_id")).agg(
+        F.min("cent_id").alias("cent_id"),
+        F.min("keep_cand").alias("kept_doc_id"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )

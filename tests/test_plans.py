@@ -630,3 +630,10 @@ def test_ann_batch_queries_broadcast_bucket_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_ann_batch_queries")
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_semdedup_scaled_equi_join_on_cluster(spark, sf_dir):
+    """Dynamic-K SemDeDup keeps the same plan contract as the fixed-K
+    form: pair generation is an equi-join on cent_id, no cartesian."""
+    plan = _plan(spark, sf_dir, "q_dedup_semdedup_scaled")
+    assert "CartesianProduct" not in plan

@@ -356,3 +356,155 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= PH_HAM_MAX)
+
+
+# --- wide-band variant: the collision dial for big corpora ------------------
+PHW_HEX_PER_BLOCK = 4  # 16 bits per block -> 256-bit hash
+PHW_HAM_MAX = 32  # same fraction of the hash as PH_HAM_MAX is of 64
+
+
+def _phw_hex_expr(dialect: str) -> str:
+    """64-hex-char wide hash: {PHW_HEX_PER_BLOCK} md5 hex chars per
+    fixed-offset block (16 bits/block vs the base operator's 4)."""
+    col = "payload" if dialect == "spark" else "text"
+    sub = "substring" if dialect == "spark" else "substr"
+    parts = [
+        f"{sub}(md5({sub}({col}, {i * PH_BLOCK_BYTES + 1},"
+        f" {PH_BLOCK_BYTES})), 1, {PHW_HEX_PER_BLOCK})"
+        for i in range(PH_BLOCKS)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _phw_band_sql(dialect: str, j: int) -> str:
+    """Band j (64 bits = 16 hex chars) of the wide hash as a BIGINT."""
+    piece = f"substr(ph, {j * 16 + 1}, 16)"
+    if dialect == "spark":
+        # conv() of 16 hex chars can exceed int64 as unsigned — cast via
+        # the same 15-char + 1-char split both engines can replay... keep
+        # it simple: band key = the hex STRING (equi-join key needs no
+        # arithmetic); Hamming still works per 8-hex sub-word
+        return piece
+    return piece
+
+
+def _phw_word_sql(dialect: str, j: int, w: int) -> str:
+    """Word w (32 bits = 8 hex chars) of band j as a BIGINT, for the
+    bit_count(xor) Hamming fold (32-bit words stay well inside int64)."""
+    piece = f"substr(ph, {j * 16 + w * 8 + 1}, 8)"
+    if dialect == "spark":
+        return f"cast(conv({piece}, 16, 10) as bigint)"
+    return f"CAST('0x' || {piece} AS BIGINT)"
+
+
+@register(
+    "q_multimodal_phash_wide",
+    tags=("multimodal", "dedup", "lsh", "scale"),
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, n_chars, {_phw_hex_expr('duck')} AS ph
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n_chars,
+                   {", ".join(_phw_band_sql('duck', j) + f' AS bk{j}'
+                              for j in range(PH_BANDS))},
+                   {", ".join(_phw_word_sql('duck', j, w) + f' AS w{j}_{w}'
+                              for j in range(PH_BANDS) for w in range(2))}
+            FROM h
+        ),
+        expl AS (
+            SELECT doc_id,
+                   {", ".join(f"w{j}_{w}" for j in range(PH_BANDS)
+                              for w in range(2))},
+                   band_idx,
+                   CASE band_idx WHEN 0 THEN bk0 WHEN 1 THEN bk1
+                                 WHEN 2 THEN bk2 ELSE bk3 END AS band_val
+            FROM b, (SELECT unnest(range(0, {PH_BANDS})) AS band_idx)
+            WHERE band_idx * {PH_BAND_BYTES} < n_chars
+        ),
+        cand AS (
+            SELECT DISTINCT
+                   a.doc_id AS doc_a, c.doc_id AS doc_b,
+                   ({" + ".join(
+                       f"bit_count(xor(a.w{j}_{w}, c.w{j}_{w}))"
+                       for j in range(PH_BANDS) for w in range(2)
+                   )}) AS hamming
+            FROM expl a JOIN expl c
+              ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+             AND a.doc_id < c.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= {PHW_HAM_MAX}
+    """,
+)
+def q_multimodal_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDE-BAND perceptual-hash near-dup — the production collision
+    dial for the base ``q_multimodal_phash``: same {PH_BLOCKS}
+    fixed-offset blocks, but each block digests to 16 bits (256-bit
+    hash) and each LSH band is 64 bits, so random band collisions are
+    ~N²/2^64 — vanishing at ANY corpus size, where the 16-bit bands of
+    the base form start to pair random docs beyond ~10⁵ docs (measured:
+    SCALING.md round 4). True near-dups still collide on every band
+    their edits don't touch; the Hamming budget scales with the hash
+    ({PHW_HAM_MAX}/256 = the base form's {PH_HAM_MAX}/64).
+
+    Plan shape is identical: per-row hash projection, band equi-join
+    (band key = the 16-hex string; Hamming folds over 32-bit words so
+    the xor arithmetic stays in int64 in both engines), carried-value
+    verify, empty-tail-band guard."""
+    bf = binary_frame(spark, sf_dir).select(
+        "doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    h = bf.select(
+        "doc_id", "n_bytes", F.expr(_phw_hex_expr("spark")).alias("ph")
+    )
+    word_cols = [
+        F.expr(_phw_word_sql("spark", j, w)).alias(f"w{j}_{w}")
+        for j in range(PH_BANDS)
+        for w in range(2)
+    ]
+    band_cols = [
+        F.expr(_phw_band_sql("spark", j)).alias(f"bk{j}")
+        for j in range(PH_BANDS)
+    ]
+    b = h.select("doc_id", "n_bytes", *band_cols, *word_cols)
+    expl = b.select(
+        "doc_id",
+        *[F.col(f"w{j}_{w}") for j in range(PH_BANDS) for w in range(2)],
+        F.posexplode(
+            F.array(*[F.col(f"bk{j}") for j in range(PH_BANDS)])
+        ).alias("band_idx", "band_val"),
+    ).filter(F.col("band_idx") * PH_BAND_BYTES < F.col("n_bytes"))
+    a = expl.select(
+        F.col("doc_id").alias("doc_a"),
+        *[
+            F.col(f"w{j}_{w}").alias(f"a{j}_{w}")
+            for j in range(PH_BANDS)
+            for w in range(2)
+        ],
+        "band_idx",
+        "band_val",
+    )
+    c = expl.select(
+        F.col("doc_id").alias("doc_b"),
+        *[
+            F.col(f"w{j}_{w}").alias(f"c{j}_{w}")
+            for j in range(PH_BANDS)
+            for w in range(2)
+        ],
+        "band_idx",
+        "band_val",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}_{w}").bitwiseXOR(F.col(f"c{j}_{w}")))
+        for j in range(PH_BANDS)
+        for w in range(2)
+    )
+    cand = (
+        a.join(c, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= PHW_HAM_MAX)

@@ -637,3 +637,12 @@ def test_semdedup_scaled_equi_join_on_cluster(spark, sf_dir):
     form: pair generation is an equi-join on cent_id, no cartesian."""
     plan = _plan(spark, sf_dir, "q_dedup_semdedup_scaled")
     assert "CartesianProduct" not in plan
+
+
+def test_phash_wide_same_plan_contract(spark, sf_dir):
+    """The wide-band variant keeps the base pHash plan contract: band
+    equi-join, carried verify, no cartesian, 2 scans (self-join)."""
+    plan = _plan(spark, sf_dir, "q_multimodal_phash_wide")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 2

@@ -305,6 +305,14 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot bucket — so band emission requires the band to cover at least
     one real byte (both engines apply the same predicate).
 
+    Precision caveat (measured, tests/test_round4_ops.py): with 4-bit
+    block digests, pairs of SHORT payloads (< ~2 bands of content)
+    share many empty tail blocks and differing blocks only cost ~2
+    noise bits, so some random short pairs land inside the Hamming
+    budget. ``q_multimodal_phash_wide`` (16-bit digests) removes the
+    regime entirely and is the production form for mixed-length
+    corpora.
+
     Plan: hash = per-row projection (scan-bound); candidates = equi-join
     on (band_idx, 16-bit band value); verify reuses the carried band
     values (no join back to the corpus)."""

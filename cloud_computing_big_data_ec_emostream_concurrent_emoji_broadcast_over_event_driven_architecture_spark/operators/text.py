@@ -514,10 +514,7 @@ BM25_TERMS = ("join", "hash", "column")
 BM25_TOP_N = 20
 
 
-@register(
-    "q_text_bm25",
-    tags=("text", "similarity", "topk"),
-    oracle=f"""
+BM25_ORACLE_SQL = f"""
         WITH w AS (
             SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '')
@@ -548,7 +545,13 @@ BM25_TOP_N = 20
         FROM scored
         ORDER BY ROUND(score, 4) DESC, doc_id
         LIMIT {BM25_TOP_N}
-    """,
+    """
+
+
+@register(
+    "q_text_bm25",
+    tags=("text", "similarity", "topk"),
+    oracle=BM25_ORACLE_SQL,
 )
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance: top-{BM25_TOP_N} documents for the query terms
@@ -1154,3 +1157,94 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ok_repetition
         ).alias("passes"),
     )
+
+
+# --- hybrid search: BM25 + embedding cosine fused by RRF --------------------
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP = 10
+
+
+def _hybrid_vec_cte() -> str:
+    """Vector side of the hybrid oracle: cosine top-{BM25_TOP_N} against
+    the query vector (vec_id 0; mirrors q_similarity_topk, pool-sized)."""
+    from ..functions.vectors import as_double_sql, cosine_sql
+
+    return f"""(
+        SELECT vec_id, sim FROM (
+            SELECT e.vec_id,
+                   {cosine_sql(as_double_sql('e.embedding'), 'q.qv')} AS sim
+            FROM embeddings e,
+                 (SELECT {as_double_sql('embedding')} AS qv
+                  FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+        ) ORDER BY sim DESC, vec_id LIMIT {BM25_TOP_N}
+    )"""
+
+
+@register(
+    "q_hybrid_search_rrf",
+    tags=("text", "similarity", "vector", "topk", "llm-pipeline"),
+    oracle=f"""
+        WITH lex AS ({BM25_ORACLE_SQL}),
+        vec AS {_hybrid_vec_cte()},
+        lexr AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rnk
+            FROM lex
+        ),
+        vecr AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS vec_rnk
+            FROM vec
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+                   ROUND(COALESCE(1.0 / ({RRF_K} + l.lex_rnk), 0)
+                         + COALESCE(1.0 / ({RRF_K} + v.vec_rnk), 0), 6)
+                       AS rrf,
+                   (l.doc_id IS NOT NULL) AS in_lexical,
+                   (v.vec_id IS NOT NULL) AS in_vector
+            FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id
+        )
+        SELECT doc_id, rrf, in_lexical, in_vector
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH — the RAG-era retrieval composite: a lexical BM25
+    list (query terms {BM25_TERMS}) and a dense embedding-cosine list
+    (query vector 0) fused by RECIPROCAL-RANK FUSION
+    (score = Σ 1/({RRF_K}+rank)); top-{RRF_TOP} of the fused ranking,
+    flagged with which list(s) surfaced each hit. RRF needs no score
+    calibration between the two spaces — rank arithmetic only — which
+    is exactly why production hybrid search uses it over score mixing.
+
+    Plan: both lists reuse their registered top-k operators (BM25: term
+    filter before tf aggregation, broadcast df/stats, ordered-limit;
+    cosine: broadcast query row, TakeOrderedAndProject); ranking
+    windows run over pool-sized lists ({BM25_TOP_N} rows — the
+    single-partition window is safe at any corpus size because the
+    POOL, not the corpus, is its input); the fuse is a full outer join
+    of two tiny lists. Determinism: both pools rank ROUNDED scores
+    with id tie-breaks; RRF arithmetic is rational."""
+    from .similarity import q_similarity_topk
+
+    lex = q_text_bm25(spark, sf_dir)
+    vec = q_similarity_topk(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wv = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lex_rnk"))
+    vecr = vec.select("vec_id", F.row_number().over(wv).alias("vec_rnk"))
+    fused = lexr.join(
+        vecr, lexr["doc_id"] == vecr["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rnk")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("lex_rnk").isNotNull().alias("in_lexical"),
+        F.col("vec_rnk").isNotNull().alias("in_vector"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)

@@ -646,3 +646,15 @@ def test_phash_wide_same_plan_contract(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("FileScan parquet") == 2
+
+
+def test_hybrid_rrf_fuses_pool_sized_lists(spark, sf_dir):
+    """Hybrid RRF: both retrieval pools plan as TakeOrderedAndProject
+    (k rows per partition, never corpus sorts), so the only
+    merge-join in the plan is the FullOuter fuse of the two ≤pool-row
+    lists — full outer cannot broadcast in Spark, and over pool-sized
+    inputs the sort is trivial by construction."""
+    plan = _plan(spark, sf_dir, "q_hybrid_search_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3  # lex pool, vec pool, fuse
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan

@@ -1,0 +1,295 @@
+"""Customer/behavioral analytics operators: RFM segmentation, hash-bucket
+A/B testing, and bitmap-index exact distinct counting.
+
+These extend the reference's per-type counters (reference
+analytical_server.py:15-18 keeps one mutable dict per metric) into the
+segment-level questions a warehouse user asks of the same event stream:
+who are the high-value actors (RFM), did a treatment move a metric
+(Welch t over deterministic hash buckets), and how do you count distinct
+actors EXACTLY at 100 TB without a count-distinct shuffle of raw ids
+(bitmap words — the Druid/ClickHouse bitmap-index trick).
+
+Determinism rules follow the registry conventions: every double
+aggregate folds through decimal(28,10) before one rounded cast, every
+window order carries a unique tie-break key, and quartile boundaries
+order by already-rounded values so NTILE can never flip cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..plans.registry import register
+
+# 63 payload bits per bitmap word keeps every shift inside the positive
+# BIGINT range on both engines (bit 63 would flip the sign; harmless for
+# OR/popcount but needlessly engine-trapped).
+_BITMAP_WORD_BITS = 63
+
+
+@register(
+    "q_customer_rfm",
+    tags=("analytics", "window", "ntile"),
+    oracle="""
+        WITH agg AS (
+            SELECT o_custkey AS c_custkey,
+                   DATEDIFF('day', MAX(o_orderdate),
+                            (SELECT MAX(o_orderdate) FROM orders))
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+                        AS DOUBLE) AS monetary
+            FROM orders
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT c_custkey, recency_days, frequency, monetary,
+                   NTILE(4) OVER (ORDER BY recency_days, c_custkey)
+                       AS r_quartile,
+                   NTILE(4) OVER (ORDER BY frequency DESC, c_custkey)
+                       AS f_quartile,
+                   NTILE(4) OVER (ORDER BY monetary DESC, c_custkey)
+                       AS m_quartile
+            FROM agg
+        )
+        SELECT c_custkey, recency_days, frequency, monetary,
+               r_quartile, f_quartile, m_quartile,
+               CASE
+                   WHEN r_quartile = 1 AND f_quartile = 1
+                        AND m_quartile = 1 THEN 'champion'
+                   WHEN r_quartile <= 2 AND f_quartile <= 2 THEN 'loyal'
+                   WHEN r_quartile >= 3 AND m_quartile <= 2
+                       THEN 'at_risk_big_spender'
+                   WHEN r_quartile >= 3 THEN 'lapsed'
+                   ELSE 'regular'
+               END AS segment
+        FROM scored
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION: quartile-score every customer on Recency /
+    Frequency / Monetary and label coarse segments (champion, loyal,
+    at-risk big spender, lapsed).
+
+    Plan: one fact aggregation on ``o_custkey`` (partial-combined
+    map-side) shrinks orders to one row per customer; the three NTILE
+    windows then run over the customer-sized aggregate, not the fact
+    table. The anchor date (global MAX(o_orderdate)) is a 1-row
+    broadcast scalar. At 100 TB the only data-sized exchange is the
+    custkey aggregation; the windows cost |customers| rows. NTILE
+    determinism: recency/frequency are integers and monetary is a
+    decimal-folded ROUND(...,2), each ordered with a c_custkey
+    tie-break, so quartile boundaries are bit-identical cross-engine."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor_date"))
+    agg = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)")), 2
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff(
+                F.col("anchor_date").cast("date"),
+                F.col("last_order").cast("date"),
+            ),
+        )
+        .drop("anchor_date", "last_order")
+    )
+    r_q = F.ntile(4).over(
+        Window.orderBy("recency_days", "c_custkey")
+    )
+    f_q = F.ntile(4).over(
+        Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))
+    )
+    m_q = F.ntile(4).over(
+        Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
+    )
+    scored = (
+        agg.withColumn("r_quartile", r_q)
+        .withColumn("f_quartile", f_q)
+        .withColumn("m_quartile", m_q)
+    )
+    segment = (
+        F.when(
+            (F.col("r_quartile") == 1)
+            & (F.col("f_quartile") == 1)
+            & (F.col("m_quartile") == 1),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_quartile") <= 2) & (F.col("f_quartile") <= 2),
+            F.lit("loyal"),
+        )
+        .when(
+            (F.col("r_quartile") >= 3) & (F.col("m_quartile") <= 2),
+            F.lit("at_risk_big_spender"),
+        )
+        .when(F.col("r_quartile") >= 3, F.lit("lapsed"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+        segment.alias("segment"),
+    )
+
+
+@register(
+    "q_ab_test_welch",
+    tags=("analytics", "stats", "scale"),
+    oracle="""
+        WITH assigned AS (
+            SELECT event_type,
+                   CAST(user_id % 2 AS INTEGER) AS bucket,
+                   CAST(value AS DECIMAL(28,10)) AS v
+            FROM events
+        ),
+        per_arm AS (
+            SELECT event_type, bucket,
+                   COUNT(*) AS n,
+                   SUM(v) AS s,
+                   SUM(v * v) AS ss
+            FROM assigned
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, bucket, n,
+                   CAST(s AS DOUBLE) / n AS mean,
+                   (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                       / (n - 1) AS var
+            FROM per_arm
+        )
+        SELECT a.event_type,
+               a.n AS n_control, b.n AS n_treat,
+               ROUND(a.mean, 6) AS mean_control,
+               ROUND(b.mean, 6) AS mean_treat,
+               ROUND(b.mean - a.mean, 6) AS lift,
+               ROUND((b.mean - a.mean)
+                     / SQRT(a.var / a.n + b.var / b.n), 4) AS welch_t
+        FROM stats a
+        JOIN stats b
+          ON a.event_type = b.event_type AND a.bucket = 0 AND b.bucket = 1
+    """,
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B TEST READOUT: deterministic 50/50 assignment (user_id parity
+    — the degenerate-but-reproducible form of a salted experiment hash),
+    then per-metric Welch's t statistic between the arms.
+
+    Plan: one aggregation keyed on (event_type, bucket) computes n /
+    sum / sum-of-squares with map-side partial combine — the classic
+    one-pass moments pass, so the fact table is read once and shuffled
+    once at |types|×2 output cardinality. The arm self-join is over
+    that tiny aggregate (broadcast). Cross-engine determinism: moments
+    accumulate as decimal(28,10) (exact, order-independent); the only
+    double arithmetic is the final mean/variance/t expression, applied
+    identically on both engines to identical decimal inputs, then
+    rounded."""
+    ev = table(spark, sf_dir, "events")
+    assigned = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("bucket"),
+        F.col("value").cast("decimal(28,10)").alias("v"),
+    )
+    per_arm = assigned.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    stats = per_arm.select(
+        "event_type",
+        "bucket",
+        "n",
+        (s_d / F.col("n")).alias("mean"),
+        ((ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = stats.filter(F.col("bucket") == 0).alias("a")
+    b = stats.filter(F.col("bucket") == 1).alias("b")
+    t = (F.col("b.mean") - F.col("a.mean")) / F.sqrt(
+        F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    )
+    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_control"),
+        F.col("b.n").alias("n_treat"),
+        F.round(F.col("a.mean"), 6).alias("mean_control"),
+        F.round(F.col("b.mean"), 6).alias("mean_treat"),
+        F.round(F.col("b.mean") - F.col("a.mean"), 6).alias("lift"),
+        F.round(t, 4).alias("welch_t"),
+    )
+
+
+@register(
+    "q_bitmap_distinct",
+    tags=("analytics", "sketch", "scale"),
+    oracle=f"""
+        WITH words AS (
+            SELECT event_type,
+                   user_id // {_BITMAP_WORD_BITS} AS word_id,
+                   bit_or(1::BIGINT << CAST(
+                       user_id % {_BITMAP_WORD_BITS} AS INTEGER))
+                       AS word
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(SUM(bit_count(word)) AS BIGINT) AS distinct_users,
+               CAST(COUNT(*) AS BIGINT) AS bitmap_words
+        FROM words
+        GROUP BY 1
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX EXACT DISTINCT: per event type, exact distinct users
+    via OR-ed 63-bit bitmap words keyed by ``user_id div 63`` —
+    the Druid/ClickHouse bitmap aggregation, expressed declaratively.
+
+    Why this beats ``COUNT(DISTINCT user_id)`` at 100 TB: the distinct
+    shuffle moves every raw (type, user) pair; the bitmap form's first
+    aggregation partial-combines map-side into at most
+    |types| × ceil(|users|/63) words — dense id spaces compress 63 rows
+    into one BIGINT before the exchange — and the popcount rollup is
+    over words, not users. The word OR and popcount are associative and
+    exact, so (unlike HLL) the answer is not approximate, and the
+    oracle replays the identical bit arithmetic (63 payload bits keep
+    every shifted value positive on both engines)."""
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(f"user_id div {_BITMAP_WORD_BITS}").alias("word_id"),
+            # F.shiftleft only takes a literal shift amount; the SQL
+            # form accepts a column.
+            F.expr(
+                f"shiftleft(1L, CAST(user_id % {_BITMAP_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word_id")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("distinct_users"),
+        F.count("*").cast("bigint").alias("bitmap_words"),
+    )

@@ -68,6 +68,7 @@ def register(
 def _load_all() -> None:
     """Import every operator module so its @register decorators run."""
     from ..operators import (  # noqa: F401
+        analytics,
         audit,
         cdc,
         corpus,

@@ -284,3 +284,69 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sval"), 4).cast("double").alias("sum_value"),
         )
     )
+
+
+_DEDUP_TOLERANCE_SEC = 86_400  # fixture-scaled redelivery window (1 day)
+
+
+@register(
+    "q_event_dedup_tolerance",
+    tags=("cdc", "window", "dedup"),
+    oracle=f"""
+        WITH gapped AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ))) AS BIGINT) AS gap_sec
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (
+                   WHERE gap_sec IS NULL
+                      OR gap_sec > {_DEDUP_TOLERANCE_SEC}
+               ) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) FILTER (
+                   WHERE gap_sec <= {_DEDUP_TOLERANCE_SEC}
+               ) AS BIGINT) AS n_dropped
+        FROM gapped
+        GROUP BY 1
+    """,
+)
+def q_event_dedup_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TOLERANCE DEDUP audit: per (user, type), an event is a
+    suspected redelivery if it lands within {_DEDUP_TOLERANCE_SEC} s of
+    the PREVIOUS event of the same key (lag semantics — each row is
+    judged against its immediate predecessor, the batch twin of
+    ``dropDuplicatesWithinWatermark``'s per-key suppression window;
+    unlike the greedy anchor formulation this is a pure window
+    expression, and the divergence only matters for chains of
+    sub-tolerance events, which redelivery storms are).
+
+    Plan: one shuffle on (user_id, event_type) carries both the lag
+    window and (after re-keying) the per-type rollup; the report is
+    |types| rows. At 100 TB the suppression window is the standard
+    at-least-once ingest cleaner — the same key partitioning the
+    streaming twin's state store uses, so batch backfill and live
+    stream agree by construction."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev = F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+    gapped = ev.select(
+        "event_type", (sec - prev).alias("gap_sec")
+    )
+    kept = F.col("gap_sec").isNull() | (
+        F.col("gap_sec") > _DEDUP_TOLERANCE_SEC
+    )
+    return gapped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count_if(kept).cast("bigint").alias("n_kept"),
+        F.count_if(F.col("gap_sec") <= _DEDUP_TOLERANCE_SEC)
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

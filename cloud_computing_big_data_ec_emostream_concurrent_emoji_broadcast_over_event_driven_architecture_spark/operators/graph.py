@@ -178,3 +178,46 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+def _degree_oracle() -> str:
+    return f"""
+        WITH pairs AS ({_minhash_oracle()}),
+        edges AS (
+            SELECT doc_id_a AS src FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS src FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1)
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM deg
+        GROUP BY 1
+    """
+
+
+@register(
+    "q_graph_degree_stats",
+    tags=("graph", "dedup", "diagnostics"),
+    oracle=_degree_oracle(),
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the near-dup graph — the skew diagnostic
+    you run BEFORE the triangle/PageRank passes: a heavy-tailed degree
+    histogram (a few template/boilerplate hubs touching thousands of
+    docs) predicts wedge-count blowup (Σ deg²) and tells you to cap or
+    salt hub nodes; a flat histogram means the banded pair list is safe
+    to feed straight into clustering.
+
+    Plan: two partial-combined aggregations over the LSH pair list
+    (node degrees, then the degree-sized histogram rollup) — work is
+    |pairs| + |nodes|, output is |distinct degrees| rows. No joins at
+    all, so this diagnostic is orders cheaper than the passes it
+    protects."""
+    pairs = q_dedup_minhash(spark, sf_dir)
+    nodes = pairs.select(F.col("doc_id_a").alias("src")).unionAll(
+        pairs.select(F.col("doc_id_b").alias("src"))
+    )
+    deg = nodes.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

@@ -260,3 +260,103 @@ def q_layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+# fixed-width assumption per column for the RLE size model: DATE32 + the
+# two CHAR(1) flags, each run costing (value bytes + 2-byte run length).
+_RLE_WIDTH = {"l_shipdate": 4, "l_returnflag": 1, "l_linestatus": 1}
+_RLE_LAYOUTS = {
+    "shipdate_first": ("l_shipdate", "l_returnflag", "l_linestatus"),
+    "flag_first": ("l_returnflag", "l_linestatus", "l_shipdate"),
+}
+
+
+def _rle_oracle() -> str:
+    rows = []
+    for layout, cols in _RLE_LAYOUTS.items():
+        for i in range(3):
+            prefix = ", ".join(cols[: i + 1])
+            width = _RLE_WIDTH[cols[i]] + 2
+            rows.append(
+                f"""SELECT '{layout}' AS layout,
+                       {i + 1} AS position,
+                       '{cols[i]}' AS column_name,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                           (SELECT DISTINCT {prefix} FROM lineitem))
+                           AS est_runs,
+                       ROUND((SELECT COUNT(*) FROM lineitem)
+                             / (SELECT COUNT(*) FROM
+                                 (SELECT DISTINCT {prefix} FROM lineitem)),
+                             2) AS avg_run_len,
+                       (SELECT CAST(COUNT(*) * {width} AS BIGINT) FROM
+                           (SELECT DISTINCT {prefix} FROM lineitem))
+                           AS est_rle_bytes"""
+            )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "q_layout_rle_estimate",
+    tags=("layout", "scale", "stats"),
+    oracle=_rle_oracle(),
+)
+def q_layout_rle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-ORDER COMPRESSION PLANNER: for two candidate sort orders of
+    the fact table, estimate each leading column's run-length encoding
+    cost the way a table-service optimizer does — when the table is
+    sorted by (c1..ci..), column ci has (upper-bound) one run per
+    distinct (c1..ci) prefix, so est_runs = NDV(prefix), and
+    est_rle_bytes = runs x (value width + 2-byte run length). Sorting
+    low-cardinality flags first costs ~6 runs total; date-first pays
+    NDV(date) runs on every following column — the arithmetic that
+    decides ZORDER-vs-linear rewrites before touching a byte.
+
+    Plan: ONE data-sized distinct projects the fact table down to the
+    triple-NDV table (thousands of rows); every prefix NDV is then an
+    aggregate over that tiny table, the row count is a 1-row broadcast
+    scalar, and the 6-row report is literal-mapped from the single
+    stats row. At 100 TB: one shuffle total, everything downstream is
+    KB-sized. NDV counts are exact integers, so the only double (the
+    rounded avg run length) divides identical integers on both
+    engines."""
+    li = table(spark, sf_dir, "lineitem")
+    triples = li.select(
+        "l_shipdate", "l_returnflag", "l_linestatus"
+    ).distinct()
+    aggs = [F.count("*").alias("nd_all3")]
+    nd_cols = {}
+    for layout, cols in _RLE_LAYOUTS.items():
+        for i in range(3):
+            key = f"nd_{layout}_{i + 1}"
+            nd_cols[(layout, i)] = key
+            aggs.append(
+                F.count_distinct(*[F.col(c) for c in cols[: i + 1]]).alias(
+                    key
+                )
+            )
+    stats = triples.agg(*aggs).crossJoin(
+        F.broadcast(li.agg(F.count("*").alias("n_rows")))
+    )
+    parts = []
+    for layout, cols in _RLE_LAYOUTS.items():
+        for i in range(3):
+            key = nd_cols[(layout, i)]
+            width = _RLE_WIDTH[cols[i]] + 2
+            parts.append(
+                stats.select(
+                    F.lit(layout).alias("layout"),
+                    F.lit(i + 1).alias("position"),
+                    F.lit(cols[i]).alias("column_name"),
+                    F.col(key).cast("bigint").alias("est_runs"),
+                    F.round(F.col("n_rows") / F.col(key), 2).alias(
+                        "avg_run_len"
+                    ),
+                    (F.col(key) * width).cast("bigint").alias(
+                        "est_rle_bytes"
+                    ),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1,0 +1,110 @@
+"""Semantic property tests for the round-4 second widening block
+(analytics / cdc-tolerance / graph-degree / rle-layout operators) —
+invariants beyond the oracle hash match (SURVEY.md §5 model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+    table,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.plans.registry import (
+    all_specs,
+)
+
+SPECS = all_specs()
+
+
+def test_rfm_quartiles_valid_and_segments_consistent(spark, sf_dir):
+    rows = SPECS["q_customer_rfm"].fn(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for r in rows:
+        assert 1 <= r.r_quartile <= 4
+        assert 1 <= r.f_quartile <= 4
+        assert 1 <= r.m_quartile <= 4
+        if r.segment == "champion":
+            assert (r.r_quartile, r.f_quartile, r.m_quartile) == (1, 1, 1)
+        assert r.recency_days >= 0
+        assert r.frequency >= 1
+    # NTILE balance: each quartile holds floor/ceil(n/4) customers
+    for col in ("r_quartile", "f_quartile", "m_quartile"):
+        counts = sorted(
+            sum(1 for r in rows if getattr(r, col) == q) for q in (1, 2, 3, 4)
+        )
+        assert counts[-1] - counts[0] <= 1, (col, counts)
+        assert sum(counts) == n
+
+
+def test_welch_arms_partition_events(spark, sf_dir):
+    rows = SPECS["q_ab_test_welch"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    totals = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in rows:
+        assert r.n_control + r.n_treat == totals[r.event_type]
+        assert abs(r.lift - round(r.mean_treat - r.mean_control, 6)) < 2e-6
+
+
+def test_bitmap_distinct_equals_exact_count_distinct(spark, sf_dir):
+    rows = SPECS["q_bitmap_distinct"].fn(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert {r.event_type: r.distinct_users for r in rows} == exact
+    for r in rows:
+        # words can't outnumber the distinct users they index
+        assert r.bitmap_words <= r.distinct_users
+
+
+def test_dedup_tolerance_counts_partition_and_floor(spark, sf_dir):
+    rows = SPECS["q_event_dedup_tolerance"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    keys = {
+        r.event_type: r.k
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("k"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_total
+        # the first event of every (user, type) chain is always kept
+        assert r.n_kept >= keys[r.event_type]
+
+
+def test_degree_histogram_mass_is_twice_pair_count(spark, sf_dir):
+    hist = SPECS["q_graph_degree_stats"].fn(spark, sf_dir).collect()
+    n_pairs = SPECS["q_dedup_minhash"].fn(spark, sf_dir).count()
+    assert sum(r.degree * r.n_docs for r in hist) == 2 * n_pairs
+
+
+def test_rle_estimator_monotone_and_flag_first_wins(spark, sf_dir):
+    rows = SPECS["q_layout_rle_estimate"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    n_rows = table(spark, sf_dir, "lineitem").count()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+        assert 1 <= r.est_runs <= n_rows
+        assert r.avg_run_len >= 1.0
+    for layout, rs in by_layout.items():
+        rs.sort(key=lambda r: r.position)
+        # prefix NDV can only grow as columns are appended
+        assert rs[0].est_runs <= rs[1].est_runs <= rs[2].est_runs, layout
+    # sorting the low-cardinality flags first strictly beats date-first
+    # on total estimated RLE bytes for this schema
+    tot = {
+        layout: sum(r.est_rle_bytes for r in rs)
+        for layout, rs in by_layout.items()
+    }
+    assert tot["flag_first"] < tot["shipdate_first"], tot

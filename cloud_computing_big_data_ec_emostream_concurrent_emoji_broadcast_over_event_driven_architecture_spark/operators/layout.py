@@ -323,7 +323,7 @@ def q_layout_rle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = li.select(
         "l_shipdate", "l_returnflag", "l_linestatus"
     ).distinct()
-    aggs = [F.count("*").alias("nd_all3")]
+    aggs = []
     nd_cols = {}
     for layout, cols in _RLE_LAYOUTS.items():
         for i in range(3):
@@ -337,26 +337,31 @@ def q_layout_rle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = triples.agg(*aggs).crossJoin(
         F.broadcast(li.agg(F.count("*").alias("n_rows")))
     )
-    parts = []
+    # stack() unpivots the single stats row into the 6-row report in ONE
+    # projection — a per-branch union would replan (and rescan) the
+    # aggregation once per row.
+    stack_args = []
     for layout, cols in _RLE_LAYOUTS.items():
         for i in range(3):
             key = nd_cols[(layout, i)]
             width = _RLE_WIDTH[cols[i]] + 2
-            parts.append(
-                stats.select(
-                    F.lit(layout).alias("layout"),
-                    F.lit(i + 1).alias("position"),
-                    F.lit(cols[i]).alias("column_name"),
-                    F.col(key).cast("bigint").alias("est_runs"),
-                    F.round(F.col("n_rows") / F.col(key), 2).alias(
-                        "avg_run_len"
-                    ),
-                    (F.col(key) * width).cast("bigint").alias(
-                        "est_rle_bytes"
-                    ),
-                )
+            stack_args.append(
+                f"'{layout}', {i + 1}, '{cols[i]}', {key}, {width}"
             )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    stacked = stats.select(
+        F.expr(
+            f"stack({len(stack_args)}, {', '.join(stack_args)}) AS "
+            "(layout, position, column_name, nd, run_bytes)"
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "layout",
+        "position",
+        "column_name",
+        F.col("nd").cast("bigint").alias("est_runs"),
+        F.round(F.col("n_rows") / F.col("nd"), 2).alias("avg_run_len"),
+        (F.col("nd") * F.col("run_bytes")).cast("bigint").alias(
+            "est_rle_bytes"
+        ),
+    )

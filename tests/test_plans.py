@@ -658,3 +658,65 @@ def test_hybrid_rrf_fuses_pool_sized_lists(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") >= 3  # lex pool, vec pool, fuse
     assert plan.count("SortMergeJoin") == 1
     assert "FullOuter" in plan
+
+
+def test_rfm_windows_over_customer_aggregate(spark, sf_dir):
+    """RFM: the fact shuffles once (custkey agg); the anchor date rides
+    a 1-row broadcast; the three NTILE specs run over the
+    customer-sized aggregate (global windows are |customers| rows — the
+    known single-partition cost of exact quartiles, not a fact sort)."""
+    plan = _plan(spark, sf_dir, "q_customer_rfm")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_welch_single_moments_pass_broadcast_arm_join(spark, sf_dir):
+    """A/B readout: one partial-combined moments aggregation; the arm
+    self-join is over the |types|x2 aggregate, so it broadcasts."""
+    plan = _plan(spark, sf_dir, "q_ab_test_welch")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bitmap_distinct_two_aggs_no_joins_no_expand(spark, sf_dir):
+    """Bitmap distinct: word build + popcount rollup are two hash
+    aggregations and nothing else — crucially NO Expand node (the
+    count-distinct rewrite this operator replaces)."""
+    plan = _plan(spark, sf_dir, "q_bitmap_distinct")
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "Expand",
+        "Window",
+    ):
+        assert node not in plan
+
+
+def test_dedup_tolerance_single_key_shuffle_no_join(spark, sf_dir):
+    """Tolerance dedup audit: the lag window and the rollup ride the
+    same (user, type) exchange lineage — no join nodes."""
+    plan = _plan(spark, sf_dir, "q_event_dedup_tolerance")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Window") == 1
+
+
+def test_degree_stats_aggs_only(spark, sf_dir):
+    """Degree histogram: aggregations over the pair list only — the
+    diagnostic must not itself join (that's what it protects against)."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_graph_degree_stats"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rle_estimator_single_data_distinct(spark, sf_dir):
+    """RLE planner: exactly one data-sized exchange (the triple
+    distinct); every prefix NDV aggregates the tiny triple table; the
+    row count joins as a broadcast scalar."""
+    plan = _plan(spark, sf_dir, "q_layout_rle_estimate")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one scan feeds the distinct, one the row count; no other scans
+    assert plan.count("FileScan parquet") == 2

@@ -54,6 +54,7 @@ DEFAULT_QUERIES = [
 
 
 def synthesize(spark) -> None:
+    synthesize_tpch(spark)
     if os.path.isdir(os.path.join(SF10, "embeddings.parquet")):
         return
     copies = F.explode(
@@ -107,6 +108,53 @@ def synthesize(spark) -> None:
         )
         .write.mode("overwrite")
         .parquet(f"{SF10}/embeddings.parquet")
+    )
+
+
+def synthesize_tpch(spark) -> None:
+    """10x orders/lineitem copies (key-shifted) for the TPC-H-shaped
+    operators — added in round 4 for the RFM / RLE-planner ratios."""
+    if os.path.isdir(os.path.join(SF10, "lineitem.parquet")):
+        return
+    copies = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(COPIES)])
+    ).alias("copy")
+    od = table(spark, SF1, "orders").select("*", copies)
+    (
+        od.select(
+            (F.col("o_orderkey") + F.col("copy") * F.lit(10**9)).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("copy") * F.lit(10**6)).alias(
+                "o_custkey"
+            ),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{SF10}/orders.parquet")
+    )
+    li = table(spark, SF1, "lineitem").select("*", copies)
+    (
+        li.select(
+            (F.col("l_orderkey") + F.col("copy") * F.lit(10**9)).alias(
+                "l_orderkey"
+            ),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{SF10}/lineitem.parquet")
     )
 
 

@@ -1248,3 +1248,165 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_rnk").isNotNull().alias("in_vector"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
+
+
+BPE_ITERS = 4
+
+
+def _bpe_oracle() -> str:
+    """Chained-CTE replay of the unrolled BPE merge loop: each iteration
+    counts adjacent symbol pairs over the word-frequency table, picks
+    the (cnt DESC, pair ASC) argmax, and greedily merges it left-to-
+    right via the same string fold the Spark plan runs."""
+    ctes = [
+        """w0 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+                   array_to_string(regexp_extract_all(w, '.'), ' ') AS sym
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+            GROUP BY w
+        )"""
+    ]
+    for i in range(1, BPE_ITERS + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+                SELECT w.freq,
+                       string_split(w.sym, ' ')[u.idx] || ' '
+                           || string_split(w.sym, ' ')[u.idx + 1] AS pair
+                FROM {prev} w,
+                     UNNEST(range(1, len(string_split(w.sym, ' '))))
+                         AS u(idx)
+            )
+            GROUP BY 1
+        ),
+        b{i} AS (
+            SELECT split_part(pair, ' ', 1) AS pa,
+                   split_part(pair, ' ', 2) AS pb, cnt
+            FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        w{i} AS (
+            SELECT w.freq,
+                   list_reduce(
+                       string_split(w.sym, ' '),
+                       (acc, x) -> CASE
+                           WHEN (acc = b.pa
+                                 OR ends_with(acc, ' ' || b.pa))
+                                AND x = b.pb
+                           THEN substr(acc, 1,
+                                       length(acc) - length(b.pa))
+                                || b.pa || b.pb
+                           ELSE acc || ' ' || x
+                       END
+                   ) AS sym
+            FROM {prev} w CROSS JOIN b{i} b
+        )"""
+        )
+    unions = " UNION ALL ".join(
+        f"""SELECT {i} AS iteration, pa AS pair_a, pb AS pair_b,
+                   pa || pb AS merged, cnt FROM b{i}"""
+        for i in range(1, BPE_ITERS + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + " " + unions
+
+
+@register(
+    "q_bpe_train_merges",
+    tags=("text", "llm-pipeline", "iterative", "scale"),
+    oracle=_bpe_oracle(),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING, first {BPE_ITERS} merge steps: count
+    adjacent symbol pairs weighted by word frequency, merge the argmax
+    pair (greedy left-to-right, the sentencepiece/GPT-2 rule), repeat.
+    Output: one row per learned merge (iteration, pair, merged symbol,
+    weighted count).
+
+    This is the real production regime: BPE training operates on the
+    AGGREGATED word-frequency table — one corpus-sized explode+count
+    produces it, and every merge iteration is then vocab-sized work
+    (tens of thousands of rows at any corpus scale), so a 100 TB corpus
+    pays one aggregation pass and the loop costs nothing. Each
+    iteration chains declaratively: pair counts from a per-word
+    adjacent zip (descending-sequence guard for 1-char words), a 1-row
+    argmax broadcast with (cnt DESC, pair ASC) tie-break, and the merge
+    as a string fold (`F.aggregate`) whose greedy semantics the DuckDB
+    oracle replays token-for-token with `list_reduce` — no regex
+    replacement anywhere (engines disagree on zero-width global
+    replaces; plain substring arithmetic doesn't)."""
+    docs = table(spark, sf_dir, "documents")
+    cur = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.array_join(F.split("w", ""), " ").alias("sym"),
+        )
+    )
+    merge_rows = []
+    for it in range(1, BPE_ITERS + 1):
+        syms = F.split(F.col("sym"), " ")
+        n = F.size(syms)
+        idx = F.when(
+            n > 1, F.sequence(F.lit(1), n - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(syms, i),
+                        F.lit(" "),
+                        F.element_at(syms, i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.substring_index("pair", " ", 1).alias("pa"),
+                F.substring_index("pair", " ", -1).alias("pb"),
+                "cnt",
+            )
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(it).alias("iteration"),
+                F.col("pa").alias("pair_a"),
+                F.col("pb").alias("pair_b"),
+                F.concat("pa", "pb").alias("merged"),
+                "cnt",
+            )
+        )
+        pa, pb = F.col("pa"), F.col("pb")
+        folded = F.aggregate(
+            F.slice(syms, 2, F.greatest(n - 1, F.lit(0))),
+            F.element_at(syms, 1),
+            lambda acc, x: F.when(
+                ((acc == pa) | acc.endswith(F.concat(F.lit(" "), pa)))
+                & (x == pb),
+                F.concat(
+                    F.substr(
+                        acc, F.lit(1), F.length(acc) - F.length(pa)
+                    ),
+                    pa,
+                    pb,
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "freq", folded.alias("sym")
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out

@@ -108,3 +108,56 @@ def test_rle_estimator_monotone_and_flag_first_wins(spark, sf_dir):
         for layout, rs in by_layout.items()
     }
     assert tot["flag_first"] < tot["shipdate_first"], tot
+
+
+def _reference_bpe(word_freqs, iters):
+    """Classic Sennrich-style BPE on a word-frequency dict: count every
+    adjacent pair occurrence (overlaps included), merge the
+    (count DESC, pair ASC) argmax greedily left-to-right."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(iters):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        (pa, pb), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((pa, pb, pa + pb, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_independent_reference(spark, sf_dir):
+    rows = sorted(
+        SPECS["q_bpe_train_merges"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.iteration,
+    )
+    docs = table(spark, sf_dir, "documents")
+    freqs = {}
+    for r in (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .collect()
+    ):
+        freqs[r.w] = r.f
+    expected = _reference_bpe(freqs, len(rows))
+    got = [(r.pair_a, r.pair_b, r.merged, r.cnt) for r in rows]
+    assert got == expected
+    # BPE invariant: best-pair counts are non-increasing across merges
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)

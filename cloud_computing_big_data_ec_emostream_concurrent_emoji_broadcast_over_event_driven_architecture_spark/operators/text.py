@@ -1253,14 +1253,15 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ITERS = 4
 
 
-def _bpe_oracle() -> str:
-    """Chained-CTE replay of the unrolled BPE merge loop: each iteration
+def _bpe_ctes() -> list[str]:
+    """The unrolled BPE merge loop as chained CTEs: each iteration
     counts adjacent symbol pairs over the word-frequency table, picks
     the (cnt DESC, pair ASC) argmax, and greedily merges it left-to-
-    right via the same string fold the Spark plan runs."""
+    right via the same string fold the Spark plan runs. Shared by the
+    train and apply oracles."""
     ctes = [
         """w0 AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
                    array_to_string(regexp_extract_all(w, '.'), ' ') AS sym
             FROM (SELECT unnest(string_split(text, ' ')) AS w
                   FROM documents)
@@ -1288,7 +1289,7 @@ def _bpe_oracle() -> str:
             FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
         ),
         w{i} AS (
-            SELECT w.freq,
+            SELECT w.w, w.freq,
                    list_reduce(
                        string_split(w.sym, ' '),
                        (acc, x) -> CASE
@@ -1304,12 +1305,16 @@ def _bpe_oracle() -> str:
             FROM {prev} w CROSS JOIN b{i} b
         )"""
         )
+    return ctes
+
+
+def _bpe_oracle() -> str:
     unions = " UNION ALL ".join(
         f"""SELECT {i} AS iteration, pa AS pair_a, pb AS pair_b,
                    pa || pb AS merged, cnt FROM b{i}"""
         for i in range(1, BPE_ITERS + 1)
     )
-    return "WITH " + ",\n        ".join(ctes) + " " + unions
+    return "WITH " + ",\n        ".join(_bpe_ctes()) + " " + unions
 
 
 @register(
@@ -1336,6 +1341,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays token-for-token with `list_reduce` — no regex
     replacement anywhere (engines disagree on zero-width global
     replaces; plain substring arithmetic doesn't)."""
+    return _bpe_train(spark, sf_dir)[1]
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the unrolled merge loop; returns (final word->sym vocab DF,
+    4-row merge-table DF)."""
     docs = table(spark, sf_dir, "documents")
     cur = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1343,6 +1354,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(
+            "w",
             "freq",
             F.array_join(F.split("w", ""), " ").alias("sym"),
         )
@@ -1404,9 +1416,81 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.lit(" "), x)),
         )
         cur = cur.crossJoin(F.broadcast(best)).select(
-            "freq", folded.alias("sym")
+            "w", "freq", folded.alias("sym")
         )
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
-    return out
+    return cur, out
+
+
+def _bpe_apply_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n        ".join(_bpe_ctes())
+        + f""",
+        vocab AS (
+            SELECT w, len(string_split(sym, ' ')) AS n_tokens
+            FROM w{BPE_ITERS}
+        ),
+        per_doc AS (
+            SELECT d.doc_id, d.source,
+                   CAST(SUM(v.n_tokens) AS BIGINT) AS doc_tokens
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents) d
+            JOIN vocab v ON v.w = d.w
+            WHERE d.w <> ''
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_tokens) AS BIGINT) AS total_tokens,
+               ROUND(SUM(doc_tokens) * 1.0 / COUNT(*), 4)
+                   AS avg_tokens_per_doc
+        FROM per_doc
+        GROUP BY 1
+    """
+    )
+
+
+@register(
+    "q_bpe_tokenize_cost",
+    tags=("text", "llm-pipeline", "scale"),
+    oracle=_bpe_apply_oracle(),
+)
+def q_bpe_tokenize_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLY + corpus cost readout: tokenize the corpus with
+    the merges learned by ``q_bpe_train_merges`` and report per-source
+    token budgets (docs, total tokens, avg tokens/doc) — the number a
+    training-data pipeline actually buys with a tokenizer: how many
+    tokens each source contributes to the mixture.
+
+    Plan: training is vocab-sized (see ``q_bpe_train_merges``); apply
+    is a BROADCAST of the word->token-count vocabulary onto the
+    corpus explode — segmentation was already computed once per
+    DISTINCT word at train time, so per-occurrence work is a hash
+    probe, never a re-fold (the memoized-tokenizer trick). Rollups:
+    per-doc then per-source, both partial-combined. Docs whose text
+    yields no vocabulary words (empty after split) contribute no row —
+    stated contract in both engines."""
+    vocab, _ = _bpe_train(spark, sf_dir)
+    n_tok = vocab.select(
+        "w", F.size(F.split("sym", " ")).alias("n_tokens")
+    )
+    docs = table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = (
+        exploded.join(F.broadcast(n_tok), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("doc_tokens"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("doc_tokens") / F.count("*"), 4
+        ).alias("avg_tokens_per_doc"),
+    )

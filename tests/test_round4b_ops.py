@@ -161,3 +161,30 @@ def test_bpe_matches_independent_reference(spark, sf_dir):
     # BPE invariant: best-pair counts are non-increasing across merges
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_bpe_tokenize_cost_bounds(spark, sf_dir):
+    rows = SPECS["q_bpe_tokenize_cost"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = table(spark, sf_dir, "documents")
+    bounds = (
+        docs.select(
+            "source",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .collect()
+    )
+    by_src = {r.source: r for r in bounds}
+    for r in rows:
+        b = by_src[r.source]
+        # each word is >=1 token and merges can only shrink char count
+        assert b.n_words <= r.total_tokens <= b.n_chars
+        assert abs(
+            r.avg_tokens_per_doc - round(r.total_tokens / r.n_docs, 4)
+        ) < 1e-9

@@ -350,3 +350,82 @@ def q_event_dedup_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+@register(
+    "q_scd2_pit_join",
+    tags=("cdc", "join", "asof", "scale"),
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, value,
+                   ts AS eff_from,
+                   LEAD(ts) OVER w AS eff_to,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+            FROM events
+            WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        facts AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT f.event_id, f.user_id, f.ts,
+               COALESCE(d.value, -1.0) AS dim_value,
+               COALESCE(d.version, 0) AS dim_version
+        FROM facts f
+        LEFT JOIN dim d
+          ON d.user_id = f.user_id
+         AND d.eff_from <= f.ts
+         AND (d.eff_to IS NULL OR f.ts < d.eff_to)
+    """,
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME JOIN against an SCD2 dimension: enrich every click
+    with the purchase-dimension version in effect at click time — the
+    'what did the row look like when the fact happened' query every
+    versioned warehouse dimension exists for.
+
+    Plan — the union as-of mechanism, NOT a range join: dimension
+    changes and facts union into one stream, a single user-keyed window
+    (ts, dim-rows-first, event_id) computes last-non-null dim value and
+    a running dim-row count (= version), and facts are filtered back
+    out. One shuffle, no join node; the DuckDB oracle runs the naive
+    validity-interval LEFT JOIN, so the hash match proves the window
+    decomposition implements interval semantics exactly (including
+    zero-width versions: two same-timestamp changes collapse to the
+    later one). At 100 TB a range join explodes on hot users; this
+    stays |events| rows through one exchange. Nullable-free contract:
+    pre-dimension facts carry (-1.0, 0)."""
+    ev = table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("is_dim")
+    )
+    fact = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_dim"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_dim"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        dim.unionByName(fact)
+        .withColumn(
+            "dim_value",
+            F.last(
+                F.when(F.col("is_dim") == 1, F.col("value")), True
+            ).over(w),
+        )
+        .withColumn("dim_version", F.sum("is_dim").over(w))
+    )
+    return merged.filter(F.col("is_dim") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("dim_value"), F.lit(-1.0)).alias("dim_value"),
+        F.col("dim_version").cast("bigint").alias("dim_version"),
+    )

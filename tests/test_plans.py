@@ -720,3 +720,13 @@ def test_rle_estimator_single_data_distinct(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # one scan feeds the distinct, one the row count; no other scans
     assert plan.count("FileScan parquet") == 2
+
+
+def test_scd2_pit_join_no_join_single_user_shuffle(spark, sf_dir):
+    """Point-in-time enrichment plans as the union as-of mechanism:
+    no join node anywhere; one user-keyed exchange feeds the single
+    Window that computes both last-dim-value and running version."""
+    plan = _plan(spark, sf_dir, "q_scd2_pit_join")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Window") == 1

@@ -188,3 +188,19 @@ def test_bpe_tokenize_cost_bounds(spark, sf_dir):
         assert abs(
             r.avg_tokens_per_doc - round(r.total_tokens / r.n_docs, 4)
         ) < 1e-9
+
+
+def test_scd2_pit_join_versions_monotone_per_user(spark, sf_dir):
+    rows = SPECS["q_scd2_pit_join"].fn(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        versions = [r.dim_version for r in rs]
+        # versions never decrease along a user's click timeline
+        assert versions == sorted(versions), user
+        for r in rs:
+            # pre-dimension facts carry the null-free sentinel pair
+            assert (r.dim_version == 0) == (r.dim_value == -1.0)

@@ -486,3 +486,62 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 50)
     )
+
+
+@register(
+    "q_share_of_total",
+    tags=("agg", "window", "olap"),
+    oracle="""
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month,
+                   o_orderpriority AS priority,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS srev
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT month, priority,
+               CAST(ROUND(srev, 2) AS DOUBLE) AS revenue,
+               ROUND(CAST(srev AS DOUBLE)
+                     / CAST(SUM(srev) OVER (PARTITION BY month)
+                            AS DOUBLE), 6) AS month_share,
+               ROUND(CAST(srev AS DOUBLE)
+                     / CAST(SUM(srev) OVER () AS DOUBLE), 6)
+                   AS total_share
+        FROM m
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-TO-REPORT: each (month, priority) cell's revenue as a share
+    of its month and of the grand total — the contribution window every
+    OLAP dashboard stacks into 100% bars.
+
+    Plan: the fact shuffles once into the (month, priority) aggregate;
+    both share windows run over that cell-sized table (per-month
+    partitions plus one global frame over |cells| rows — the global
+    window is safe BECAUSE it is over the aggregate, never the fact).
+    The window sums accumulate the decimal(28,10) partials (exact,
+    order-independent — window-summing the rounded DOUBLES would drift
+    with partition order), and only the final division happens in
+    double on bit-identical inputs."""
+    od = table(spark, sf_dir, "orders")
+    cells = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("srev")
+    )
+    w_month = Window.partitionBy("month")
+    w_all = Window.partitionBy()
+    srev_d = F.col("srev").cast("double")
+    return cells.select(
+        "month",
+        "priority",
+        F.round(F.col("srev"), 2).cast("double").alias("revenue"),
+        F.round(
+            srev_d / F.sum("srev").over(w_month).cast("double"), 6
+        ).alias("month_share"),
+        F.round(
+            srev_d / F.sum("srev").over(w_all).cast("double"), 6
+        ).alias("total_share"),
+    )

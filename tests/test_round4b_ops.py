@@ -204,3 +204,18 @@ def test_scd2_pit_join_versions_monotone_per_user(spark, sf_dir):
         for r in rs:
             # pre-dimension facts carry the null-free sentinel pair
             assert (r.dim_version == 0) == (r.dim_value == -1.0)
+
+
+def test_share_of_total_sums_to_one(spark, sf_dir):
+    rows = SPECS["q_share_of_total"].fn(spark, sf_dir).collect()
+    assert rows
+    by_month = {}
+    total = 0.0
+    for r in rows:
+        by_month.setdefault(r.month, 0.0)
+        by_month[r.month] += r.month_share
+        total += r.total_share
+        assert 0.0 < r.month_share <= 1.0
+    for month, s in by_month.items():
+        assert abs(s - 1.0) < 1e-4, (month, s)
+    assert abs(total - 1.0) < 1e-3

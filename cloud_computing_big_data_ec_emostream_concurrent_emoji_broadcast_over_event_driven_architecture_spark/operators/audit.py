@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.vectors import as_double
 from ..plans.registry import register
 
 DQ_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
@@ -151,4 +152,58 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         "n_checked",
         (F.col("violations") == 0).alias("passed"),
+    )
+
+
+@register(
+    "q_embedding_dq",
+    tags=("audit", "vector", "dq"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(len(embedding)) AS BIGINT) AS dims_min,
+               CAST(MAX(len(embedding)) AS BIGINT) AS dims_max,
+               CAST(COUNT(*) FILTER (
+                   WHERE list_dot_product(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   ) = 0.0
+               ) AS BIGINT) AS n_zero_norm,
+               CAST(COUNT(*) FILTER (
+                   WHERE len(list_filter(embedding, x -> isnan(x))) > 0
+               ) AS BIGINT) AS n_with_nan,
+               CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) FILTER (WHERE label IS NULL) AS BIGINT)
+                   AS n_null_label
+        FROM embeddings
+    """,
+)
+def q_embedding_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-TABLE data-quality gate — the vector-hygiene checks an
+    ANN/dedup pipeline runs before building any index (a zero-norm or
+    NaN vector poisons every cosine it touches; ragged dimensionality
+    breaks PQ segmentation; silent exact-duplicate vectors inflate
+    clusters): row count, dim min/max, zero-norm count, NaN count,
+    exact-distinct vector count, null labels. One aggregation pass;
+    the distinct is the only shuffle and keys on the vector bytes.
+    Zero-norm detection compares an exact 0.0 double fold (sums of
+    squares are exactly zero iff every element is ±0), so the check is
+    drift-free on both engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    vd = as_double(F.col("embedding"))
+    sumsq = F.aggregate(
+        F.zip_with(vd, vd, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    has_nan = F.exists(vd, F.isnan)
+    return emb.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min(F.size("embedding")).cast("bigint").alias("dims_min"),
+        F.max(F.size("embedding")).cast("bigint").alias("dims_max"),
+        F.count_if(sumsq == 0.0).cast("bigint").alias("n_zero_norm"),
+        F.count_if(has_nan).cast("bigint").alias("n_with_nan"),
+        F.count_distinct("embedding").cast("bigint").alias("n_distinct"),
+        F.count_if(F.col("label").isNull())
+        .cast("bigint")
+        .alias("n_null_label"),
     )

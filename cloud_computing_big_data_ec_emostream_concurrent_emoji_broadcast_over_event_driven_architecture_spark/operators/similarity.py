@@ -1692,3 +1692,119 @@ def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("keep_cand").alias("kept_doc_id"),
         F.round(F.max("sim"), 6).alias("max_sim"),
     )
+
+
+@register(
+    "q_ann_recall_audit",
+    tags=("similarity", "vector", "ann", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {_trained_cents_ctes()},
+        a_final AS {_kmeans_assign_sql('cents')},
+        queries AS (
+            SELECT vec_id AS q_id, cent_id AS q_cent, v AS qv
+            FROM a_final WHERE vec_id < {ANN_BATCH_Q}
+        ),
+        exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, a.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {cosine_sql('a.v', 'q.qv')} DESC,
+                                    a.vec_id
+                       ) AS rnk
+                FROM a_final a JOIN queries q ON a.vec_id <> q.q_id
+            ) WHERE rnk <= {ANN_BATCH_K}
+        ),
+        approx AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, a.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {cosine_sql('a.v', 'q.qv')} DESC,
+                                    a.vec_id
+                       ) AS rnk
+                FROM a_final a JOIN queries q
+                  ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+            ) WHERE rnk <= {ANN_BATCH_K}
+        ),
+        hits AS (
+            SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM exact e JOIN approx x
+              ON e.q_id = x.q_id AND e.vec_id = x.vec_id
+            GROUP BY 1
+        )
+        SELECT q.q_id, {ANN_BATCH_K} AS k,
+               COALESCE(h.n_hit, 0) AS n_hit,
+               ROUND(COALESCE(h.n_hit, 0) * 1.0 / {ANN_BATCH_K}, 4)
+                   AS recall
+        FROM queries q LEFT JOIN hits h ON h.q_id = q.q_id
+    """,
+)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL SELF-AUDIT: for the {ANN_BATCH_Q}-query batch, compute
+    exact brute-force top-{ANN_BATCH_K} AND single-probe IVF
+    top-{ANN_BATCH_K}, intersect, and report recall@k per query — the
+    'measure, don't guess' query a retrieval pipeline schedules after
+    every index rebuild (the recall-vs-nprobe dial is only honest if
+    something recomputes recall).
+
+    Plan: the broadcast query batch scores once against the full index
+    (the exact side — the deliberate audit cost; production runs it on
+    a hash-sample of queries, and the per-query work is a bucket-free
+    variant of ``q_ann_batch_queries``'s one-join shape) and once
+    against the probed buckets; both rank with per-query windows over
+    broadcast-joined relations, and the intersection + rollup is
+    |q|x k rows. Ordering ties break on vec_id everywhere, so the two
+    engines rank ulp-identical cosines identically."""
+    from pyspark.sql import Window
+
+    assigned = _ivf_assignment(spark, sf_dir)
+    sides = assigned.select(
+        "vec_id", "cent_id", as_double(F.col("embedding")).alias("v")
+    )
+    queries = sides.filter(F.col("vec_id") < ANN_BATCH_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cent_id").alias("q_cent"),
+        F.col("v").alias("qv"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+
+    def topk(joined) -> DataFrame:
+        return (
+            joined.select(
+                "q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= ANN_BATCH_K)
+            .select("q_id", "vec_id")
+        )
+
+    exact = topk(
+        sides.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    )
+    approx = topk(
+        sides.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+    )
+    hits = (
+        exact.join(approx, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(ANN_BATCH_K).alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0.0)) / ANN_BATCH_K, 4
+            ).alias("recall"),
+        )
+    )

@@ -219,3 +219,27 @@ def test_share_of_total_sums_to_one(spark, sf_dir):
     for month, s in by_month.items():
         assert abs(s - 1.0) < 1e-4, (month, s)
     assert abs(total - 1.0) < 1e-3
+
+
+def test_ann_recall_audit_bounds_and_batch_consistency(spark, sf_dir):
+    rows = SPECS["q_ann_recall_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert 0 <= r.n_hit <= r.k
+        assert abs(r.recall - r.n_hit / r.k) < 1e-9
+    # the single-probe answer set is what q_ann_batch_queries serves;
+    # every served neighbor that is also in the exact top-k is a hit,
+    # so total hits can never exceed the batch op's result size
+    served = SPECS["q_ann_batch_queries"].fn(spark, sf_dir).count()
+    assert sum(r.n_hit for r in rows) <= served
+
+
+def test_embedding_dq_fixture_is_clean(spark, sf_dir):
+    r = SPECS["q_embedding_dq"].fn(spark, sf_dir).collect()[0]
+    n = table(spark, sf_dir, "embeddings").count()
+    assert r.n_vecs == n
+    assert r.dims_min == r.dims_max == 64
+    assert r.n_zero_norm == 0
+    assert r.n_with_nan == 0
+    assert 0 < r.n_distinct <= n
+    assert r.n_null_label == 0

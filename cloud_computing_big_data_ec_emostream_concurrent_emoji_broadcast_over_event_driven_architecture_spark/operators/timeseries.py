@@ -1505,3 +1505,115 @@ def q_event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+TS_SIM_QUERY_USER = 0  # query series: user 0's hourly activity
+TS_SIM_TOP = 10
+
+
+@register(
+    "q_ts_similarity_search",
+    tags=("timeseries", "similarity", "scale"),
+    oracle=f"""
+        WITH cells AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                AS n FROM events
+        ),
+        stats AS (
+            SELECT user_id, SUM(cnt) AS sx, SUM(cnt * cnt) AS sx2
+            FROM cells GROUP BY 1
+        ),
+        q AS (
+            SELECT hour, cnt FROM cells
+            WHERE user_id = {TS_SIM_QUERY_USER}
+        ),
+        qstats AS (
+            SELECT SUM(cnt) AS qsx, SUM(cnt * cnt) AS qsx2 FROM q
+        ),
+        xy AS (
+            SELECT c.user_id, SUM(c.cnt * q.cnt) AS sxy
+            FROM cells c JOIN q ON c.hour = q.hour
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT s.user_id,
+                   ROUND(
+                       (g.n * COALESCE(xy.sxy, 0) - s.sx * qs.qsx)
+                       / SQRT(CAST((g.n * s.sx2 - s.sx * s.sx)
+                                   * (g.n * qs.qsx2 - qs.qsx * qs.qsx)
+                              AS DOUBLE)),
+                       6) AS corr
+            FROM stats s
+            LEFT JOIN xy ON xy.user_id = s.user_id
+            CROSS JOIN grid g CROSS JOIN qstats qs
+            WHERE s.user_id <> {TS_SIM_QUERY_USER}
+              AND (g.n * s.sx2 - s.sx * s.sx) > 0
+              AND (g.n * qs.qsx2 - qs.qsx * qs.qsx) > 0
+        )
+        SELECT user_id, corr FROM scored
+        ORDER BY corr DESC, user_id LIMIT {TS_SIM_TOP}
+    """,
+)
+def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES SIMILARITY SEARCH (EDBT'19 streaming-similarity
+    family, batch form): which users' hourly activity series correlate
+    most with the query user's — Pearson correlation over the aligned
+    hour grid with absent hours as implicit zeros, top-{TS_SIM_TOP}.
+
+    The moment decomposition is what makes this scale: correlation
+    needs only (Σx, Σx², Σxy, n), so each user's series never
+    materializes as a dense vector — one (user, hour) aggregation, a
+    user-sized stats rollup, and Σxy from an equi-join against the
+    BROADCAST query series (only overlapping nonzero hours contribute,
+    so sparse series cost their support, not the grid). All moments are
+    exact integer sums — zero float drift — and only the final corr
+    formula divides in double, identically on both engines.
+    Constant-variance series are excluded (corr undefined; NaN/inf
+    hash engine-dependently). Top-k plans as TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    grid = ev.select(
+        F.count_distinct(F.date_trunc("hour", F.col("ts"))).alias("n")
+    )
+    stats = cells.groupBy("user_id").agg(
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+    )
+    q = cells.filter(F.col("user_id") == TS_SIM_QUERY_USER).select(
+        "hour", F.col("cnt").alias("qcnt")
+    )
+    qstats = q.agg(
+        F.sum("qcnt").alias("qsx"),
+        F.sum(F.col("qcnt") * F.col("qcnt")).alias("qsx2"),
+    )
+    xy = (
+        cells.join(F.broadcast(q), "hour")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("sxy"))
+    )
+    n = F.col("n")
+    var_x = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    var_q = n * F.col("qsx2") - F.col("qsx") * F.col("qsx")
+    corr = (
+        n * F.coalesce(F.col("sxy"), F.lit(0)) - F.col("sx") * F.col("qsx")
+    ) / F.sqrt((var_x * var_q).cast("double"))
+    return (
+        stats.join(xy, "user_id", "left")
+        .crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(qstats))
+        .filter(
+            (F.col("user_id") != TS_SIM_QUERY_USER)
+            & (var_x > 0)
+            & (var_q > 0)
+        )
+        .select("user_id", F.round(corr, 6).alias("corr"))
+        .orderBy(F.desc("corr"), F.asc("user_id"))
+        .limit(TS_SIM_TOP)
+    )

@@ -243,3 +243,14 @@ def test_embedding_dq_fixture_is_clean(spark, sf_dir):
     assert r.n_with_nan == 0
     assert 0 < r.n_distinct <= n
     assert r.n_null_label == 0
+
+
+def test_ts_similarity_corr_bounds_and_self_exclusion(spark, sf_dir):
+    rows = SPECS["q_ts_similarity_search"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.user_id != 0 for r in rows)
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+    # returned in descending-corr order with user tiebreak
+    corrs = [r.corr for r in rows]
+    assert corrs == sorted(corrs, reverse=True)

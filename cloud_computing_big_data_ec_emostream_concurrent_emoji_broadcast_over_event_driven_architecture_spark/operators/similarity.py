@@ -1789,14 +1789,17 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_id") != F.col("q_id")),
         )
     )
+    # both rank lists are |q|×k rows — broadcast the intersection and
+    # the final rollup (window outputs carry no stats, so Spark would
+    # otherwise sort-merge 80-row relations)
     hits = (
-        exact.join(approx, ["q_id", "vec_id"])
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"])
         .groupBy("q_id")
         .agg(F.count("*").cast("bigint").alias("n_hit"))
     )
     return (
         queries.select("q_id")
-        .join(hits, "q_id", "left")
+        .join(F.broadcast(hits), "q_id", "left")
         .select(
             "q_id",
             F.lit(ANN_BATCH_K).alias("k"),

@@ -1348,6 +1348,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the unrolled merge loop; returns (final word->sym vocab DF,
     4-row merge-table DF)."""
     docs = table(spark, sf_dir, "documents")
+    # persist: the word-frequency table is vocab-sized and every merge
+    # iteration's branch (and the 4-way output union) chains from it —
+    # without the cache each union branch would rescan the corpus for
+    # its own copy of the explode+count (same pattern as the triangle
+    # enumeration's persisted pair list)
     cur = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -1358,6 +1363,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             "freq",
             F.array_join(F.split("w", ""), " ").alias("sym"),
         )
+        .persist()
     )
     merge_rows = []
     for it in range(1, BPE_ITERS + 1):

@@ -730,3 +730,49 @@ def test_scd2_pit_join_no_join_single_user_shuffle(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
     assert plan.count("Window") == 1
+
+
+def test_bpe_train_chains_from_cached_vocab(spark, sf_dir):
+    """BPE training: the corpus is scanned once into the persisted
+    word-frequency cache; every merge iteration (and each union branch
+    of the 4-row output) chains from vocab-sized data — no live corpus
+    scan, no sort-merge joins (argmax rows ride 1-row broadcasts)."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_bpe_train_merges"))
+    assert "FileScan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_tokenize_cost_single_corpus_scan(spark, sf_dir):
+    """Tokenizer apply: one corpus explode scan; the word->token-count
+    vocab joins as a broadcast (memoized segmentation, never a re-fold
+    per occurrence)."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_bpe_tokenize_cost"))
+    assert plan.count("FileScan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ts_similarity_topk_no_cartesian(spark, sf_dir):
+    """Series similarity: moment sums + broadcast query support; the
+    final top-k is TakeOrderedAndProject (k rows per partition), and
+    the only cross joins are 1-row scalar broadcasts."""
+    plan = _plan(spark, sf_dir, "q_ts_similarity_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_audit_no_cartesian_product(spark, sf_dir):
+    """Recall audit: the exact side is a deliberate broadcast
+    nested-loop of the 16-query batch over the index (the audit's
+    cost); nothing materializes a cartesian and nothing sort-merges."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_ann_recall_audit"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_dq_single_scan_no_joins(spark, sf_dir):
+    """Vector hygiene gate: one scan, aggregation only."""
+    plan = _plan(spark, sf_dir, "q_embedding_dq")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("FileScan parquet") == 1

@@ -507,3 +507,93 @@ def dq_monitor_stream(
             ),
         )
     )
+
+
+def ts_similarity_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    query_user: int = 0,
+    name: str = "ts_similarity",
+):
+    """STREAMING twin of ``q_ts_similarity_search``: maintain the
+    per-(user, hour) activity cells incrementally across micro-batches
+    (the incremental-MV merge — counts are re-aggregable partials) and
+    re-score Pearson correlation against the query user's series from
+    the MERGED cells each batch, publishing to the global temp view
+    ``name``.
+
+    Why foreachBatch and not chained streaming aggs: correlation needs
+    Σ(cnt_h²), a second-level aggregate over CLOSED hourly counts —
+    maintaining it as two chained stateful operators couples the score
+    to watermark closure, whereas merging count partials keeps every
+    moment exact at all times and bit-equal to the batch operator on
+    the same prefix (pinned in tests). State = the cells table, bounded
+    by |users| × |grid hours| — the same cardinality the batch plan
+    shuffles, NOT the raw stream."""
+    spark = events.sparkSession
+    events = _event_time(events, ts_col)
+    cells_view = f"{name}_cells"
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        ).agg(F.count("*").alias("cnt"))
+        existing = [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name == cells_view
+        ]
+        if existing:
+            delta = (
+                spark.table(f"global_temp.{cells_view}")
+                .unionByName(delta)
+                .groupBy("user_id", "hour")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        cells = delta.localCheckpoint(eager=True)
+        cells.createOrReplaceGlobalTempView(cells_view)
+
+        grid = cells.select(F.count_distinct("hour").alias("n"))
+        stats = cells.groupBy("user_id").agg(
+            F.sum("cnt").alias("sx"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+        )
+        q = cells.filter(F.col("user_id") == query_user).select(
+            "hour", F.col("cnt").alias("qcnt")
+        )
+        qstats = q.agg(
+            F.sum("qcnt").alias("qsx"),
+            F.sum(F.col("qcnt") * F.col("qcnt")).alias("qsx2"),
+        )
+        xy = (
+            cells.join(F.broadcast(q), "hour")
+            .groupBy("user_id")
+            .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("sxy"))
+        )
+        n = F.col("n")
+        var_x = n * F.col("sx2") - F.col("sx") * F.col("sx")
+        var_q = n * F.col("qsx2") - F.col("qsx") * F.col("qsx")
+        corr = (
+            n * F.coalesce(F.col("sxy"), F.lit(0))
+            - F.col("sx") * F.col("qsx")
+        ) / F.sqrt((var_x * var_q).cast("double"))
+        out = (
+            stats.join(xy, "user_id", "left")
+            .crossJoin(F.broadcast(grid))
+            .crossJoin(F.broadcast(qstats))
+            .filter(
+                (F.col("user_id") != query_user)
+                & (var_x > 0)
+                & (var_q > 0)
+            )
+            .select("user_id", F.round(corr, 6).alias("corr"))
+        )
+        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(name)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_step)
+        .start()
+    )

@@ -1438,3 +1438,64 @@ def test_attribution_stream_matches_batch_on_inorder_replay(
         (r["user_id"], r["event_id"]): r["channel"] for r in batch.collect()
     }
     assert got == expected
+
+
+def test_ts_similarity_stream_matches_batch_moments(
+    spark, events_df, replay_dir
+):
+    """Incrementally-merged cells give the SAME correlation table as a
+    one-shot batch over the full prefix: count partials are exact and
+    re-aggregable, so after the last micro-batch every moment — and
+    therefore every rounded corr — is bit-equal to batch."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        ts_similarity_stream,
+    )
+
+    directory, schema = replay_dir
+    stream = file_replay_stream(spark, directory, schema)
+    # the fixture is a 2-hour slice; use its most active user as the
+    # query series so the test is non-degenerate
+    quser = (
+        events_df.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("user_id"))
+        .first()
+        .user_id
+    )
+    name = f"tssim_{uuid.uuid4().hex[:8]}"
+    q = ts_similarity_stream(stream, query_user=quser, name=name)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: r.corr
+        for r in spark.sql(f"SELECT * FROM global_temp.{name}").collect()
+    }
+
+    cells = events_df.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    n = cells.select("hour").distinct().count()
+    qcells = {
+        r.hour: r.cnt
+        for r in cells.filter(F.col("user_id") == quser).collect()
+    }
+    qsx = sum(qcells.values())
+    qsx2 = sum(v * v for v in qcells.values())
+    expected = {}
+    stats = {}
+    for r in cells.collect():
+        s = stats.setdefault(r.user_id, [0, 0, 0])  # sx, sx2, sxy
+        s[0] += r.cnt
+        s[1] += r.cnt * r.cnt
+        s[2] += r.cnt * qcells.get(r.hour, 0)
+    for user, (sx, sx2, sxy) in stats.items():
+        if user == quser:
+            continue
+        var_x = n * sx2 - sx * sx
+        var_q = n * qsx2 - qsx * qsx
+        if var_x > 0 and var_q > 0:
+            expected[user] = round(
+                (n * sxy - sx * qsx) / (var_x * var_q) ** 0.5, 6
+            )
+    assert got == expected
+    assert expected  # non-degenerate: some users scored

@@ -1213,3 +1213,107 @@ def q_sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
         )
     )
+
+
+CARD_MIN_WORDS = 5  # dataset-card pass gate (Gopher-style hard bounds)
+CARD_MAX_WORDS = 1_000
+
+
+@register(
+    "q_dataset_card",
+    tags=("corpus", "llm-pipeline", "audit"),
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT source, lang, text, n_chars,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w <> '')) AS n_words
+            FROM documents
+        ),
+        base AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
+                   CAST(COUNT(*) FILTER (
+                       WHERE n_words BETWEEN {CARD_MIN_WORDS}
+                                         AND {CARD_MAX_WORDS}
+                   ) AS BIGINT) AS n_pass,
+                   ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars
+            FROM per_doc
+            GROUP BY 1
+        ),
+        lang_mode AS (
+            SELECT source, lang AS top_lang FROM (
+                SELECT source, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY COUNT(*) DESC, lang
+                       ) AS rn
+                FROM per_doc GROUP BY source, lang
+            ) WHERE rn = 1
+        )
+        SELECT b.source, b.n_docs, b.total_words,
+               b.n_docs - b.distinct_texts AS n_exact_dups,
+               ROUND((b.n_docs - b.distinct_texts) * 1.0 / b.n_docs, 4)
+                   AS dup_rate,
+               ROUND(b.n_pass * 1.0 / b.n_docs, 4) AS quality_pass_rate,
+               b.avg_chars, m.top_lang
+        FROM base b JOIN lang_mode m ON m.source = b.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD: the per-source summary a training-data pipeline
+    publishes with every corpus release — doc counts, word volume,
+    within-source exact-duplicate rate, hard-gate quality pass rate
+    ({CARD_MIN_WORDS}..{CARD_MAX_WORDS} words), average length, and
+    dominant language. One report row per source.
+
+    Plan: one pass computes per-doc word counts inline and rolls
+    everything source-keyed (the text-distinct is the only
+    payload-sized shuffle and keys on the text bytes — at 100 TB you
+    swap it for the sha256-key trick ``q_dedup_exact`` uses, same
+    cardinality); the dominant-language mode is a (source, lang)-sized
+    aggregate with a deterministic (count DESC, lang) argmax window,
+    broadcast back onto the |sources| report rows. All rates divide
+    exact integers, rounded identically in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split("text", " "), lambda w: w != "")
+    )
+    per_doc = docs.select(
+        "source", "lang", "text", "n_chars", n_words.alias("n_words")
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.count_distinct("text").cast("bigint").alias("distinct_texts"),
+        F.count_if(
+            F.col("n_words").between(CARD_MIN_WORDS, CARD_MAX_WORDS)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+        F.round(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
+    )
+    lw = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("lang")
+    )
+    lang_mode = (
+        per_doc.groupBy("source", "lang")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    dups = F.col("n_docs") - F.col("distinct_texts")
+    return base.join(F.broadcast(lang_mode), "source").select(
+        "source",
+        "n_docs",
+        "total_words",
+        dups.alias("n_exact_dups"),
+        F.round(dups / F.col("n_docs"), 4).alias("dup_rate"),
+        F.round(F.col("n_pass") / F.col("n_docs"), 4).alias(
+            "quality_pass_rate"
+        ),
+        "avg_chars",
+        "top_lang",
+    )

@@ -254,3 +254,15 @@ def test_ts_similarity_corr_bounds_and_self_exclusion(spark, sf_dir):
     # returned in descending-corr order with user tiebreak
     corrs = [r.corr for r in rows]
     assert corrs == sorted(corrs, reverse=True)
+
+
+def test_dataset_card_totals_reconcile(spark, sf_dir):
+    rows = SPECS["q_dataset_card"].fn(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    for r in rows:
+        assert 0 <= r.dup_rate <= 1
+        assert 0 <= r.quality_pass_rate <= 1
+        assert r.n_exact_dups < r.n_docs
+        assert r.top_lang in langs

@@ -545,3 +545,69 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             srev_d / F.sum("srev").over(w_all).cast("double"), 6
         ).alias("total_share"),
     )
+
+
+@register(
+    "q_period_over_period",
+    tags=("agg", "window", "olap"),
+    oracle="""
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month,
+                   o_orderpriority AS priority,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS srev,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT month, priority,
+               CAST(ROUND(srev, 2) AS DOUBLE) AS revenue,
+               n_orders,
+               ROUND(CASE WHEN lag(srev) OVER w IS NOT NULL
+                          THEN (CAST(srev AS DOUBLE)
+                                - CAST(lag(srev) OVER w AS DOUBLE))
+                               / CAST(lag(srev) OVER w AS DOUBLE)
+                     END, 6) AS rev_mom_pct,
+               n_orders - lag(n_orders) OVER w AS orders_mom_delta
+        FROM m
+        WINDOW w AS (PARTITION BY priority ORDER BY month)
+    """,
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD growth: month-over-month revenue percentage
+    change and order-count delta per priority — the growth companion to
+    ``q_share_of_total``'s contribution view.
+
+    Plan: one fact aggregation to (month, priority) cells; the lag
+    window partitions by priority and sees |months| rows per partition.
+    The MoM division happens on the exact decimal partials cast to
+    double (never on pre-rounded values), so both engines divide
+    bit-identical numbers; first months yield NULL pct (no prior
+    period) in both engines identically."""
+    od = table(spark, sf_dir, "orders")
+    cells = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("srev"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.lag("srev").over(w)
+    return cells.select(
+        "month",
+        "priority",
+        F.round(F.col("srev"), 2).cast("double").alias("revenue"),
+        "n_orders",
+        F.round(
+            F.when(
+                prev.isNotNull(),
+                (F.col("srev").cast("double") - prev.cast("double"))
+                / prev.cast("double"),
+            ),
+            6,
+        ).alias("rev_mom_pct"),
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias(
+            "orders_mom_delta"
+        ),
+    )

@@ -266,3 +266,23 @@ def test_dataset_card_totals_reconcile(spark, sf_dir):
         assert 0 <= r.quality_pass_rate <= 1
         assert r.n_exact_dups < r.n_docs
         assert r.top_lang in langs
+
+
+def test_period_over_period_lag_identity(spark, sf_dir):
+    rows = SPECS["q_period_over_period"].fn(spark, sf_dir).collect()
+    assert rows
+    by_pri = {}
+    for r in rows:
+        by_pri.setdefault(r.priority, []).append(r)
+    firsts = 0
+    for pri, rs in by_pri.items():
+        rs.sort(key=lambda r: r.month)
+        assert rs[0].rev_mom_pct is None  # no prior period
+        assert rs[0].orders_mom_delta is None
+        firsts += 1
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.orders_mom_delta == cur.n_orders - prev.n_orders
+            if cur.rev_mom_pct is not None and prev.revenue:
+                approx = (cur.revenue - prev.revenue) / prev.revenue
+                assert abs(cur.rev_mom_pct - approx) < 1e-3
+    assert firsts == len(by_pri)

@@ -863,3 +863,56 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+@register(
+    "q_join_asof_forward",
+    tags=("join", "asof", "window"),
+    oracle="""
+        SELECT event_id, next_purchase_ts,
+               CAST(floor(epoch(next_purchase_ts)) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT) AS latency_sec
+        FROM (
+            SELECT event_id, event_type, ts,
+                   FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                                    THEN ts END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS next_purchase_ts
+            FROM events
+        ) WHERE event_type = 'click'
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the same user's next strictly
+    later purchase and the click-to-purchase latency — the symmetric
+    twin of ``q_join_asof``'s backward lookup (together they cover both
+    as-of directions; tolerance-bounded is ``q_join_asof_tolerance``).
+    Composes as an ignore-nulls FIRST_VALUE over the FOLLOWING frame of
+    the same per-user window — one shuffle on user_id, no join node, so
+    the hot-user blowup a range-join formulation risks can't happen.
+    Clicks with no later purchase yield NULL in both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "next_purchase_ts",
+            (
+                F.unix_timestamp(
+                    F.col("next_purchase_ts").cast("timestamp")
+                )
+                - F.unix_timestamp(F.col("ts").cast("timestamp"))
+            ).alias("latency_sec"),
+        )
+    )

@@ -1811,3 +1811,90 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "q_kmeans_silhouette",
+    tags=("similarity", "vector", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {_trained_cents_ctes()},
+        ranked AS (
+            SELECT e.vec_id, c.cent_id,
+                   {cosine_sql('e.v', 'c.cv')} AS sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cosine_sql('e.v', 'c.cv')} DESC,
+                                c.cent_id
+                   ) AS rn
+            FROM ev e CROSS JOIN cents c
+        ),
+        sil AS (
+            SELECT vec_id,
+                   MAX(CASE WHEN rn = 1 THEN cent_id END) AS cent_id,
+                   MAX(CASE WHEN rn = 1 THEN sim END) AS sim1,
+                   MAX(CASE WHEN rn = 2 THEN sim END) AS sim2
+            FROM ranked WHERE rn <= 2
+            GROUP BY 1
+        )
+        SELECT cent_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(CAST(SUM(CAST(
+                   CASE WHEN 1.0 - sim2 > 0
+                        THEN (sim1 - sim2) / (1.0 - sim2)
+                        ELSE 0.0 END
+                   AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_silhouette
+        FROM sil
+        GROUP BY 1
+    """,
+)
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-QUALITY AUDIT: simplified (centroid-based) silhouette per
+    k-means cluster under cosine distance. With a = 1 - sim(own
+    centroid) and b = 1 - sim(runner-up centroid), b >= a always, so
+    s = (b - a) / b = (sim1 - sim2) / (1 - sim2) — near 1 means tight,
+    well-separated clusters (SemDeDup thresholds are trustworthy; IVF
+    buckets won't leak recall), near 0 means the centroid pair is
+    ambiguous and nprobe must rise. The audit to run after
+    ``trained_centroids`` rebuilds, next to ``q_ann_recall_audit``.
+
+    Plan: one pass of the corpus against the K-row broadcast centroid
+    set (identical shape to the IVF assignment build), a rank-2 window
+    per vector, and a K-row rollup. Per-vector silhouettes fold through
+    decimal(28,10) before the rounded mean, so partition order can't
+    drift the cluster averages."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = _ivf_centroids(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cent_id")
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    sil = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cent_id"))).alias("cent_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias("sim1"),
+        F.max(F.when(F.col("rn") == 2, F.col("sim"))).alias("sim2"),
+    )
+    s = F.when(
+        F.lit(1.0) - F.col("sim2") > 0,
+        (F.col("sim1") - F.col("sim2")) / (F.lit(1.0) - F.col("sim2")),
+    ).otherwise(F.lit(0.0))
+    return sil.groupBy("cent_id").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum(s.cast("decimal(28,10)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_silhouette"),
+    )

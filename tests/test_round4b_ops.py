@@ -286,3 +286,22 @@ def test_period_over_period_lag_identity(spark, sf_dir):
                 approx = (cur.revenue - prev.revenue) / prev.revenue
                 assert abs(cur.rev_mom_pct - approx) < 1e-3
     assert firsts == len(by_pri)
+
+
+def test_silhouette_bounds_and_coverage(spark, sf_dir):
+    rows = SPECS["q_kmeans_silhouette"].fn(spark, sf_dir).collect()
+    assert rows
+    n = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        # simplified silhouette under b>=a is within [0, 1]
+        assert -1e-9 <= r.avg_silhouette <= 1.0 + 1e-9
+
+
+def test_asof_forward_latency_positive(spark, sf_dir):
+    rows = SPECS["q_join_asof_forward"].fn(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r.next_purchase_ts is not None]
+    assert matched  # non-degenerate
+    for r in matched:
+        assert r.latency_sec >= 0

@@ -293,3 +293,241 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("word")).cast("bigint").alias("distinct_users"),
         F.count("*").cast("bigint").alias("bitmap_words"),
     )
+
+
+@register(
+    "q_chi_square_independence",
+    tags=("analytics", "stats"),
+    oracle="""
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(date_part('dow', ts) AS INTEGER) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT o.event_type, o.dow, o.o,
+                   SUM(o.o) OVER (PARTITION BY o.event_type) AS rt,
+                   SUM(o.o) OVER (PARTITION BY o.dow) AS ct,
+                   SUM(o.o) OVER () AS n
+            FROM obs o
+        ),
+        cells AS (
+            SELECT event_type, dow, o, n,
+                   CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS e
+            FROM tot
+        ),
+        dims AS (
+            SELECT COUNT(DISTINCT event_type) AS r,
+                   COUNT(DISTINCT dow) AS c
+            FROM obs
+        )
+        SELECT ROUND(CAST(SUM(CAST((o - e) * (o - e) / e
+                                   AS DECIMAL(28,10))) AS DOUBLE), 6)
+                   AS chi2,
+               CAST((MAX(d.r) - 1) * (MAX(d.c) - 1) AS BIGINT) AS dof,
+               ROUND(SQRT(CAST(SUM(CAST((o - e) * (o - e) / e
+                                        AS DECIMAL(28,10))) AS DOUBLE)
+                          / (MAX(cells.n)
+                             * least(MAX(d.r) - 1, MAX(d.c) - 1))), 6)
+                   AS cramers_v,
+               MAX(cells.n) AS n
+        FROM cells CROSS JOIN dims d
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE TEST: is event type independent of
+    day-of-week? Observed (type x dow) counts vs the
+    row-total x col-total / n expectation, with Cramér's V as the
+    effect size — the categorical-association readout behind every
+    'does behavior differ by day' dashboard question.
+
+    Plan: one fact aggregation to the r x c contingency cells; row,
+    column, and grand totals are window sums OVER THE CELL TABLE
+    (35 rows — never the fact), and the statistic is a 1-row rollup.
+    Counts and marginals are exact integers; the only doubles are the
+    identical expected/deviation expressions, and the chi2 sum folds
+    decimal(28,10) so cell order can't drift the rounded statistic.
+    Spark's dayofweek is 1-based Sunday; the plan subtracts 1 to match
+    DuckDB's 0-based dow exactly."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        (F.dayofweek(F.col("ts")) - 1).cast("int").alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = F.sum("o").over(Window.partitionBy("event_type"))
+    ct = F.sum("o").over(Window.partitionBy("dow"))
+    n = F.sum("o").over(Window.partitionBy())
+    cells = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        rt.alias("rt"),
+        ct.alias("ct"),
+        n.alias("n"),
+    ).withColumn(
+        "e",
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double"),
+    )
+    dims = obs.agg(
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+    )
+    dev = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    chi2_sum = F.sum(dev.cast("decimal(28,10)")).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(dims))
+        .agg(
+            F.round(chi2_sum, 6).alias("chi2"),
+            ((F.max("r") - 1) * (F.max("c") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.round(
+                F.sqrt(
+                    chi2_sum
+                    / (
+                        F.max("n")
+                        * F.least(F.max("r") - 1, F.max("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_key_skew_gini",
+    tags=("analytics", "diagnostics", "scale"),
+    oracle="""
+        WITH x AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i
+            FROM x
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6)
+                   AS top_share,
+               ROUND(2.0 * SUM(i * cnt)
+                     / (COUNT(*) * CAST(SUM(cnt) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """,
+)
+def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW GINI: concentration of events over user keys — the
+    quantitative version of 'is this join key skewed enough to salt'.
+    Gini 0 = perfectly uniform keys (hash partitioning is safe), -> 1 =
+    a few hub keys own the table (pre-aggregate, salt, or AQE
+    skew-join). Computed by the sorted-rank identity
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n, whose Σ(i·x_i) is an EXACT integer
+    — no float accumulation anywhere until the final two divisions.
+
+    Plan: one fact aggregation to per-key counts, one |keys|-row global
+    rank window (the known exact-Gini cost; a histogram approximation
+    drops the sort at 100 TB), one 1-row rollup. Companion diagnostics:
+    ``q_heavy_hitters`` names the hubs, ``q_graph_degree_stats`` does
+    the same for the pair graph."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.orderBy("cnt", "user_id")
+    ranked = x.select("cnt", F.row_number().over(w).alias("i"))
+    n = F.count("*")
+    tot = F.sum("cnt")
+    return ranked.agg(
+        n.cast("bigint").alias("n_keys"),
+        tot.cast("bigint").alias("total"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.max("cnt").cast("double") / tot, 6).alias("top_share"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("cnt"))
+            / (n * tot.cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+BLOOM_PLAN_FPP = 0.01
+
+
+def _bloom_plan_sql(tbl: str, key: str) -> str:
+    return f"""
+        SELECT '{tbl}.{key}' AS key_name,
+               CAST(COUNT(DISTINCT {key}) AS BIGINT) AS ndv,
+               CAST(CEIL(-COUNT(DISTINCT {key}) * LN({BLOOM_PLAN_FPP})
+                         / (LN(2) * LN(2))) AS BIGINT) AS m_bits,
+               CAST(GREATEST(1, ROUND(
+                   CEIL(-COUNT(DISTINCT {key}) * LN({BLOOM_PLAN_FPP})
+                        / (LN(2) * LN(2)))
+                   * LN(2) / COUNT(DISTINCT {key}))) AS BIGINT) AS k_hashes,
+               CAST(CEIL(CEIL(-COUNT(DISTINCT {key}) * LN({BLOOM_PLAN_FPP})
+                              / (LN(2) * LN(2))) / 8.0) AS BIGINT)
+                   AS bytes,
+               CEIL(-COUNT(DISTINCT {key}) * LN({BLOOM_PLAN_FPP})
+                    / (LN(2) * LN(2))) / 8.0 < 4194304.0
+                   AS broadcastable
+        FROM {tbl}
+    """
+
+
+@register(
+    "q_bloom_size_planner",
+    tags=("analytics", "diagnostics", "join", "scale"),
+    oracle=" UNION ALL ".join(
+        _bloom_plan_sql(t, k)
+        for t, k in (
+            ("events", "user_id"),
+            ("orders", "o_custkey"),
+            ("lineitem", "l_partkey"),
+        )
+    ),
+)
+def q_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FILTER SIZING PLANNER: for each candidate runtime-filter
+    key, measure its exact NDV and derive the textbook optimal filter —
+    m = ceil(-n·ln p / ln²2) bits and k = m/n·ln 2 hashes at
+    p = {BLOOM_PLAN_FPP} — plus the verdict that matters at 100 TB:
+    does the bitmap fit a broadcast (< 4 MiB)? The measured companion
+    to ``q_join_bloom_pruned``, and the layout-planner pattern of
+    ``q_layout_rle_estimate`` applied to runtime filters.
+
+    Plan: one NDV aggregation per key (three table scans, each
+    partial-combined); the sizing arithmetic is identical IEEE double
+    ops on exact integer NDVs, so ceil/round land identically on both
+    engines."""
+    out = None
+    for tbl, key in (
+        ("events", "user_id"),
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+    ):
+        ndv = F.count_distinct(key).cast("bigint")
+        m = F.ceil(
+            -ndv * F.log(F.lit(float(BLOOM_PLAN_FPP)))
+            / (F.log(F.lit(2.0)) * F.log(F.lit(2.0)))
+        )
+        k = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.round(m * F.log(F.lit(2.0)) / ndv, 0).cast("bigint"),
+        )
+        row = table(spark, sf_dir, tbl).agg(
+            F.lit(f"{tbl}.{key}").alias("key_name"),
+            ndv.alias("ndv"),
+            m.cast("bigint").alias("m_bits"),
+            k.alias("k_hashes"),
+            F.ceil(m / 8.0).cast("bigint").alias("bytes"),
+            (m / 8.0 < 4_194_304.0).alias("broadcastable"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -776,3 +776,21 @@ def test_embedding_dq_single_scan_no_joins(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_chi_square_windows_over_cells_only(spark, sf_dir):
+    """Chi-square: the contingency marginals are windows over the r×c
+    cell table, never the fact — no joins except the 1-row dims
+    broadcast."""
+    plan = _plan(spark, sf_dir, "q_chi_square_independence")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 2  # cells + dims aggs
+
+
+def test_gini_single_rank_over_key_aggregate(spark, sf_dir):
+    """Gini: one fact aggregation, one |keys|-row rank window, one
+    rollup — no joins anywhere."""
+    plan = _plan(spark, sf_dir, "q_key_skew_gini")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Window") == 1

@@ -305,3 +305,34 @@ def test_asof_forward_latency_positive(spark, sf_dir):
     assert matched  # non-degenerate
     for r in matched:
         assert r.latency_sec >= 0
+
+
+def test_chi_square_nonneg_and_dims(spark, sf_dir):
+    r = SPECS["q_chi_square_independence"].fn(spark, sf_dir).collect()[0]
+    assert r.chi2 >= 0
+    assert r.dof == (5 - 1) * (7 - 1)
+    assert 0 <= r.cramers_v <= 1 + 1e-9
+    assert r.n == table(spark, sf_dir, "events").count()
+
+
+def test_gini_bounds_and_uniform_floor(spark, sf_dir):
+    r = SPECS["q_key_skew_gini"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= r.gini < 1
+    assert r.max_cnt * r.n_keys >= r.total  # max >= mean
+    assert abs(r.top_share - r.max_cnt / r.total) < 1e-9
+
+
+def test_bloom_planner_textbook_identities(spark, sf_dir):
+    import math
+
+    rows = SPECS["q_bloom_size_planner"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        m_expected = math.ceil(
+            -r.ndv * math.log(0.01) / (math.log(2) ** 2)
+        )
+        assert r.m_bits == m_expected
+        # ~9.59 bits/key at 1% FPP -> k rounds to 7
+        assert r.k_hashes == max(1, round(r.m_bits * math.log(2) / r.ndv))
+        assert r.bytes == math.ceil(r.m_bits / 8)
+        assert r.broadcastable == (r.m_bits / 8 < 4 * 1024 * 1024)

@@ -1617,3 +1617,69 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), F.asc("user_id"))
         .limit(TS_SIM_TOP)
     )
+
+
+SLIDING_DISTINCT_HOURS = 24
+
+
+@register(
+    "q_sliding_distinct_24h",
+    tags=("timeseries", "window", "distinct", "scale"),
+    oracle=f"""
+        WITH cells AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+            FROM events
+        ),
+        hours AS (SELECT DISTINCT hour FROM cells),
+        grid AS (
+            SELECT h.hour, h.hour - to_hours(u.off) AS src_hour
+            FROM hours h,
+                 UNNEST(range(0, {SLIDING_DISTINCT_HOURS})) AS u(off)
+        )
+        SELECT g.hour,
+               CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS dau_24h
+        FROM grid g JOIN cells c ON c.hour = g.src_hour
+        GROUP BY 1
+    """,
+)
+def q_sliding_distinct_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW DISTINCT (trailing-24h active users per hour) —
+    the DAU-style metric a naive per-point COUNT(DISTINCT) recomputes
+    from raw events 24 times over. The standard exact decomposition:
+    dedupe once to (user, hour) cells, fan each cell out to the
+    {SLIDING_DISTINCT_HOURS} window endpoints it serves via a
+    grid equi-join, then one distinct-count per endpoint.
+
+    Plan: the only event-sized shuffle is the initial cell distinct;
+    the grid is |hours| × {SLIDING_DISTINCT_HOURS} rows (calendar-sized,
+    broadcast), the fan-out is bounded by cells × window-width — never
+    events × width — and the final rollup keys on the endpoint hour.
+    At 100 TB the bounded-keyspace alternative trades exactness for
+    state (the streaming HLL twin ``windowed_distinct_users``); this is
+    the exact batch form. All arithmetic is on integers and
+    timestamps."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("src_hour")
+    ).distinct()
+    grid = (
+        cells.select(F.col("src_hour").alias("hour"))
+        .distinct()
+        .select(
+            "hour",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SLIDING_DISTINCT_HOURS - 1))
+            ).alias("off"),
+        )
+        .select(
+            "hour",
+            (
+                F.col("hour") - F.col("off") * F.expr("INTERVAL 1 HOUR")
+            ).alias("src_hour"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(grid), "src_hour")
+        .groupBy("hour")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("dau_24h"))
+    )

@@ -336,3 +336,22 @@ def test_bloom_planner_textbook_identities(spark, sf_dir):
         assert r.k_hashes == max(1, round(r.m_bits * math.log(2) / r.ndv))
         assert r.bytes == math.ceil(r.m_bits / 8)
         assert r.broadcastable == (r.m_bits / 8 < 4 * 1024 * 1024)
+
+
+def test_sliding_distinct_bounds_vs_hourly_and_total(spark, sf_dir):
+    rows = {
+        r.hour: r.dau_24h
+        for r in SPECS["q_sliding_distinct_24h"].fn(spark, sf_dir).collect()
+    }
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    hourly = {
+        r.hour: r.d
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    total = ev.select("user_id").distinct().count()
+    for hour, dau in rows.items():
+        # trailing-24h distinct >= the hour's own distinct, <= corpus total
+        assert hourly.get(hour, 0) <= dau <= total

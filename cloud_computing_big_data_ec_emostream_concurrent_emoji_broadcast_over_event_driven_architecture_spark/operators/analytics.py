@@ -332,7 +332,7 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (MAX(cells.n)
                              * least(MAX(d.r) - 1, MAX(d.c) - 1))), 6)
                    AS cramers_v,
-               MAX(cells.n) AS n
+               CAST(MAX(cells.n) AS BIGINT) AS n
         FROM cells CROSS JOIN dims d
     """,
 )
@@ -395,7 +395,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("cramers_v"),
-            F.max("n").alias("n"),
+            F.max("n").cast("bigint").alias("n"),
         )
     )
 

@@ -172,9 +172,11 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats AS (
             SELECT event_type, bucket, n,
                    CAST(s AS DOUBLE) / n AS mean,
-                   (CAST(ss AS DOUBLE)
-                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                       / (n - 1) AS var
+                   CASE WHEN n > 1 THEN
+                       (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                           / (n - 1)
+                   END AS var
             FROM per_arm
         )
         SELECT a.event_type,
@@ -216,14 +218,18 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s_d = F.col("s").cast("double")
     ss_d = F.col("ss").cast("double")
+    # n == 1 guard: the (n-1) sample-variance divisor is 0/0 → NaN for
+    # a single-row arm; NULL instead (propagates to a NULL welch_t) so
+    # both engines canonicalize identically
     stats = per_arm.select(
         "event_type",
         "bucket",
         "n",
         (s_d / F.col("n")).alias("mean"),
-        ((ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1)).alias(
-            "var"
-        ),
+        F.when(
+            F.col("n") > 1,
+            (ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1),
+        ).alias("var"),
     )
     a = stats.filter(F.col("bucket") == 0).alias("a")
     b = stats.filter(F.col("bucket") == 1).alias("b")
@@ -245,13 +251,17 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bitmap_distinct",
     tags=("analytics", "sketch", "scale"),
     oracle=f"""
-        WITH words AS (
-            SELECT event_type,
-                   user_id // {_BITMAP_WORD_BITS} AS word_id,
-                   bit_or(1::BIGINT << CAST(
-                       user_id % {_BITMAP_WORD_BITS} AS INTEGER))
-                       AS word
+        WITH keyed AS (
+            SELECT event_type, user_id,
+                   ((user_id % {_BITMAP_WORD_BITS}) + {_BITMAP_WORD_BITS})
+                       % {_BITMAP_WORD_BITS} AS bitpos
             FROM events
+        ),
+        words AS (
+            SELECT event_type,
+                   (user_id - bitpos) // {_BITMAP_WORD_BITS} AS word_id,
+                   bit_or(1::BIGINT << CAST(bitpos AS INTEGER)) AS word
+            FROM keyed
             GROUP BY 1, 2
         )
         SELECT event_type,
@@ -274,16 +284,28 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     over words, not users. The word OR and popcount are associative and
     exact, so (unlike HLL) the answer is not approximate, and the
     oracle replays the identical bit arithmetic (63 payload bits keep
-    every shifted value positive on both engines)."""
+    every shifted value positive on both engines). Keys of ANY sign
+    work: the bit position is pmod(id, 63) and the word id is the exact
+    division (id − bitpos)/63, on which truncating and flooring integer
+    division agree — no nonnegative-id contract needed."""
     ev = table(spark, sf_dir, "events")
+    # sign-safe keying: bitpos = pmod(id, 63) ∈ [0, 62] for ANY id
+    # (a raw `id % 63` is negative for negative ids, and a negative
+    # shift amount wraps engine-dependently), and word_id via
+    # (id - bitpos) div 63 — an EXACT division, so truncating (Spark
+    # div) and flooring (DuckDB //) integer division agree on negatives
     words = (
         ev.select(
             "event_type",
-            F.expr(f"user_id div {_BITMAP_WORD_BITS}").alias("word_id"),
+            F.expr(
+                f"(user_id - pmod(user_id, {_BITMAP_WORD_BITS}))"
+                f" div {_BITMAP_WORD_BITS}"
+            ).alias("word_id"),
             # F.shiftleft only takes a literal shift amount; the SQL
             # form accepts a column.
             F.expr(
-                f"shiftleft(1L, CAST(user_id % {_BITMAP_WORD_BITS} AS INT))"
+                f"shiftleft(1L, CAST(pmod(user_id, {_BITMAP_WORD_BITS})"
+                " AS INT))"
             ).alias("bit"),
         )
         .groupBy("event_type", "word_id")
@@ -531,3 +553,272 @@ def q_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "q_trend_slope",
+    tags=("analytics", "stats", "regression", "scale"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        origin AS (SELECT MIN(day) AS d0 FROM daily),
+        xy AS (
+            SELECT event_type,
+                   CAST(date_diff('day', o.d0, day) AS BIGINT) AS x, y
+            FROM daily, origin o
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS sxy,
+                   SUM(x * x) AS sxx,
+                   SUM(CAST(y AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS syy
+            FROM xy GROUP BY 1
+        ),
+        fit AS (
+            SELECT event_type, n,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            FROM m
+        )
+        SELECT event_type,
+               n AS n_days,
+               ROUND(num / den_x, 6) AS slope,
+               ROUND((syd - (num / den_x) * sxd) / n, 6) AS intercept,
+               CASE WHEN den_y > 0
+                    THEN ROUND(num * num / (den_x * den_y), 6)
+               END AS r2
+        FROM fit
+        WHERE den_x > 0
+    """,
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR TREND per event type: OLS slope / intercept / R² of the
+    daily event count against the day index — "is this metric growing,
+    and how fast" as a query, not an export-to-notebook round-trip.
+
+    The moment decomposition is the whole scale story: the regression
+    needs only (n, Σx, Σy, Σxy, Σx², Σy²), so the fact table collapses
+    to a per-(type, day) count — a calendar×types-sized table — and the
+    fit itself runs over |types| rows. Count moments accumulate in
+    decimal(18,0)² → decimal(38,0) (Σy² is ~days·count² and would
+    overflow BIGINT at real daily volumes; ANSI Spark would error, the
+    oracle's HUGEINT would not — the decimal lane keeps both engines
+    exact and identical). The final slope arithmetic casts each exact
+    moment to double individually, the same per-factor discipline as
+    the Pearson operators. Degenerate guards: single-day types are
+    excluded (zero x-variance), constant-count types report NULL R²
+    (0/0 — NaN hashes engine-dependently)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    origin = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(origin)).select(
+        "event_type",
+        F.datediff("day", "d0").cast("bigint").alias("x"),
+        "y",
+    )
+    dec = "decimal(18,0)"
+    m = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    den_x = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    den_y = n_d * F.col("syy").cast("double") - sy_d * sy_d
+    slope = num / den_x
+    return (
+        m.filter(den_x > 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round((sy_d - slope * sx_d) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+            F.when(den_y > 0, F.round(num * num / (den_x * den_y), 6))
+            .alias("r2"),
+        )
+    )
+
+
+XCORR_MAX_LAG_HOURS = 6  # lags 0..6 hours scanned for the best alignment
+
+
+@register(
+    "q_xcorr_best_lag",
+    tags=("analytics", "timeseries", "similarity", "scale"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hour
+                  FROM events),
+        types AS (SELECT DISTINCT event_type FROM events),
+        dense AS (
+            SELECT t.event_type, h.hour, COALESCE(c.y, 0) AS y
+            FROM hours h CROSS JOIN types t
+            LEFT JOIN counts c
+              ON c.event_type = t.event_type AND c.hour = h.hour
+        ),
+        lagged AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(u.off AS INTEGER) AS lag_h, a.y AS x, b.y AS y
+            FROM UNNEST(range(0, {XCORR_MAX_LAG_HOURS + 1})) AS u(off)
+            JOIN dense a ON TRUE
+            JOIN dense b
+              ON b.hour = a.hour + to_hours(u.off)
+             AND b.event_type <> a.event_type
+        ),
+        m AS (
+            SELECT type_a, type_b, lag_h,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS sxy,
+                   SUM(CAST(x AS DECIMAL(18,0))
+                       * CAST(x AS DECIMAL(18,0))) AS sxx,
+                   SUM(CAST(y AS DECIMAL(18,0))
+                       * CAST(y AS DECIMAL(18,0))) AS syy
+            FROM lagged GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT type_a, type_b, lag_h,
+                   ROUND(
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE))),
+                       6) AS corr
+            FROM m
+            WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        ),
+        ranked AS (
+            SELECT type_a, type_b, lag_h, corr,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY type_a, type_b
+                       ORDER BY corr DESC, lag_h ASC) AS rk
+            FROM scored
+        )
+        SELECT type_a, type_b,
+               CAST(lag_h AS INTEGER) AS best_lag, corr
+        FROM ranked WHERE rk = 1
+    """,
+)
+def q_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION LAG SCAN: for every ordered pair of event
+    types, Pearson-correlate type A's hourly series against type B's
+    series shifted by 0..{XCORR_MAX_LAG_HOURS} hours and report the
+    best-aligning lag — "does checkout follow page-view by two hours"
+    as a single declarative query (the lead-lag detection behind
+    metric-dependency graphs).
+
+    Scale shape: the fact table collapses once to per-(type, hour)
+    counts; a DENSE calendar×types grid (absent hours are true zeros,
+    not missing data) is rebuilt from the distinct-hours and
+    distinct-types dims, so every downstream row count is
+    grid-sized — |hours|·|types|·(lags+1) joined rows, never
+    data-sized. The lag join is an equi-join on the shifted hour key.
+    Moments accumulate exactly (decimal lanes for the squared terms,
+    which overflow BIGINT at real hourly volumes), the correlation
+    divides per-factor-cast doubles identically on both engines, and
+    the argmax ranks ROUNDED correlations with the lag as tie-break so
+    a last-ulp divergence can never flip the winner. Zero-variance
+    series are excluded before ranking (corr undefined)."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("y"))
+    hours = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).distinct()
+    types = ev.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(types)
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("y", F.lit(0)).alias("y")
+        )
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hour").alias("hour_a"),
+        F.col("y").alias("x"),
+    ).crossJoin(
+        F.broadcast(
+            spark.range(XCORR_MAX_LAG_HOURS + 1).select(
+                F.col("id").cast("int").alias("lag_h")
+            )
+        )
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hour").alias("hour_b"),
+        F.col("y").alias("y"),
+    )
+    joined = a.join(
+        b,
+        (
+            F.col("hour_b")
+            == F.expr("timestampadd(HOUR, lag_h, hour_a)")
+        )
+        & (F.col("type_b") != F.col("type_a")),
+    )
+    dec = "decimal(18,0)"
+    m = joined.groupBy("type_a", "type_b", "lag_h").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    var_x = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    var_y = n_d * F.col("syy").cast("double") - sy_d * sy_d
+    corr = F.round(
+        (n_d * F.col("sxy").cast("double") - sx_d * sy_d)
+        / F.sqrt(var_x * var_y),
+        6,
+    )
+    scored = (
+        m.filter((var_x > 0) & (var_y > 0))
+        .select("type_a", "type_b", "lag_h", corr.alias("corr"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.desc("corr"), F.asc("lag_h")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("type_a", "type_b", F.col("lag_h").alias("best_lag"), "corr")
+    )

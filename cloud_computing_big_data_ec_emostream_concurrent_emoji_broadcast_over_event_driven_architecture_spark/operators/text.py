@@ -1344,16 +1344,36 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_train(spark, sf_dir)[1]
 
 
+_BPE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def clear_bpe_cache() -> None:
+    """Unpersist + drop all memoized BPE trainings (test hygiene)."""
+    for cached, _ in _BPE_CACHE.values():
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    _BPE_CACHE.clear()
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the unrolled merge loop; returns (final word->sym vocab DF,
-    4-row merge-table DF)."""
+    4-row merge-table DF). Memoized per (session, sf_dir) — same idiom
+    as the IVF session index — so q_bpe_train_merges and
+    q_bpe_tokenize_cost share ONE persisted word-frequency table
+    instead of each call stacking a fresh persist that nothing ever
+    releases."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key][1]
     docs = table(spark, sf_dir, "documents")
     # persist: the word-frequency table is vocab-sized and every merge
     # iteration's branch (and the 4-way output union) chains from it —
     # without the cache each union branch would rescan the corpus for
     # its own copy of the explode+count (same pattern as the triangle
     # enumeration's persisted pair list)
-    cur = (
+    base = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -1365,6 +1385,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         )
         .persist()
     )
+    cur = base
     merge_rows = []
     for it in range(1, BPE_ITERS + 1):
         syms = F.split(F.col("sym"), " ")
@@ -1427,6 +1448,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
+    _BPE_CACHE[key] = (base, (cur, out))
     return cur, out
 
 

@@ -1544,9 +1544,9 @@ TS_SIM_TOP = 10
             SELECT s.user_id,
                    ROUND(
                        (g.n * COALESCE(xy.sxy, 0) - s.sx * qs.qsx)
-                       / SQRT(CAST((g.n * s.sx2 - s.sx * s.sx)
-                                   * (g.n * qs.qsx2 - qs.qsx * qs.qsx)
-                              AS DOUBLE)),
+                       / SQRT(CAST(g.n * s.sx2 - s.sx * s.sx AS DOUBLE)
+                              * CAST(g.n * qs.qsx2 - qs.qsx * qs.qsx
+                                     AS DOUBLE)),
                        6) AS corr
             FROM stats s
             LEFT JOIN xy ON xy.user_id = s.user_id
@@ -1601,9 +1601,13 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     var_x = n * F.col("sx2") - F.col("sx") * F.col("sx")
     var_q = n * F.col("qsx2") - F.col("qsx") * F.col("qsx")
+    # cast EACH variance factor to double before multiplying: each is
+    # ~n·Σx² (BIGINT), so their BIGINT product overflows long before
+    # the moments themselves do; precision loss is irrelevant under the
+    # final sqrt + round(6), and the oracle mirrors the per-factor cast
     corr = (
         n * F.coalesce(F.col("sxy"), F.lit(0)) - F.col("sx") * F.col("qsx")
-    ) / F.sqrt((var_x * var_q).cast("double"))
+    ) / F.sqrt(var_x.cast("double") * var_q.cast("double"))
     return (
         stats.join(xy, "user_id", "left")
         .crossJoin(F.broadcast(grid))

@@ -75,6 +75,7 @@ def _load_all() -> None:
         dedup,
         frontier,
         graph,
+        growth,
         joins,
         layout,
         multimodal,

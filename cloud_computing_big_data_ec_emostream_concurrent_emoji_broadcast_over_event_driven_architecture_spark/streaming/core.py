@@ -540,6 +540,12 @@ def ts_similarity_stream(
             F.col(user_col).alias("user_id"),
             F.date_trunc("hour", F.col(ts_col)).alias("hour"),
         ).agg(F.count("*").alias("cnt"))
+        # batch 0 == a (re)started query: drop any cells view left by a
+        # previous run under the same name — merging stale counts into
+        # a fresh run would silently double-count every cell and
+        # corrupt every downstream correlation
+        if batch_id == 0:
+            spark.catalog.dropGlobalTempView(cells_view)
         existing = [
             t.name
             for t in spark.catalog.listTables("global_temp")
@@ -575,10 +581,13 @@ def ts_similarity_stream(
         n = F.col("n")
         var_x = n * F.col("sx2") - F.col("sx") * F.col("sx")
         var_q = n * F.col("qsx2") - F.col("qsx") * F.col("qsx")
+        # per-factor double cast (not product-then-cast): each variance
+        # is ~n·Σx² in BIGINT, so the product overflows long before the
+        # moments do — mirrors the batch operator and its oracle
         corr = (
             n * F.coalesce(F.col("sxy"), F.lit(0))
             - F.col("sx") * F.col("qsx")
-        ) / F.sqrt((var_x * var_q).cast("double"))
+        ) / F.sqrt(var_x.cast("double") * var_q.cast("double"))
         out = (
             stats.join(xy, "user_id", "left")
             .crossJoin(F.broadcast(grid))

@@ -673,8 +673,16 @@ XCORR_MAX_LAG_HOURS = 6  # lags 0..6 hours scanned for the best alignment
                    CAST(COUNT(*) AS BIGINT) AS y
             FROM events GROUP BY 1, 2
         ),
-        hours AS (SELECT DISTINCT date_trunc('hour', ts) AS hour
-                  FROM events),
+        bounds AS (
+            SELECT MIN(date_trunc('hour', ts)) AS h0,
+                   MAX(date_trunc('hour', ts)) AS h1
+            FROM events
+        ),
+        hours AS (
+            SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR))
+                AS hour
+            FROM bounds
+        ),
         types AS (SELECT DISTINCT event_type FROM events),
         dense AS (
             SELECT t.event_type, h.hour, COALESCE(c.y, 0) AS y
@@ -756,9 +764,19 @@ def q_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count("*").alias("y"))
-    hours = ev.select(
-        F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).distinct()
+    # the grid is the COMPLETE calendar span, not just hours that
+    # happen to contain events — a gap hour is a true zero, and a gappy
+    # grid would silently misalign the lag shift (hour+lag falls in a
+    # hole and the pair drops instead of contributing zeros)
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("h0"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
     types = ev.select("event_type").distinct()
     dense = (
         hours.crossJoin(types)
@@ -821,4 +839,132 @@ def q_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("type_a", "type_b", F.col("lag_h").alias("best_lag"), "corr")
+    )
+
+
+@register(
+    "q_audience_overlap",
+    tags=("analytics", "sketch", "setops", "scale"),
+    oracle=f"""
+        WITH keyed AS (
+            SELECT event_type, user_id,
+                   ((user_id % {_BITMAP_WORD_BITS}) + {_BITMAP_WORD_BITS})
+                       % {_BITMAP_WORD_BITS} AS bitpos
+            FROM events
+        ),
+        words AS (
+            SELECT event_type,
+                   (user_id - bitpos) // {_BITMAP_WORD_BITS} AS word_id,
+                   bit_or(1::BIGINT << CAST(bitpos AS INTEGER)) AS word
+            FROM keyed
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT event_type,
+                   CAST(SUM(bit_count(word)) AS BIGINT) AS n_users
+            FROM words GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(SUM(bit_count(a.word & b.word)) AS BIGINT)
+                       AS n_overlap
+            FROM words a JOIN words b
+              ON a.word_id = b.word_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b,
+               sa.n_users AS users_a, sb.n_users AS users_b,
+               i.n_overlap,
+               ROUND(CAST(i.n_overlap AS DOUBLE)
+                     / (sa.n_users + sb.n_users - i.n_overlap), 6)
+                   AS jaccard,
+               ROUND(CAST(i.n_overlap AS DOUBLE)
+                     / LEAST(sa.n_users, sb.n_users), 6) AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP MATRIX: exact pairwise Jaccard / containment
+    between the user sets of every event-type pair — "how much of the
+    signup audience also purchases" across all pairs at once, the
+    segment-overlap question BI tools answer with repeated
+    COUNT(DISTINCT CASE ...) scans.
+
+    The bitmap-word representation makes the PAIRWISE part cheap where
+    it matters: each type's user set is OR-compressed into
+    ceil(|users|/{_BITMAP_WORD_BITS}) BIGINT words (one fact-table
+    aggregation, map-side combined), and every set operation downstream
+    is word arithmetic — |A∩B| = Σ popcount(a AND b) via an equi-join
+    on word_id over word-sized tables. At 100 TB the raw (type, user)
+    pairs are touched exactly once; the |types|²/2 pair scan costs
+    words × pairs, independent of event count, and is EXACT (the KMV
+    twin ``q_sketch_kmv_setops`` is the bounded-memory estimate when
+    even word tables are too big). Sign-safe pmod keying as in
+    ``q_bitmap_distinct``."""
+    ev = table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(user_id - pmod(user_id, {_BITMAP_WORD_BITS}))"
+                f" div {_BITMAP_WORD_BITS}"
+            ).alias("word_id"),
+            F.expr(
+                f"shiftleft(1L, CAST(pmod(user_id, {_BITMAP_WORD_BITS})"
+                " AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word_id")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"),
+        "word_id",
+        F.col("word").alias("wa"),
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"),
+        "word_id",
+        F.col("word").alias("wb"),
+    )
+    inter = (
+        a.join(b, "word_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("wa & wb")))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    out = (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+    )
+    union_sz = F.col("users_a") + F.col("users_b") - F.col("n_overlap")
+    return out.select(
+        "type_a",
+        "type_b",
+        "users_a",
+        "users_b",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / union_sz, 6).alias(
+            "jaccard"
+        ),
+        F.round(
+            F.col("n_overlap").cast("double")
+            / F.least("users_a", "users_b"),
+            6,
+        ).alias("containment"),
     )

@@ -916,3 +916,99 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("latency_sec"),
         )
     )
+
+
+_BUCKETED_READY: set[tuple[str, str]] = set()
+_SMB_BUCKETS = 16
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str):
+    """Materialize orders+lineitem as bucketed catalog tables (once per
+    session+fixture) and return them. Bucketing is the pay-once layout
+    lever: both sides hashed into {_SMB_BUCKETS} buckets on the join key
+    at WRITE time, so every subsequent orderkey join sort-merges
+    bucket-to-bucket with no Exchange (plan pinned by
+    tests/test_bucketing.py)."""
+    import re
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    key = (spark.sparkContext.applicationId, sf_dir)
+    names = (f"smb_orders_{tag}", f"smb_lineitem_{tag}")
+    if key not in _BUCKETED_READY:
+        from ..catalog import write_bucketed
+
+        # a fresh session's in-memory catalog has no entry for these
+        # tables, but a previous session's warehouse DIRECTORY may
+        # survive on disk — saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS. Drop the catalog entry AND clear any
+        # orphaned location before writing.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+        write_bucketed(
+            table(spark, sf_dir, "orders"),
+            names[0],
+            ("o_orderkey",),
+            num_buckets=_SMB_BUCKETS,
+        )
+        write_bucketed(
+            table(spark, sf_dir, "lineitem"),
+            names[1],
+            ("l_orderkey",),
+            num_buckets=_SMB_BUCKETS,
+        )
+        _BUCKETED_READY.add(key)
+    return spark.table(names[0]), spark.table(names[1])
+
+
+@register(
+    "q_join_bucketed_smb",
+    tags=("join", "bucketing", "layout", "scale"),
+    oracle="""
+        SELECT o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
+)
+def q_join_bucketed_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED SORT-MERGE JOIN: the fact-to-fact orderkey join
+    (orders ⋈ lineitem — BOTH sides data-sized, the one star-schema
+    join that can never broadcast) executed over catalog tables written
+    ``bucketBy(orderkey)``, so the join is co-located bucket-to-bucket
+    and pays NO shuffle per query — the layout paid the shuffle once at
+    write time. This is the 100 TB answer for a join that repeats on
+    every dashboard refresh: amortize the exchange into the table
+    layout (tests/test_bucketing.py pins the Exchange-free
+    SortMergeJoin plan; this registry entry pins that the bucketed path
+    returns bit-identical RESULTS to the plain-parquet oracle join).
+
+    The bucketed write is memoized per session+fixture; revenue folds
+    decimal(28,10) before the one rounded double cast, per registry
+    convention."""
+    ob, lb = _bucketed_pair(spark, sf_dir)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,10)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

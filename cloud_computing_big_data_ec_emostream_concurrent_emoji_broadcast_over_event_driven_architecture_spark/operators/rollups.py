@@ -611,3 +611,78 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders_mom_delta"
         ),
     )
+
+
+_RR_WORD_BITS = 63  # bitmap word width for the re-aggregable distinct
+
+
+@register(
+    "q_rollup_reaggregate",
+    tags=("rollup", "mv", "sketch", "scale"),
+    oracle=f"""
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
+                   AS sum_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events
+        GROUP BY 1
+    """,
+)
+def q_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL ROLLUP RE-AGGREGATION (the continuous-aggregate /
+    hypertable-downsample algebra): daily totals computed FROM hourly
+    partials, never from raw events — including the hard case, EXACT
+    distinct users, which is not naively re-aggregable (a sum of hourly
+    distincts double-counts) and is carried instead as per-hour BITMAP
+    WORDS whose OR-merge is associative. The ORACLE recomputes the same
+    day rows directly from raw events, so the hash match proves
+    hierarchy ≡ direct — the invariant that lets a warehouse serve day
+    queries from hour partials and hour queries from minute partials
+    without ever rescanning the fact table.
+
+    Plan: one pass builds the hour-grain count/sum partials, one pass
+    builds the hour-grain distinct partials ((hour, word_id) bitmap
+    words via sign-safe pmod keying, at most |users|/{_RR_WORD_BITS}
+    words per hour); the day rollup then merges calendar-sized partial
+    tables — count/sum by re-summing (decimal-exact, order-free), the
+    bitmaps by bit_or then one popcount sum. At 100 TB the raw scan
+    happens exactly twice (or once, if the partials are stored MVs —
+    this operator IS their refresh algebra); every exchange above the
+    partials moves partial rows, not events."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(day.alias("day"), hour.alias("hour")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("sval"),
+    )
+    daily = hourly.groupBy("day").agg(
+        F.sum("cnt").alias("n_events"),
+        F.round(F.sum("sval"), 4).cast("double").alias("sum_value"),
+    )
+    words_hour = (
+        ev.select(
+            day.alias("day"),
+            hour.alias("hour"),
+            F.expr(
+                f"(user_id - pmod(user_id, {_RR_WORD_BITS}))"
+                f" div {_RR_WORD_BITS}"
+            ).alias("word_id"),
+            F.expr(
+                f"shiftleft(1L, CAST(pmod(user_id, {_RR_WORD_BITS})"
+                " AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "hour", "word_id")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    words_day = words_hour.groupBy("day", "word_id").agg(
+        F.bit_or("word").alias("word")
+    )
+    dist_day = words_day.groupBy("day").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("distinct_users")
+    )
+    return daily.join(dist_day, "day").select(
+        "day", "n_events", "sum_value", "distinct_users"
+    )

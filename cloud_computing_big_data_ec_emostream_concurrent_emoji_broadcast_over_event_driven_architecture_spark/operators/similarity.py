@@ -1898,3 +1898,87 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_silhouette"),
     )
+
+
+SEMDEDUP_SWEEP_THRESHOLDS = (0.20, 0.25, 0.30, 0.35, 0.40, 0.50)
+
+
+@register(
+    "q_semdedup_threshold_sweep",
+    tags=("dedup", "similarity", "vector", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {_dyn_cents_ctes()},
+        da_final AS {_kmeans_assign_sql('dcents')},
+        n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        cpairs AS (
+            SELECT a.vec_id AS keep_cand, b.vec_id AS drop_id,
+                   ROUND({cosine_sql('a.v', 'b.v')}, 6) AS sim
+            FROM da_final a JOIN da_final b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        ),
+        th AS (
+            SELECT CAST(UNNEST(
+                [{', '.join(str(t) for t in SEMDEDUP_SWEEP_THRESHOLDS)}]
+            ) AS DOUBLE) AS threshold
+        )
+        SELECT t.threshold,
+               CAST(COUNT(p.drop_id) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT p.drop_id) AS BIGINT) AS n_dropped,
+               ROUND(CAST(COUNT(DISTINCT p.drop_id) AS DOUBLE)
+                     / ANY_VALUE(n_tot.n), 6) AS drop_rate
+        FROM th t
+        CROSS JOIN n_tot
+        LEFT JOIN cpairs p ON p.sim >= t.threshold
+        GROUP BY 1
+    """,
+)
+def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP THRESHOLD SWEEP: the corpus-shrinkage dial — for each
+    cosine cutoff, how many within-cluster candidate pairs survive and
+    what fraction of the corpus would be dropped. This is the curve a
+    curation team reads BEFORE committing to a dedup threshold (the
+    SemDeDup paper tunes exactly this dial against downstream loss);
+    here it is a query, not a week of notebook sweeps.
+
+    Cost shape: the candidate pairs are computed ONCE from the
+    session-persisted dynamic-K assignment (same linear-pair-work index
+    as ``q_dedup_semdedup_scaled``); the sweep then multiplies PAIRS by
+    |thresholds| via a tiny broadcast join — re-running the clustering
+    or the corpus scan per threshold would be |thresholds|× the cost
+    for identical output. Similarities are rounded to 6 dp BEFORE the
+    cutoff comparison so a boundary-straddling last-ulp difference
+    cannot move a pair across a threshold on one engine only."""
+    assigned = _semdedup_assignment(spark, sf_dir)
+    n_tot = assigned.agg(F.count("*").alias("n"))
+    a = assigned.select(
+        "cent_id", F.col("vec_id").alias("keep_cand"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cent_id", F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("keep_cand") < F.col("drop_id"))
+        .select(
+            "drop_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in SEMDEDUP_SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .crossJoin(F.broadcast(n_tot))
+        .join(pairs, pairs.sim >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("drop_id").alias("n_pairs"),
+            F.count_distinct("drop_id").alias("n_dropped"),
+            F.round(
+                F.count_distinct("drop_id").cast("double")
+                / F.any_value("n"),
+                6,
+            ).alias("drop_rate"),
+        )
+    )

@@ -1522,3 +1522,96 @@ def q_bpe_tokenize_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_tokens") / F.count("*"), 4
         ).alias("avg_tokens_per_doc"),
     )
+
+
+@register(
+    "q_quality_decile_mix",
+    tags=("text", "llm-pipeline", "window", "curation"),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+                   n_chars,
+                   {stopword_ratio_sql("string_split(text, ' ')")} AS sw_ratio
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, source,
+                   ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+                         + 0.3 * (1.0 - LEAST(n_punct * 1.0 / n_chars, 1.0))
+                         + 0.3 * LEAST(sw_ratio * 10.0, 1.0), 6) AS quality
+            FROM t
+        ),
+        d AS (
+            SELECT source, quality,
+                   NTILE(10) OVER (ORDER BY quality, doc_id) AS decile
+            FROM q
+        ),
+        cell AS (
+            SELECT source, decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   SUM(CAST(quality AS DECIMAL(28,10))) AS sq
+            FROM d GROUP BY 1, 2
+        )
+        SELECT source, decile, n_docs,
+               ROUND(CAST(n_docs AS DOUBLE)
+                     / SUM(n_docs) OVER (PARTITION BY source), 6)
+                   AS source_share,
+               CAST(ROUND(sq / n_docs, 6) AS DOUBLE) AS avg_quality
+        FROM cell
+    """,
+)
+def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-DECILE × SOURCE MIX: score every document with the
+    heuristic quality gate (same formula as ``q_text_quality``), cut
+    the corpus into GLOBAL quality deciles, and report how each
+    source's documents distribute across them — the curation readout
+    that decides "source X is mostly bottom-decile, downweight it"
+    before a mixture rebalance (``q_sample_temperature``) or a hard
+    gate (``q_quality_gopher_rules``) is committed.
+
+    Plan: one corpus scan computes the score; the NTILE runs over
+    (rounded quality, doc_id) — deterministic boundaries — and the
+    rollup + share window are (source × 10)-sized. The decile window
+    is the one global sort in the plan; at 100 TB swap it for
+    ``q_quantile_bins``'s histogram-derived boundaries (same contract,
+    no global sort) — stated trade, kept here because exact deciles
+    are the point of the audit."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0)
+    )
+    sw = stopword_ratio(tokens(F.col("text")))
+    quality = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(n_punct / F.col("n_chars"), F.lit(1.0)))
+        + F.lit(0.3) * F.least(sw * 10.0, F.lit(1.0))
+    )
+    scored = docs.select(
+        "doc_id", "source", F.round(quality, 6).alias("quality")
+    )
+    decile = F.ntile(10).over(Window.orderBy("quality", "doc_id"))
+    cell = (
+        scored.withColumn("decile", decile)
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("quality").cast("decimal(28,10)")).alias("sq"),
+        )
+    )
+    share_w = Window.partitionBy("source")
+    return cell.select(
+        "source",
+        "decile",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(share_w),
+            6,
+        ).alias("source_share"),
+        F.round(F.col("sq") / F.col("n_docs"), 6)
+        .cast("double")
+        .alias("avg_quality"),
+    )

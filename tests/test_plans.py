@@ -794,3 +794,65 @@ def test_gini_single_rank_over_key_aggregate(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan
     assert plan.count("Window") == 1
+
+
+def test_growth_accounting_single_data_shuffle(spark, sf_dir):
+    """Cells dedup is the only data-sized exchange; the lag/lead window
+    reuses the user_id partitioning (no second user-keyed Exchange of
+    the cell table) and nothing degenerates to a nested loop."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_growth_accounting"))
+    assert "CartesianProduct" not in plan
+    # windows must not add a fresh hashpartitioning on user_id beyond
+    # the dedup's own: count exchanges keyed by user_id
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_audience_overlap_no_raw_pair_shuffle(spark, sf_dir):
+    """The pairwise stage joins WORD tables (word_id key), never raw
+    (type, user) rows; sizes are broadcast onto the pair rollup."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_audience_overlap"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # sa and sb joins
+    assert "Expand" not in plan  # no count-distinct expand anywhere
+
+
+def test_xcorr_grid_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The lag join must plan as a hash/sort-merge EQUI join on the
+    shifted hour key (+ type inequality as a post-filter), never a
+    nested loop over the grid."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_xcorr_best_lag"))
+    assert "CartesianProduct" not in plan
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    assert joins >= 1
+
+
+def test_bucketed_smb_join_reads_bucketed_scan(spark, sf_dir):
+    """The registry query's join must consume the bucketed layout:
+    SelectedBucketsCount appears on both scans and the orderkey join
+    adds no Exchange on either side."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_join_bucketed_smb"))
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan[:2000]
+    join_idx = plan.find("SortMergeJoin")
+    if join_idx >= 0:
+        # no Exchange between the join and its scans
+        below = plan[join_idx:]
+        scan_idx = below.find("FileScan")
+        assert "Exchange hashpartitioning(l_orderkey" not in below[:scan_idx]
+
+
+def test_rollup_reaggregate_merges_partials_not_raw(spark, sf_dir):
+    """Day-grain distinct comes from OR-merging hour-grain words: the
+    plan contains the two-level aggregate chain and no Expand (no
+    count-distinct rewrite over raw user ids)."""
+    plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_rollup_reaggregate"))
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_sweep_single_pair_build(spark, sf_dir):
+    """The sweep must not rebuild the candidate pairs per threshold:
+    thresholds arrive via broadcast join onto ONE pair-build subtree."""
+    plan = _strip_cached_subtrees(
+        _plan(spark, sf_dir, "q_semdedup_threshold_sweep")
+    )
+    assert "CartesianProduct" not in plan

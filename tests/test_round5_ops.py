@@ -1,0 +1,170 @@
+"""Property pins for the round-5 operators: growth-accounting flow
+identities, stickiness bounds, OLS-vs-numpy agreement, lag-scan argmax
+dominance, and hierarchy-vs-direct rollup equality. (Cross-engine value
+parity for each is already covered by test_oracle_parity.py — these pin
+the SEMANTICS the oracle comparison alone can't express.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+    table,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.analytics import (
+    q_trend_slope,
+    q_xcorr_best_lag,
+    XCORR_MAX_LAG_HOURS,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.growth import (
+    q_growth_accounting,
+    q_power_user_curve,
+    q_stickiness_dau_wau,
+)
+
+
+def test_growth_flows_decompose_dau_exactly(spark, sf_dir):
+    """DAU(d) == new + retained + resurrected, and
+    churned(d) == DAU(d-1) - retained(d) — the additive identities that
+    make growth accounting an ACCOUNTING, not an estimate."""
+    ev = table(spark, sf_dir, "events")
+    dau = {
+        r.day: r.dau
+        for r in ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("dau"))
+        .collect()
+    }
+    rows = {r.day: r for r in q_growth_accounting(spark, sf_dir).collect()}
+    days = sorted(dau)
+    for d in days:
+        r = rows[d]
+        assert r.n_new + r.n_retained + r.n_resurrected == dau[d], d
+    for prev, cur in zip(days, days[1:]):
+        # every day in [min, max] has a row whenever any flow is nonzero;
+        # a fully-quiet day would appear only via churn
+        got = rows.get(cur)
+        churned = got.n_churned if got else 0
+        retained = got.n_retained if got else 0
+        assert churned == dau[prev] - retained, cur
+
+
+def test_stickiness_bounds_and_first_day(spark, sf_dir):
+    rows = q_stickiness_dau_wau(spark, sf_dir).collect()
+    assert rows
+    first_day = min(r.day for r in rows)
+    for r in rows:
+        assert r.wau >= r.dau
+        assert 0 < r.stickiness <= 1.0
+        if r.day == first_day:
+            # no trailing history on day one: WAU == DAU exactly
+            assert r.wau == r.dau and r.stickiness == 1.0
+
+
+def test_power_user_curve_is_monotone_and_totals(spark, sf_dir):
+    rows = sorted(
+        q_power_user_curve(spark, sf_dir).collect(),
+        key=lambda r: -r.active_days,
+    )
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    cum = 0
+    for r in rows:
+        cum += r.n_users
+        assert r.users_at_least == cum  # descending cumulative is exact
+    assert cum == n_users
+    assert abs(rows[-1].share_at_least - 1.0) < 1e-9
+
+
+def test_trend_slope_matches_numpy_polyfit(spark, sf_dir):
+    np = pytest.importorskip("numpy")
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("y"))
+        .collect()
+    )
+    d0 = min(r.day for r in daily)
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(
+            ((r.day - d0).days, r.y)
+        )
+    got = {r.event_type: r for r in q_trend_slope(spark, sf_dir).collect()}
+    for t, pts in series.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[t].slope == pytest.approx(slope, abs=1e-4)
+        assert got[t].intercept == pytest.approx(intercept, abs=1e-4)
+        assert got[t].n_days == len(pts)
+
+
+def test_xcorr_best_lag_dominates_all_lags(spark, sf_dir):
+    """The reported lag really is the argmax: recompute the full
+    (pair, lag) correlation surface independently in Python over dense
+    hourly series and compare winner + value."""
+    np = pytest.importorskip("numpy")
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("y")).collect()
+    import datetime as dt
+
+    lo, hi = min(r.hour for r in counts), max(r.hour for r in counts)
+    hours = []
+    h = lo
+    while h <= hi:
+        hours.append(h)
+        h = h + dt.timedelta(hours=1)
+    idx = {h: i for i, h in enumerate(hours)}
+    types = sorted({r.event_type for r in counts})
+    dense = {t: np.zeros(len(hours)) for t in types}
+    for r in counts:
+        dense[r.event_type][idx[r.hour]] = r.y
+    got = {
+        (r.type_a, r.type_b): (r.best_lag, r.corr)
+        for r in q_xcorr_best_lag(spark, sf_dir).collect()
+    }
+    for ta in types:
+        for tb in types:
+            if ta == tb:
+                continue
+            best = None
+            for lag in range(XCORR_MAX_LAG_HOURS + 1):
+                x = dense[ta][: len(hours) - lag]
+                y = dense[tb][lag:]
+                if x.std() == 0 or y.std() == 0:
+                    continue
+                c = round(float(np.corrcoef(x, y)[0, 1]), 6)
+                if best is None or c > best[1]:
+                    best = (lag, c)
+            if best is None:
+                assert (ta, tb) not in got
+                continue
+            blag, bcorr = got[(ta, tb)]
+            assert bcorr == pytest.approx(best[1], abs=1e-6)
+            assert blag == best[0] or bcorr == pytest.approx(
+                best[1], abs=1e-6
+            )
+
+
+def test_rollup_reaggregate_equals_direct(spark, sf_dir):
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.rollups import (
+        q_rollup_reaggregate,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    direct = {
+        r.day: (r.n, r.d)
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+    for r in q_rollup_reaggregate(spark, sf_dir).collect():
+        n, d = direct[r.day]
+        assert (r.n_events, r.distinct_users) == (n, d)

@@ -1499,3 +1499,42 @@ def test_ts_similarity_stream_matches_batch_moments(
             )
     assert got == expected
     assert expected  # non-degenerate: some users scored
+
+
+def test_ts_similarity_stream_restart_resets_cells(
+    spark, events_df, replay_dir
+):
+    """Restarting a similarity stream under the SAME view name must NOT
+    merge the previous run's cells (batch 0 drops the stale view) — a
+    second identical replay yields the identical correlation table, not
+    a double-counted one."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        ts_similarity_stream,
+    )
+
+    directory, schema = replay_dir
+    name = f"tssim_rs_{uuid.uuid4().hex[:8]}"
+    quser = (
+        events_df.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("user_id"))
+        .first()
+        .user_id
+    )
+
+    def run_once():
+        stream = file_replay_stream(spark, directory, schema)
+        q = ts_similarity_stream(stream, query_user=quser, name=name)
+        q.processAllAvailable()
+        q.stop()
+        return {
+            r.user_id: r.corr
+            for r in spark.sql(
+                f"SELECT * FROM global_temp.{name}"
+            ).collect()
+        }
+
+    first = run_once()
+    second = run_once()
+    assert first  # non-degenerate
+    assert second == first

@@ -686,3 +686,159 @@ def q_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.join(dist_day, "day").select(
         "day", "n_events", "sum_value", "distinct_users"
     )
+
+
+@register(
+    "q_window_value_suite",
+    tags=("window", "frames"),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, ts,
+                   FIRST_VALUE(event_type) OVER w AS first_type,
+                   LAST_VALUE(event_type) OVER w AS last_type,
+                   NTH_VALUE(event_type, 3) OVER w AS third_type,
+                   FIRST_VALUE(ts) OVER w AS first_ts,
+                   LAST_VALUE(ts) OVER w AS last_ts,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT user_id, n_events, first_type, last_type, third_type,
+               CAST(date_diff('second', first_ts, last_ts) AS BIGINT)
+                   AS span_sec
+        FROM seq
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+)
+def q_window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW VALUE-FUNCTION SUITE: first_value / last_value /
+    nth_value over an explicit unbounded ROWS frame — the journey
+    summary (entry event, exit event, third touch, active span) every
+    session-replay tool computes, and the frame-semantics trap the
+    suite exists to pin: last_value over the DEFAULT frame (… AND
+    CURRENT ROW) returns the current row, so the unbounded frame is
+    spelled out identically in both engines.
+
+    Plan: one user-partitioned window pass (ordered by (ts, event_id) —
+    the unique tie-break every ordered window in the registry carries),
+    then one row kept per user. At 100 TB this is a single user-keyed
+    exchange; the alternative min_by/max_by aggregation form
+    (``q_minute_ohlc``) is the groupBy twin — this operator exists
+    precisely to exercise the frame-clause surface."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(w).alias("last_ts"),
+        F.count("*")
+        .over(Window.partitionBy("user_id"))
+        .alias("n_events"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    return seq.filter(F.col("rn") == 1).select(
+        "user_id",
+        "n_events",
+        "first_type",
+        "last_type",
+        "third_type",
+        (
+            F.unix_timestamp(F.col("last_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("first_ts").cast("timestamp"))
+        ).alias("span_sec"),
+    )
+
+
+@register(
+    "q_concurrent_orders",
+    tags=("timeseries", "window", "sweepline", "scale"),
+    oracle="""
+        WITH spans AS (
+            SELECT o.o_orderkey, o.o_orderdate,
+                   s.ship_day
+            FROM orders o
+            JOIN (SELECT l_orderkey, MAX(l_shipdate) AS ship_day
+                  FROM lineitem GROUP BY 1) s
+              ON s.l_orderkey = o.o_orderkey
+            WHERE s.ship_day > o.o_orderdate
+        ),
+        days AS (
+            SELECT DISTINCT day FROM (
+                SELECT o_orderdate AS day FROM spans
+                UNION ALL SELECT ship_day FROM spans
+            )
+        )
+        SELECT d.day,
+               CAST(COUNT(s.o_orderkey) AS BIGINT) AS n_open
+        FROM days d
+        LEFT JOIN spans s
+          ON s.o_orderdate <= d.day AND d.day < s.ship_day
+        GROUP BY 1
+    """,
+)
+def q_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCURRENT-INTERVAL COUNT by SWEEP-LINE: how many orders are
+    simultaneously in flight (placed, not yet fully shipped) on every
+    day the count changes — the open-tickets / active-sessions /
+    in-flight-jobs timeline.
+
+    The plan is the O(n log n) EVENT DECOMPOSITION: each order emits
+    +1 at its order date and −1 at its last ship date, deltas rollup to
+    one row per distinct day, and a running sum over the day-ordered
+    delta table reads off the concurrency — the ORACLE is the naive
+    quadratic form (every day interval-joined against every span), so
+    the hash match PROVES sweep-line ≡ interval-join. At 100 TB the
+    naive form is days×orders and dies; the sweep-line's only
+    data-sized work is the per-order span aggregation (orderkey-keyed,
+    co-partitioned with the orders join), after which the delta table
+    and its running-sum window are calendar-sized."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.max("l_shipdate").alias("ship_day"))
+    )
+    # the synthetic fixture contains INVERTED spans (last ship date on
+    # or before the order date — no open time under the half-open
+    # predicate); a naive sweep would emit their −1 BEFORE their +1 and
+    # corrupt every count in between, so zero/negative-length intervals
+    # are excluded identically in both engines
+    spans = orders.join(ship, "o_orderkey").filter(
+        F.col("ship_day") > F.col("o_orderdate")
+    )
+    deltas = (
+        spans.select(
+            F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")
+        )
+        .unionByName(
+            spans.select(
+                F.col("ship_day").alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("d"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.select(
+        "day", F.sum("d").over(w).cast("bigint").alias("n_open")
+    )

@@ -1524,6 +1524,9 @@ def q_bpe_tokenize_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_RANK_BUCKET = 1024  # two-phase rank bucket width (doc_id-aligned)
+
+
 @register(
     "q_quality_decile_mix",
     tags=("text", "llm-pipeline", "window", "curation"),
@@ -1571,13 +1574,14 @@ def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a mixture rebalance (``q_sample_temperature``) or a hard
     gate (``q_quality_gopher_rules``) is committed.
 
-    Plan: one corpus scan computes the score; the NTILE runs over
-    (rounded quality, doc_id) — deterministic boundaries — and the
-    rollup + share window are (source × 10)-sized. The decile window
-    is the one global sort in the plan; at 100 TB swap it for
-    ``q_quantile_bins``'s histogram-derived boundaries (same contract,
-    no global sort) — stated trade, kept here because exact deciles
-    are the point of the audit."""
+    Plan: one corpus scan computes the score; deciles are EXACT NTILE
+    semantics but computed by rank arithmetic — a globally-sorted
+    VALUE histogram (|distinct scores| rows) supplies the below-count,
+    a quality-partitioned row_number supplies the within-value rank,
+    and integer math replays NTILE's remainder rule (the oracle uses
+    literal NTILE, so the hash match proves the equivalence). No
+    global sort ever touches doc-sized data — the 10× ratio dropped
+    from 5.3 (NTILE window form) to ~1 (SCALING.md round 5)."""
     docs = table(spark, sf_dir, "documents")
     n_tokens = F.size(tokens(F.col("text")))
     n_punct = F.size(
@@ -1593,9 +1597,69 @@ def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "source", F.round(quality, 6).alias("quality")
     )
-    decile = F.ntile(10).over(Window.orderBy("quality", "doc_id"))
+    # exact global deciles WITHOUT a global data sort: NTILE(10) over
+    # (quality, doc_id) is pure rank arithmetic, and the global rank of
+    # a row decomposes as (# rows with smaller quality) + (rank of
+    # doc_id within its quality value). The first term comes from the
+    # VALUE HISTOGRAM (the only globally-sorted table — |distinct
+    # quality values| rows, broadcast back); the second is a window
+    # partitioned BY quality value, which shuffles on a many-valued key
+    # instead of collapsing all docs into one sort partition. The
+    # DuckDB oracle uses literal NTILE — the hash match proves the
+    # arithmetic replays NTILE's remainder rule exactly.
+    # two-phase rank, because the score space COLLAPSES at scale (the
+    # 10x corpus lands 55% of docs on one quality value, so a plain
+    # partitionBy(quality) window is the global sort in disguise): the
+    # tie-break key is doc_id, so bucketing by doc_id div {B} aligns
+    # with the rank order and rank-within-value = (cumulative count of
+    # same-value docs in LOWER buckets) + row_number within (value,
+    # bucket) - every window partition is bounded by the bucket width
+    # materialize the scored table ONCE (localCheckpoint, the
+    # q_dedup_clusters precedent): the scorer is the compute-heavy
+    # corpus scan, and both two-phase-rank passes plus the rollup chain
+    # from it — without the checkpoint each plan branch re-runs the
+    # regexp/tokenize scan
+    bucket = F.expr(f"doc_id div {QUALITY_RANK_BUCKET}")
+    bscored = scored.withColumn("bkt", bucket).localCheckpoint(eager=True)
+    bcounts = bscored.groupBy("quality", "bkt").agg(
+        F.count("*").alias("c")
+    )
+    # ONE window ordered by (quality, bkt) yields the combined rank
+    # base — rows with a smaller quality OR same quality and lower
+    # bucket — so no separate per-value histogram pass is needed
+    w_base = (
+        Window.orderBy("quality", "bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = bcounts.select(
+        "quality",
+        "bkt",
+        F.coalesce(F.sum("c").over(w_base), F.lit(0)).alias("base"),
+        F.sum("c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("quality", "bkt").orderBy("doc_id")
+    )
+    ranked = (
+        bscored.withColumn("rn", rn)
+        .join(F.broadcast(pre), ["quality", "bkt"])
+        .withColumn("k", F.col("base") + F.col("rn"))
+    )
+    # NTILE(10) remainder rule: r = N % 10 leading tiles hold q+1 rows
+    # (q = N div 10), the rest hold q
+    decile = F.expr(
+        "CASE WHEN k <= (n_total % 10) * (n_total div 10 + 1)"
+        " THEN (k - 1) div (n_total div 10 + 1) + 1"
+        " ELSE (n_total % 10)"
+        "      + (k - (n_total % 10) * (n_total div 10 + 1) - 1)"
+        "        div (n_total div 10) + 1 END"
+    )
     cell = (
-        scored.withColumn("decile", decile)
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("source", "decile")
         .agg(
             F.count("*").alias("n_docs"),

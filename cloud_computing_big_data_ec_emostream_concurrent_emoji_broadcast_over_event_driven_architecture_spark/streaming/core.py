@@ -606,3 +606,79 @@ def ts_similarity_stream(
         .foreachBatch(_step)
         .start()
     )
+
+
+_BITMAP_STREAM_WORD_BITS = 63
+
+
+def bitmap_distinct_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    name: str = "bitmap_distinct",
+):
+    """STREAMING twin of ``q_bitmap_distinct``: maintain the per-type
+    bitmap WORD table incrementally across micro-batches and publish
+    exact per-type distinct-user counts after every batch. The word OR
+    is associative and idempotent, so the merge is redelivery-tolerant
+    (re-OR-ing a user's bit is a no-op) — the property that makes the
+    bitmap MV streaming-refreshable where a count-distinct partial is
+    not. State = the word table, bounded by
+    |types| × ceil(|users|/{_BITMAP_STREAM_WORD_BITS}) BIGINTs — the
+    same cardinality the batch plan shuffles, never the raw stream.
+
+    foreachBatch (not a chained stateful agg) because the published
+    readout is a second-level aggregate (popcount sum) over the merged
+    words; merging word partials keeps every count exact at all times
+    and bit-equal to the batch operator on the same prefix (pinned in
+    tests). Batch 0 drops any same-name leftover view — the
+    restart-reset convention shared with ``ts_similarity_stream``."""
+    spark = events.sparkSession
+    events = _event_time(events, ts_col)
+    words_view = f"{name}_words"
+    bits = _BITMAP_STREAM_WORD_BITS
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch.select(
+                F.col(type_col).alias("event_type"),
+                F.expr(
+                    f"({user_col} - pmod({user_col}, {bits})) div {bits}"
+                ).alias("word_id"),
+                F.expr(
+                    f"shiftleft(1L, CAST(pmod({user_col}, {bits}) AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("event_type", "word_id")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+        if batch_id == 0:
+            spark.catalog.dropGlobalTempView(words_view)
+        existing = [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name == words_view
+        ]
+        if existing:
+            delta = (
+                spark.table(f"global_temp.{words_view}")
+                .unionByName(delta)
+                .groupBy("event_type", "word_id")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        words = delta.localCheckpoint(eager=True)
+        words.createOrReplaceGlobalTempView(words_view)
+        out = words.groupBy("event_type").agg(
+            F.sum(F.bit_count("word"))
+            .cast("bigint")
+            .alias("distinct_users"),
+            F.count("*").cast("bigint").alias("bitmap_words"),
+        )
+        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(name)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_step)
+        .start()
+    )

@@ -1538,3 +1538,43 @@ def test_ts_similarity_stream_restart_resets_cells(
     second = run_once()
     assert first  # non-degenerate
     assert second == first
+
+
+def test_bitmap_distinct_stream_equals_batch(spark, events_df, replay_dir):
+    """Incrementally OR-merged bitmap words give the SAME exact
+    per-type distinct counts as the batch operator on the full prefix,
+    and a same-name restart resets rather than double-merges."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        bitmap_distinct_stream,
+    )
+
+    name = f"bmd_{uuid.uuid4().hex[:8]}"
+    directory, schema = replay_dir
+
+    def run_once():
+        stream = file_replay_stream(spark, directory, schema)
+        q = bitmap_distinct_stream(stream, name=name)
+        q.processAllAvailable()
+        q.stop()
+        return {
+            r.event_type: (r.distinct_users, r.bitmap_words)
+            for r in spark.sql(
+                f"SELECT * FROM global_temp.{name}"
+            ).collect()
+        }
+
+    got = run_once()
+    expected = {
+        r.event_type: (r.d, r.w)
+        for r in events_df.groupBy("event_type", F.expr("user_id div 63"))
+        .agg(F.count_distinct("user_id").alias("du"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("du").cast("bigint").alias("d"),
+            F.count("*").cast("bigint").alias("w"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert got  # non-degenerate
+    assert run_once() == got  # restart resets, not double-merges

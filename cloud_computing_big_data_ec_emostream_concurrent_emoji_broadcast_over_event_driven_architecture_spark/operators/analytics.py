@@ -968,3 +968,81 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("containment"),
     )
+
+
+@register(
+    "q_revenue_pareto",
+    tags=("analytics", "window", "ntile", "skew"),
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS s
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT o_custkey, s,
+                   NTILE(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+            FROM spend
+        ),
+        cell AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(s) AS rev
+            FROM ranked GROUP BY 1
+        ),
+        tot AS (SELECT SUM(rev) AS total FROM cell)
+        SELECT decile, n_customers,
+               CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+               ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                   AS revenue_share,
+               ROUND(CAST(SUM(rev) OVER (ORDER BY decile) AS DOUBLE)
+                     / CAST(total AS DOUBLE), 6) AS cum_share
+        FROM cell CROSS JOIN tot
+    """,
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE PARETO / LORENZ DECILES: customers ranked by total spend,
+    cut into top-down deciles, with each decile's revenue share and the
+    cumulative concentration curve — "the top 10% of customers carry
+    43% of revenue", the whale-dependence readout behind every
+    account-tiering decision. Complements ``q_key_skew_gini`` (one
+    number on event keys) with the full curve on revenue, and
+    ``q_customer_rfm`` (same NTILE-over-customer-aggregate discipline).
+
+    Plan: one fact aggregation on o_custkey (decimal-exact spend,
+    map-side combined), NTILE over the customer-sized aggregate with
+    the (spend DESC, custkey) tie-break, then a 10-row rollup — the
+    share window and total scalar cost nothing. Decimal sums all the
+    way down; doubles appear only in the final rounded ratios."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("s")
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    )
+    cell = (
+        spend.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("s").alias("rev"),
+        )
+    )
+    tot = cell.agg(F.sum("rev").alias("total"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("total").cast("double"), 6
+        ).alias("revenue_share"),
+        F.round(
+            F.sum("rev").over(w_cum).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

@@ -1012,3 +1012,103 @@ def q_join_bucketed_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+CONV_WINDOW_SEC = 3 * 86_400  # conversion attribution window: 3 days
+
+
+@register(
+    "q_conversion_latency",
+    tags=("join", "asof", "funnel", "stats"),
+    oracle=f"""
+        WITH conv AS (
+            SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS click_day,
+                   CAST(floor(epoch(next_purchase_ts)) AS BIGINT)
+                     - CAST(floor(epoch(ts)) AS BIGINT) AS latency_sec
+            FROM (
+                SELECT event_type, ts,
+                       FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                                        THEN ts END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 1 FOLLOWING
+                                    AND UNBOUNDED FOLLOWING
+                       ) AS next_purchase_ts
+                FROM events
+            ) WHERE event_type = 'click'
+        )
+        SELECT click_day,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(COUNT(*) FILTER (
+                   WHERE latency_sec <= {CONV_WINDOW_SEC}) AS BIGINT)
+                   AS n_converted,
+               ROUND(CAST(COUNT(*) FILTER (
+                         WHERE latency_sec <= {CONV_WINDOW_SEC})
+                         AS DOUBLE) / COUNT(*), 6) AS conv_rate,
+               ROUND(quantile_cont(latency_sec, 0.5) FILTER (
+                   WHERE latency_sec <= {CONV_WINDOW_SEC}), 4) AS p50_sec,
+               ROUND(quantile_cont(latency_sec, 0.9) FILTER (
+                   WHERE latency_sec <= {CONV_WINDOW_SEC}), 4) AS p90_sec
+        FROM conv
+        GROUP BY 1
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION LATENCY DISTRIBUTION: per click day, how many clicks
+    convert to a purchase within the {CONV_WINDOW_SEC // 86_400}-day
+    attribution window and the p50/p90 time-to-convert of those that do
+    — the funnel-timing readout that turns ``q_funnel_conversion``'s
+    "did they convert" into "how long did it take", per cohort day.
+
+    Plan: the next-purchase lookup is the FORWARD AS-OF mechanism
+    (``q_join_asof_forward``): one ignore-nulls FIRST_VALUE over the
+    per-user FOLLOWING frame — one user-keyed shuffle, no join node, no
+    hot-user range-join blowup. The day rollup then computes counts and
+    EXACT interpolated percentiles (both engines implement the same
+    linear-interpolation rule; round(4) absorbs ulp drift) over
+    calendar-sized groups. Unconverted clicks (no later purchase, or
+    one beyond the window) count in the denominator and are excluded
+    from the latency percentiles in both engines identically."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        ev.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("click_day"),
+            (
+                F.unix_timestamp(F.col("next_purchase_ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("ts").cast("timestamp"))
+            ).alias("latency_sec"),
+        )
+    )
+    in_window = F.col("latency_sec") <= CONV_WINDOW_SEC
+    lat_in = F.when(in_window, F.col("latency_sec"))
+    return conv.groupBy("click_day").agg(
+        F.count("*").alias("n_clicks"),
+        F.count(F.when(in_window, 1)).alias("n_converted"),
+        F.round(
+            F.count(F.when(in_window, 1)).cast("double") / F.count("*"), 6
+        ).alias("conv_rate"),
+        F.round(
+            F.expr(
+                f"percentile(CASE WHEN latency_sec <= {CONV_WINDOW_SEC}"
+                " THEN latency_sec END, 0.5)"
+            ),
+            4,
+        ).alias("p50_sec"),
+        F.round(
+            F.expr(
+                f"percentile(CASE WHEN latency_sec <= {CONV_WINDOW_SEC}"
+                " THEN latency_sec END, 0.9)"
+            ),
+            4,
+        ).alias("p90_sec"),
+    )

@@ -1982,3 +1982,121 @@ def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drop_rate"),
         )
     )
+
+
+MATRYOSHKA_DIMS = 16  # prefix dimensionality under audit
+
+
+@register(
+    "q_embedding_matryoshka",
+    tags=("similarity", "vector", "ann", "diagnostics", "scale"),
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id, {as_double_sql('embedding')} AS v
+            FROM embeddings
+        ),
+        queries AS (
+            SELECT vec_id AS q_id, v AS qv FROM ev
+            WHERE vec_id < {ANN_BATCH_Q}
+        ),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   {cosine_sql('e.v', 'q.qv')} AS sim_full,
+                   {cosine_sql('list_slice(e.v, 1, MDIMS)',
+                               'list_slice(q.qv, 1, MDIMS)')} AS sim_pre
+            FROM ev e JOIN queries q ON e.vec_id <> q.q_id
+        ),
+        full_k AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY sim_full DESC, vec_id
+                ) AS rnk FROM scored
+            ) WHERE rnk <= {ANN_BATCH_K}
+        ),
+        pre_k AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY sim_pre DESC, vec_id
+                ) AS rnk FROM scored
+            ) WHERE rnk <= {ANN_BATCH_K}
+        )
+        SELECT f.q_id,
+               CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
+               ROUND(CAST(COUNT(p.vec_id) AS DOUBLE)
+                     / {ANN_BATCH_K}, 6) AS prefix_recall
+        FROM full_k f
+        LEFT JOIN pre_k p
+          ON p.q_id = f.q_id AND p.vec_id = f.vec_id
+        GROUP BY 1
+    """.replace("MDIMS", str(MATRYOSHKA_DIMS)),
+)
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA PREFIX-DIMENSION AUDIT: for a query batch, how much
+    of the exact full-dimension top-{ANN_BATCH_K} survives when
+    similarity uses only the first {MATRYOSHKA_DIMS} of 64 dims — the
+    measurement behind MRL-style dimension truncation (serve retrieval
+    from a 4× cheaper prefix, re-rank the shortlist at full precision)
+    and the memory/recall dial a vector-store operator tunes before
+    committing to a truncated index.
+
+    Plan: ONE scan scores both similarity columns per (vector, query)
+    pair — the prefix is a `slice`, not a second table — against the
+    broadcast query batch; two rank windows partition by query (16
+    partitions) and the overlap join is k-per-query sized. Rankings
+    order raw doubles (identical IEEE arithmetic both engines — the
+    ``q_ann_recall_audit`` precedent) with vec_id tie-break. At 100 TB
+    the brute-force pair scan is the audit cost by design (it IS the
+    exact baseline); the measured dial transfers to the IVF serving
+    path, which never materializes full-dim distances for the
+    shortlist it prunes."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_BATCH_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pre = lambda c: F.slice(c, 1, MATRYOSHKA_DIMS)  # noqa: E731
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("v"), F.col("qv")).alias("sim_full"),
+            cosine(pre(F.col("v")), pre(F.col("qv"))).alias("sim_pre"),
+        )
+    )
+    w_full = Window.partitionBy("q_id").orderBy(
+        F.desc("sim_full"), F.asc("vec_id")
+    )
+    w_pre = Window.partitionBy("q_id").orderBy(
+        F.desc("sim_pre"), F.asc("vec_id")
+    )
+    full_k = (
+        scored.withColumn("rnk", F.row_number().over(w_full))
+        .filter(F.col("rnk") <= ANN_BATCH_K)
+        .select("q_id", "vec_id")
+    )
+    pre_k = (
+        scored.withColumn("rnk", F.row_number().over(w_pre))
+        .filter(F.col("rnk") <= ANN_BATCH_K)
+        .select(
+            F.col("q_id").alias("p_qid"), F.col("vec_id").alias("p_vid")
+        )
+    )
+    return (
+        full_k.join(
+            pre_k,
+            (F.col("q_id") == F.col("p_qid"))
+            & (F.col("vec_id") == F.col("p_vid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("p_vid").alias("n_overlap"),
+            F.round(
+                F.count("p_vid").cast("double") / F.lit(ANN_BATCH_K), 6
+            ).alias("prefix_recall"),
+        )
+    )

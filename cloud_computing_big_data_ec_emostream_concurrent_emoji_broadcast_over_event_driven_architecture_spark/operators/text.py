@@ -1561,7 +1561,7 @@ QUALITY_RANK_BUCKET = 1024  # two-phase rank bucket width (doc_id-aligned)
                ROUND(CAST(n_docs AS DOUBLE)
                      / SUM(n_docs) OVER (PARTITION BY source), 6)
                    AS source_share,
-               CAST(ROUND(sq / n_docs, 6) AS DOUBLE) AS avg_quality
+               ROUND(CAST(sq AS DOUBLE) / n_docs, 6) AS avg_quality
         FROM cell
     """,
 )
@@ -1675,7 +1675,10 @@ def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(share_w),
             6,
         ).alias("source_share"),
-        F.round(F.col("sq") / F.col("n_docs"), 6)
-        .cast("double")
-        .alias("avg_quality"),
+        # decimal sum -> ONE double division -> round: dividing in
+        # decimal first hits engine-specific division scales on exact
+        # halfway cases (seen at sf0.1: 0.9522865 rounding both ways)
+        F.round(
+            F.col("sq").cast("double") / F.col("n_docs"), 6
+        ).alias("avg_quality"),
     )

@@ -1687,3 +1687,85 @@ def q_sliding_distinct_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour")
         .agg(F.count_distinct("user_id").cast("bigint").alias("dau_24h"))
     )
+
+
+TOP_PATHS_STEPS = 3  # journey prefix length
+TOP_PATHS_K = 10
+
+
+@register(
+    "q_top_paths",
+    tags=("timeseries", "journey", "window", "topk"),
+    oracle=f"""
+        WITH firstk AS (
+            SELECT user_id, event_type, rn FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= {TOP_PATHS_STEPS}
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, ' > ' ORDER BY rn) AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_steps
+            FROM firstk GROUP BY user_id
+        ),
+        counts AS (
+            SELECT path, n_steps,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM paths WHERE n_steps = {TOP_PATHS_STEPS}
+            GROUP BY 1, 2
+        )
+        SELECT path, n_users FROM counts
+        ORDER BY n_users DESC, path LIMIT {TOP_PATHS_K}
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP ENTRY PATHS: the {TOP_PATHS_K} most common first-
+    {TOP_PATHS_STEPS}-event journeys ("view > click > purchase") — the
+    onboarding-flow readout behind every Sankey diagram, here as one
+    query instead of a path-analysis export. Complements
+    ``q_markov_transitions`` (edge probabilities) with actual ordered
+    prefixes and ``q_event_sequence_pattern`` (regex matching) with
+    frequency ranking.
+
+    Plan: a per-user rank keeps only the first {TOP_PATHS_STEPS} events
+    (ONE user-keyed shuffle; everything after is ≤{TOP_PATHS_STEPS}
+    rows/user), the path string assembles from an ORDERED
+    array_join(collect) — deterministic because the (ts, event_id)
+    tie-break makes the rank total — and the final count + top-k plans
+    as TakeOrderedAndProject over |distinct paths| rows (bounded by
+    |types|^{TOP_PATHS_STEPS}, a constant — never a data-sized sort).
+    Users with fewer than {TOP_PATHS_STEPS} events are excluded
+    (partial prefixes would mix path lengths) in both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= TOP_PATHS_STEPS)
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("path"),
+        F.count("*").alias("n_steps"),
+    )
+    return (
+        paths.filter(F.col("n_steps") == TOP_PATHS_STEPS)
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(TOP_PATHS_K)
+    )

@@ -311,3 +311,90 @@ def attribution_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GROWTH_FLOW_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("day_num", T.LongType()),
+        T.StructField("flow", T.StringType()),
+    ]
+)
+
+_GROWTH_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_day", T.LongType())]
+)
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+def growth_flows_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``q_growth_accounting``'s classification arm:
+    per-user state is ONE integer — the last active day — and each
+    first-touch-of-a-day emits its flow label (``new`` / ``retained`` /
+    ``resurrected``) the moment it happens, instead of at the nightly
+    batch. Constant per-user state, the same property that makes
+    ``attribution_stream`` streamable.
+
+    CHURN is deliberately absent from the streaming form: a churn row
+    is the OBSERVATION OF ABSENCE (no activity by end of day d+1),
+    which streaming can only emit from a timer sweep — the batch
+    operator derives it from the same lead() the classification uses,
+    so the nightly batch remains the system of record for churn while
+    this stream feeds the real-time new/retained/resurrected counters.
+    Stated divergence, same class as SURVEY §2 ST4.
+
+    In-order replay reproduces the batch classification exactly (rows
+    are sorted by (ts, event_id) within each micro-batch; pinned in
+    tests); under cross-batch disorder a late older-day event is
+    ignored (the day already advanced) — arrival-order semantics."""
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover — no TTL configured
+            state.remove()
+            return
+        last_day = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_day, out_flow = [], []
+        for row in pdf.itertuples():
+            d = int(row.ts.value // 1_000) // _US_PER_DAY
+            if last_day is None:
+                flow = "new"
+            elif d == last_day:
+                continue
+            elif d == last_day + 1:
+                flow = "retained"
+            elif d > last_day:
+                flow = "resurrected"
+            else:  # older than the frontier — late arrival, day closed
+                continue
+            out_day.append(d)
+            out_flow.append(flow)
+            last_day = d
+        if last_day is not None:
+            state.update((last_day,))
+        if out_day:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_day),
+                    "day_num": out_day,
+                    "flow": out_flow,
+                }
+            )
+
+    stream = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.groupBy(F.col("user_id")).applyInPandasWithState(
+        update,
+        outputStructType=GROWTH_FLOW_SCHEMA,
+        stateStructType=_GROWTH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

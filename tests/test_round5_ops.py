@@ -168,3 +168,64 @@ def test_rollup_reaggregate_equals_direct(spark, sf_dir):
     for r in q_rollup_reaggregate(spark, sf_dir).collect():
         n, d = direct[r.day]
         assert (r.n_events, r.distinct_users) == (n, d)
+
+
+def test_revenue_pareto_curve_properties(spark, sf_dir):
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.analytics import (
+        q_revenue_pareto,
+    )
+
+    rows = sorted(
+        q_revenue_pareto(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # top-down deciles: revenue share non-increasing, cumulative hits 1
+    shares = [r.revenue_share for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(shares, shares[1:]))
+    assert rows[-1].cum_share == pytest.approx(1.0, abs=1e-6)
+    assert rows[0].revenue_share >= 0.1  # top decile at least its share
+
+
+def test_matryoshka_full_dim_is_perfect_recall(spark, sf_dir):
+    """Sanity anchor: recall of the prefix ranking is in [0,1], and the
+    operator's own full-dim ranking is the reference (so if the prefix
+    were the whole vector, recall would be 1) — verified by recomputing
+    overlap with numpy on the collected embeddings."""
+    np = pytest.importorskip("numpy")
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table as _table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        ANN_BATCH_K,
+        ANN_BATCH_Q,
+        MATRYOSHKA_DIMS,
+        q_embedding_matryoshka,
+    )
+
+    got = {
+        r.q_id: r.n_overlap
+        for r in q_embedding_matryoshka(spark, sf_dir).collect()
+    }
+    assert len(got) == ANN_BATCH_Q
+    assert all(0 <= v <= ANN_BATCH_K for v in got.values())
+
+    rows = _table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+    def topk(mat, qi):
+        sims = (mat @ mat[qi]) / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qi])
+        )
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-sims[i], ids[i]),
+        )
+        return {ids[i] for i in order[:ANN_BATCH_K]}
+
+    for qi in range(len(ids)):
+        if ids[qi] >= ANN_BATCH_Q:
+            continue
+        full = topk(m, qi)
+        pre = topk(m[:, :MATRYOSHKA_DIMS], qi)
+        assert got[ids[qi]] == len(full & pre)

@@ -1578,3 +1578,80 @@ def test_bitmap_distinct_stream_equals_batch(spark, events_df, replay_dir):
     assert got == expected
     assert got  # non-degenerate
     assert run_once() == got  # restart resets, not double-merges
+
+
+def test_growth_flows_stream_equals_batch_classification(
+    spark, sf_dir, tmp_path
+):
+    """In-order multi-day replay: the stateful streaming classifier
+    emits exactly the batch growth-accounting flows (churn excluded —
+    the documented streaming divergence: absence needs a timer)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.stateful import (
+        growth_flows_stream,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # multi-day replay (the shared 2-hour fixture is single-day —
+    # degenerate for day-grain flows): all events, 4 ts-ordered chunks
+    directory = tmp_path / f"growth_replay_{uuid.uuid4().hex[:8]}"
+    rows = ev.orderBy("ts", "event_id").collect()
+    chunk = len(rows) // 4 + 1
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+                str(directory / f"p{i:02d}")
+            )
+    flat = tmp_path / f"growth_flat_{uuid.uuid4().hex[:8]}"
+    flat.mkdir()
+    n = 0
+    for sub in sorted(directory.iterdir()):
+        for f in sorted(sub.glob("*.parquet")):
+            f.rename(flat / f"{n:02d}.parquet")
+            n += 1
+
+    stream = file_replay_stream(spark, str(flat), ev.schema)
+    name = f"growth_{uuid.uuid4().hex[:8]}"
+    q = (
+        growth_flows_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.day_num, r.flow)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    from pyspark.sql import Window as W
+
+    cells = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")).cast("timestamp"))
+            / 86400
+        )
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day_num")
+    flow = (
+        F.when(F.lag("day_num").over(w).isNull(), F.lit("new"))
+        .when(
+            F.col("day_num") - F.lag("day_num").over(w) == 1,
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+    )
+    expected = {
+        (r.user_id, r.day_num, r.flow)
+        for r in cells.select("user_id", "day_num", flow.alias("flow"))
+        .collect()
+    }
+    assert got == expected
+    assert len({f for (_, _, f) in got}) == 3  # all three flows occur

@@ -221,3 +221,88 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+HIER_FANOUT = 10  # arithmetic org chart: parent(k) = k div 10
+HIER_MAX_DEPTH = 6  # ceil(log10(max custkey)) — covers every fixture sf
+
+
+@register(
+    "q_hierarchy_subtree_revenue",
+    tags=("graph", "hierarchy", "recursive", "scale"),
+    oracle=f"""
+        WITH RECURSIVE spend AS (
+            SELECT o_custkey AS node,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        walk AS (
+            SELECT node AS anc, node, s, n_orders FROM spend
+            UNION ALL
+            SELECT w.anc // {HIER_FANOUT} AS anc, w.node, w.s, w.n_orders
+            FROM walk w WHERE w.anc > 0
+        )
+        SELECT anc AS node,
+               CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members,
+               SUM(n_orders) AS n_orders,
+               CAST(ROUND(SUM(s), 2) AS DOUBLE) AS subtree_revenue
+        FROM walk
+        GROUP BY 1
+    """,
+)
+def q_hierarchy_subtree_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL SUBTREE ROLLUP (the recursive-CTE workload): every
+    customer hangs in a {HIER_FANOUT}-ary org chart defined
+    arithmetically — parent(k) = k div {HIER_FANOUT}, the same
+    derived-dimension trick as the TPC-H partsupp — and each node
+    reports member count, order count, and total revenue of its ENTIRE
+    subtree. The DuckDB oracle walks the chart with a genuine
+    ``WITH RECURSIVE`` ancestor traversal; Spark has no recursive CTE,
+    and this operator shows the scale-correct replacement: because
+    every ancestor of k is a PREFIX of its digit string, the full
+    ancestor set is a CLOSED-FORM per-row array
+    (k, k div 10, k div 100, …) — one explode, one aggregation, ZERO
+    joins and zero iterations. The hash match proves
+    unrolled-expansion ≡ recursive traversal.
+
+    At 100 TB: the fact table aggregates once per customer
+    (custkey-keyed, map-combined); the explode multiplies the
+    CUSTOMER aggregate by depth ≤ {HIER_MAX_DEPTH} — bounded fan-out
+    on a dimension-sized table, with the rollup partial-combined on
+    the ancestor key. An iterative-join formulation (the PageRank /
+    connected-components shape, which the engine also has) is only
+    needed when the parent edge is DATA, not arithmetic — stated
+    boundary."""
+    from ..catalog import table
+
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("node"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("s"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    # pow() is double math — floor+cast back to BIGINT is exact here
+    # because custkey < 10^7 (well inside double's 2^53 integer range)
+    ancestors = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HIER_MAX_DEPTH)),
+            lambda i: F.floor(
+                F.col("node")
+                / F.pow(F.lit(float(HIER_FANOUT)), i.cast("double"))
+            ).cast("bigint"),
+        )
+    )
+    walked = spend.select(
+        F.explode(ancestors).alias("anc"), "node", "s", "n_orders"
+    )
+    # members are distinct per ancestor by construction (array_distinct
+    # leaves one row per (member, ancestor)), so the plain count equals
+    # the oracle's COUNT(DISTINCT) without an Expand in the plan
+    return walked.groupBy(F.col("anc").alias("node")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_orders").alias("n_orders"),
+        F.round(F.sum("s"), 2).cast("double").alias("subtree_revenue"),
+    )

@@ -229,3 +229,65 @@ def test_matryoshka_full_dim_is_perfect_recall(spark, sf_dir):
         full = topk(m, qi)
         pre = topk(m[:, :MATRYOSHKA_DIMS], qi)
         assert got[ids[qi]] == len(full & pre)
+
+
+def test_bitmap_word_arithmetic_sign_safe(spark):
+    """The pmod + exact-division keying counts NEGATIVE ids correctly
+    (a raw % would shift by a negative amount): bitmap distinct equals
+    count_distinct for ids straddling zero, including collisions of
+    -k and +k into different words."""
+    ids = [-127, -126, -64, -63, -62, -1, 0, 1, 62, 63, 64, 126, -127, 0]
+    df = spark.createDataFrame(
+        [("t", i) for i in ids], "event_type string, user_id long"
+    )
+    words = (
+        df.select(
+            "event_type",
+            F.expr("(user_id - pmod(user_id, 63)) div 63").alias("word_id"),
+            F.expr(
+                "shiftleft(1L, CAST(pmod(user_id, 63) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word_id")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    got = words.agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("d")
+    ).collect()[0].d
+    assert got == len(set(ids))
+    # every word id must differ between -k and +k (floor semantics)
+    wids = {r.word_id for r in words.collect()}
+    assert min(wids) < 0 < max(wids)
+
+
+def test_hierarchy_subtree_is_consistent(spark, sf_dir):
+    """Parent invariant: a node's subtree revenue equals its own spend
+    plus its children's subtree revenues (spot-checked on the root and
+    one internal level)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.graph import (
+        HIER_FANOUT,
+        q_hierarchy_subtree_revenue,
+    )
+
+    rows = {
+        r.node: r for r in q_hierarchy_subtree_revenue(spark, sf_dir).collect()
+    }
+    own = {
+        r.node: (float(r.s), r.n)
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("node"))
+        .agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    for node in [0, 1, 7]:
+        if node not in rows:
+            continue
+        kids = [
+            k
+            for k in rows
+            if k != node and k // HIER_FANOUT == node
+        ]
+        expect_orders = own.get(node, (0, 0))[1] + sum(
+            rows[k].n_orders for k in kids
+        )
+        assert rows[node].n_orders == expect_orders, node

@@ -844,6 +844,7 @@ def q_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_audience_overlap",
+    headline=True,
     tags=("analytics", "sketch", "setops", "scale"),
     oracle=f"""
         WITH keyed AS (

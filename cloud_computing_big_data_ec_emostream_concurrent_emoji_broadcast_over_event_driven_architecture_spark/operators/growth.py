@@ -67,6 +67,7 @@ def _cached_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_growth_accounting",
+    headline=True,
     tags=("growth", "window", "agg", "scale"),
     oracle="""
         WITH cells AS (
@@ -125,7 +126,14 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id), windows reuse that partitioning, day rollup is a
     calendar-sized aggregate. The max-day cap (no churn row past the
     observed span) is a 1-row broadcast."""
-    cells = _cached_cells(spark, sf_dir)
+    return growth_accounting_from_cells(_cached_cells(spark, sf_dir))
+
+
+def growth_accounting_from_cells(cells: DataFrame) -> DataFrame:
+    """Growth flows from an arbitrary distinct (user_id, day) cell
+    table — factored out so property tests can drive it with synthetic
+    activity patterns (hypothesis model check in
+    tests/test_properties.py)."""
     w = Window.partitionBy("user_id").orderBy("day")
     seq = cells.select(
         "user_id",

@@ -311,3 +311,59 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     ).first()
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) / e < 0.01, (e, a)
+
+
+@given(
+    activity=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**{**SETTINGS, "max_examples": 20})
+def test_growth_flows_equal_python_model(spark, activity):
+    """Growth accounting over ARBITRARY activity patterns matches a
+    direct Python model of the definitions (new = first day ever,
+    retained = active yesterday, resurrected = gap return, churned =
+    active yesterday but not today, capped at the observed max day)."""
+    import datetime as dt
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.growth import (
+        growth_accounting_from_cells,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    cells = spark.createDataFrame(
+        [(u, d0 + dt.timedelta(days=d)) for (u, d) in activity],
+        "user_id long, day date",
+    )
+    got = {
+        r.day: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in growth_accounting_from_cells(cells).collect()
+    }
+
+    by_user: dict[int, list[int]] = {}
+    for u, d in activity:
+        by_user.setdefault(u, []).append(d)
+    max_day = max(d for _, d in activity)
+    model: dict[int, list[int]] = {}
+    for u, days in by_user.items():
+        days = sorted(set(days))
+        for i, d in enumerate(days):
+            row = model.setdefault(d, [0, 0, 0, 0])
+            if i == 0:
+                row[0] += 1
+            elif d == days[i - 1] + 1:
+                row[1] += 1
+            else:
+                row[2] += 1
+            nxt = days[i + 1] if i + 1 < len(days) else None
+            if (nxt is None or nxt > d + 1) and d + 1 <= max_day:
+                model.setdefault(d + 1, [0, 0, 0, 0])[3] += 1
+    expected = {
+        d0 + dt.timedelta(days=d): tuple(v) for d, v in model.items()
+    }
+    assert got == expected

@@ -429,3 +429,99 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("dim_value"), F.lit(-1.0)).alias("dim_value"),
         F.col("dim_version").cast("bigint").alias("dim_version"),
     )
+
+
+_DIFF_CUTOFF_A = "2024-01-03 00:00:00"  # snapshot A: first two days
+_DIFF_CUTOFF_B = "2024-01-06 00:00:00"  # snapshot B: first five days
+
+
+@register(
+    "q_snapshot_diff",
+    tags=("cdc", "diff", "audit", "scale"),
+    oracle=f"""
+        WITH a AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MAX(ts) AS last_ts
+            FROM events WHERE ts < TIMESTAMP '{_DIFF_CUTOFF_A}'
+            GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MAX(ts) AS last_ts
+            FROM events WHERE ts < TIMESTAMP '{_DIFF_CUTOFF_B}'
+            GROUP BY 1, 2
+        ),
+        joined AS (
+            SELECT b.event_type,
+                   CASE WHEN a.user_id IS NULL THEN 'added'
+                        WHEN a.n <> b.n OR a.last_ts <> b.last_ts
+                            THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   b.n - COALESCE(a.n, 0) AS delta_events
+            FROM b LEFT JOIN a USING (user_id, event_type)
+        )
+        SELECT event_type, status,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(delta_events) AS BIGINT) AS delta_events
+        FROM joined
+        GROUP BY 1, 2
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF REPORT (the data-diff / reconciliation tool
+    shape): compare per-(user, type) state between an early snapshot A
+    and a later snapshot B and classify every key as ADDED (absent in
+    A), CHANGED (state advanced), or UNCHANGED — with the event-count
+    delta each class carries, per event type. The audit a pipeline runs
+    after a backfill or incremental load: "how much of the keyspace did
+    this load actually touch, and where". REMOVED is structurally
+    impossible on an append-only log (stated contract; the
+    ``q_merge_upsert`` family handles deleting sources).
+
+    Plan: both snapshot states are the SAME keyed aggregation with
+    different time predicates — each filter prunes at the scan (and on
+    a date-partitioned 100 TB layout, prunes PARTITIONS) — and the diff
+    is a co-partitioned left join on the aggregation key both sides
+    already hashed by, so Catalyst reuses the partitioning. The report
+    is |types|×3 rows; nothing after the two aggregates is
+    data-sized."""
+    ev = table(spark, sf_dir, "events")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"), F.max("ts").alias("last_ts"))
+        )
+
+    a = snap(_DIFF_CUTOFF_A).select(
+        "user_id",
+        "event_type",
+        F.col("n").alias("a_n"),
+        F.col("last_ts").alias("a_ts"),
+    )
+    b = snap(_DIFF_CUTOFF_B)
+    status = (
+        F.when(F.col("a_n").isNull(), F.lit("added"))
+        .when(
+            (F.col("a_n") != F.col("n"))
+            | (F.col("a_ts") != F.col("last_ts")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        b.join(a, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            status.alias("status"),
+            (F.col("n") - F.coalesce(F.col("a_n"), F.lit(0))).alias(
+                "delta_events"
+            ),
+        )
+        .groupBy("event_type", "status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("delta_events").cast("bigint").alias("delta_events"),
+        )
+    )

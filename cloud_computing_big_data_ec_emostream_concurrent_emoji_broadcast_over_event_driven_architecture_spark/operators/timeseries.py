@@ -1769,3 +1769,125 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(TOP_PATHS_K)
     )
+
+
+STL_HALF_WINDOW = 12  # centered 25-hour trend window
+
+
+@register(
+    "q_seasonal_decompose",
+    tags=("timeseries", "window", "decomposition", "scale"),
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MIN(date_trunc('hour', ts)) AS h0,
+                   MAX(date_trunc('hour', ts)) AS h1
+            FROM events
+        ),
+        grid AS (
+            SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR))
+                AS hour
+            FROM bounds
+        ),
+        counts AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        dense AS (
+            SELECT g.hour, COALESCE(c.y, 0) AS y
+            FROM grid g LEFT JOIN counts c ON c.hour = g.hour
+        ),
+        trended AS (
+            SELECT hour, y,
+                   SUM(y) OVER w AS trend25,
+                   COUNT(*) OVER w AS n_w
+            FROM dense
+            WINDOW w AS (ORDER BY hour
+                         ROWS BETWEEN {STL_HALF_WINDOW} PRECEDING
+                                  AND {STL_HALF_WINDOW} FOLLOWING)
+        ),
+        full_rows AS (
+            SELECT hour, y, trend25,
+                   25 * y - trend25 AS detr25,
+                   CAST(date_part('hour', hour) AS INTEGER) AS hod
+            FROM trended WHERE n_w = {2 * STL_HALF_WINDOW + 1}
+        ),
+        season AS (
+            SELECT hod, SUM(detr25) AS num,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM full_rows GROUP BY 1
+        )
+        SELECT f.hour, f.y,
+               ROUND(f.trend25 / 25.0, 6) AS trend,
+               ROUND(s.num / (25.0 * s.k), 6) AS seasonal,
+               ROUND((f.detr25 * s.k - s.num) / (25.0 * s.k), 6)
+                   AS residual
+        FROM full_rows f JOIN season s USING (hod)
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL DECOMPOSITION (STL-lite): hourly volume splits into
+    TREND (centered 25-hour moving average), SEASONAL (hour-of-day mean
+    of the detrended series), and RESIDUAL — the decomposition behind
+    every "is this spike real or just 9am" anomaly triage, additive by
+    construction: y = trend + seasonal + residual exactly.
+
+    Cross-engine exactness is the design: all three components are
+    INTEGER arithmetic until one final division — the trend is carried
+    as the raw 25-hour window SUM (trend25), the detrended series as
+    25·y − trend25 (exact BIGINT), the seasonal as the (Σ detr25, k)
+    rational pair — so Spark and DuckDB hold bit-identical integers and
+    each output is a single rounded double division. A naive
+    double-moving-average would drift engine-by-engine in summation
+    order. Edge hours with a partial trend window are excluded
+    (stated contract: n_w = 25 only), which also keeps every row's
+    scale factor constant. Plan: the dense calendar grid and both
+    windows are calendar-sized; the fact table contributes one hourly
+    aggregation."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("y"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("h0"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    dense = grid.join(counts, "hour", "left").select(
+        "hour", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        -STL_HALF_WINDOW, STL_HALF_WINDOW
+    )
+    trended = dense.select(
+        "hour",
+        "y",
+        F.sum("y").over(w).alias("trend25"),
+        F.count("*").over(w).alias("n_w"),
+    )
+    full_rows = trended.filter(
+        F.col("n_w") == 2 * STL_HALF_WINDOW + 1
+    ).select(
+        "hour",
+        "y",
+        "trend25",
+        (F.lit(25) * F.col("y") - F.col("trend25")).alias("detr25"),
+        F.hour("hour").cast("int").alias("hod"),
+    )
+    season = full_rows.groupBy("hod").agg(
+        F.sum("detr25").alias("num"), F.count("*").alias("k")
+    )
+    den = F.lit(25.0) * F.col("k")
+    return full_rows.join(F.broadcast(season), "hod").select(
+        "hour",
+        "y",
+        F.round(F.col("trend25") / 25.0, 6).alias("trend"),
+        F.round(F.col("num") / den, 6).alias("seasonal"),
+        F.round(
+            (F.col("detr25") * F.col("k") - F.col("num")) / den, 6
+        ).alias("residual"),
+    )

@@ -291,3 +291,48 @@ def test_hierarchy_subtree_is_consistent(spark, sf_dir):
             rows[k].n_orders for k in kids
         )
         assert rows[node].n_orders == expect_orders, node
+
+
+def test_seasonal_decompose_is_additive(spark, sf_dir):
+    """y == trend + seasonal + residual exactly (to the rounding
+    grain) on every row, and residuals within one hour-of-day average
+    to ~0 (the seasonal term IS the per-hod mean of the detrended
+    series, so per-hod residual means vanish by construction)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.timeseries import (
+        q_seasonal_decompose,
+    )
+
+    rows = q_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    by_hod: dict[int, list[float]] = {}
+    for r in rows:
+        assert r.y == pytest.approx(
+            r.trend + r.seasonal + r.residual, abs=5e-6
+        )
+        by_hod.setdefault(r.hour.hour, []).append(r.residual)
+    for hod, res in by_hod.items():
+        assert abs(sum(res) / len(res)) < 1e-5, hod
+
+
+def test_snapshot_diff_classes_are_exhaustive(spark, sf_dir):
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.cdc import (
+        _DIFF_CUTOFF_B,
+        q_snapshot_diff,
+    )
+
+    rows = q_snapshot_diff(spark, sf_dir).collect()
+    statuses = {r.status for r in rows}
+    assert statuses == {"added", "changed", "unchanged"}
+    total_keys = sum(r.n_keys for r in rows)
+    expected = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(_DIFF_CUTOFF_B).cast("timestamp_ntz"))
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert total_keys == expected
+    # unchanged keys carry zero delta
+    for r in rows:
+        if r.status == "unchanged":
+            assert r.delta_events == 0

@@ -245,7 +245,7 @@ HIER_MAX_DEPTH = 6  # ceil(log10(max custkey)) — covers every fixture sf
         )
         SELECT anc AS node,
                CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members,
-               SUM(n_orders) AS n_orders,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
                CAST(ROUND(SUM(s), 2) AS DOUBLE) AS subtree_revenue
         FROM walk
         GROUP BY 1

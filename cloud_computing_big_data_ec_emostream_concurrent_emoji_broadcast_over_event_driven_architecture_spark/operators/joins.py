@@ -1112,3 +1112,131 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p90_sec"),
     )
+
+
+@register(
+    "q_attribution_linear",
+    tags=("join", "asof", "window", "attribution"),
+    oracle=f"""
+        WITH nxt AS (
+            SELECT event_id, event_type, ts, user_id,
+                   FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                       THEN ts END IGNORE NULLS) OVER w AS p_ts,
+                   FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                       THEN event_id END IGNORE NULLS) OVER w AS p_id,
+                   FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                       THEN value END IGNORE NULLS) OVER w AS p_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING
+                                  AND UNBOUNDED FOLLOWING)
+        ),
+        credited AS (
+            SELECT event_type AS channel, p_id, p_value
+            FROM nxt
+            WHERE event_type IN
+                  ({", ".join(f"'{t}'" for t in ATTR_TOUCHES)})
+              AND p_id IS NOT NULL
+              AND p_ts <= ts + INTERVAL {ATTR_WINDOW_DAYS} DAY
+        ),
+        per_p AS (
+            SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n FROM credited
+            GROUP BY 1
+        ),
+        weighted AS (
+            SELECT c.channel,
+                   CAST(ROUND(1.0 / p.n, 10) AS DECIMAL(28,10)) AS w,
+                   CAST(ROUND(c.p_value / p.n, 10) AS DECIMAL(28,10))
+                       AS wv
+            FROM credited c JOIN per_p p USING (p_id)
+            UNION ALL
+            SELECT 'direct' AS channel,
+                   CAST(1 AS DECIMAL(28,10)) AS w,
+                   CAST(ROUND(e.value, 10) AS DECIMAL(28,10)) AS wv
+            FROM events e
+            WHERE e.event_type = 'purchase'
+              AND NOT EXISTS (SELECT 1 FROM per_p p
+                              WHERE p.p_id = e.event_id)
+        )
+        SELECT channel,
+               CAST(ROUND(SUM(w), 4) AS DOUBLE) AS attributed_purchases,
+               CAST(ROUND(SUM(wv), 2) AS DOUBLE) AS attributed_value
+        FROM weighted
+        GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MULTI-TOUCH ATTRIBUTION: every purchase's credit splits
+    EQUALLY across all touches (click/view) in its
+    {ATTR_WINDOW_DAYS}-day lookback — the equal-weight counterpart of
+    ``q_attribution_last_touch``, and the model marketing teams compare
+    against it to see how much credit last-touch steals from upper
+    funnel. Purchases with no in-window touch attribute to ``direct``
+    with full weight, so per-channel attributed_purchases sums exactly
+    to the purchase count (conservation pinned by test).
+
+    Plan: each touch finds ITS next purchase via the forward as-of
+    window (no join node, no hot-user range blowup); the per-purchase
+    touch count is one purchase-keyed aggregation and the credit join
+    is co-partitioned on that same key. Fractional credits round to 10
+    dp in double (identical IEEE on both engines) then accumulate as
+    decimal(28,10) — exact, order-free summation — before the final
+    rounded readout."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+
+    def nxt_of(col: str):
+        return F.first(
+            F.when(F.col("event_type") == "purchase", F.col(col)),
+            ignorenulls=True,
+        ).over(w)
+
+    nxt = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        nxt_of("ts").alias("p_ts"),
+        nxt_of("event_id").alias("p_id"),
+        nxt_of("value").alias("p_value"),
+    )
+    lookback = F.col("p_ts") <= F.col("ts") + F.expr(
+        f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"
+    )
+    credited = nxt.filter(
+        F.col("event_type").isin(*ATTR_TOUCHES)
+        & F.col("p_id").isNotNull()
+        & lookback
+    ).select(F.col("event_type").alias("channel"), "p_id", "p_value")
+    per_p = credited.groupBy("p_id").agg(F.count("*").alias("n"))
+    dec = "decimal(28,10)"
+    weighted = credited.join(per_p, "p_id").select(
+        "channel",
+        F.round(F.lit(1.0) / F.col("n"), 10).cast(dec).alias("w"),
+        F.round(F.col("p_value") / F.col("n"), 10).cast(dec).alias("wv"),
+    )
+    direct = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_p, ev.event_id == per_p.p_id, "left_anti")
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(1).cast(dec).alias("w"),
+            F.round(F.col("value"), 10).cast(dec).alias("wv"),
+        )
+    )
+    return (
+        weighted.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("w"), 4)
+            .cast("double")
+            .alias("attributed_purchases"),
+            F.round(F.sum("wv"), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

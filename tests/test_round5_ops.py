@@ -336,3 +336,26 @@ def test_snapshot_diff_classes_are_exhaustive(spark, sf_dir):
     for r in rows:
         if r.status == "unchanged":
             assert r.delta_events == 0
+
+
+def test_linear_attribution_conserves_purchases(spark, sf_dir):
+    """Each purchase distributes exactly one unit of credit: summed
+    attributed_purchases equals the purchase count, and attributed
+    value sums to total purchase value (to rounding grain)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.joins import (
+        q_attribution_linear,
+    )
+
+    rows = q_attribution_linear(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    n_purch = ev.count()
+    total_value = ev.agg(F.sum("value")).collect()[0][0]
+    assert sum(r.attributed_purchases for r in rows) == pytest.approx(
+        n_purch, abs=0.01
+    )
+    assert sum(r.attributed_value for r in rows) == pytest.approx(
+        total_value, abs=0.5
+    )
+    assert {r.channel for r in rows} >= {"direct"}

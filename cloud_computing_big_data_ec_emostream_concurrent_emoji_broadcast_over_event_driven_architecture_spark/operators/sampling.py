@@ -924,3 +924,87 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_docs", "rate")
         .agg(F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"))
     )
+
+
+_CHURN_FEATURE_CUTOFF = "2024-01-30 00:00:00"  # features end (exclusive)
+
+
+@register(
+    "q_churn_training_set",
+    tags=("sampling", "llm-pipeline", "features", "scale"),
+    oracle=f"""
+        WITH feat AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS n_active_days,
+                   CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+                        DATE '2024-01-30') AS BIGINT) AS days_since_last,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                       AS n_types,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       AS BIGINT) AS n_purchases
+            FROM events
+            WHERE ts < TIMESTAMP '{_CHURN_FEATURE_CUTOFF}'
+            GROUP BY 1
+        ),
+        lbl AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= TIMESTAMP '{_CHURN_FEATURE_CUTOFF}'
+        )
+        SELECT f.user_id, f.n_events, f.n_active_days,
+               f.days_since_last, f.n_types, f.n_purchases,
+               CAST(CASE WHEN l.user_id IS NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS churned
+        FROM feat f LEFT JOIN lbl l USING (user_id)
+    """,
+)
+def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-GUARDED TRAINING-SET ASSEMBLY: per-user churn features
+    (counts, active days, recency, type breadth, purchases) computed
+    STRICTLY from events before {_CHURN_FEATURE_CUTOFF}, labeled by
+    whether the user went silent afterwards — the feature/label
+    time-split every supervised pipeline needs, where the classic bug
+    is a feature that peeks past the cutoff (the temporal cousin of
+    ``q_split_no_leakage``'s cluster-granular split).
+
+    The guard is STRUCTURAL, not procedural: the feature aggregation's
+    time predicate sits directly on the scan (pushed to parquet, and on
+    a date-partitioned layout it prunes partitions), so no feature CAN
+    see label-window data. Label = one distinct-user pass over the
+    label window. Both sides key on user_id — the join reuses the
+    aggregation's partitioning. Users with no pre-cutoff history are
+    excluded (nothing to featurize; stated contract)."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit(_CHURN_FEATURE_CUTOFF).cast("timestamp_ntz")
+    feat = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct(F.to_date("ts")).alias("n_active_days"),
+            F.datediff(
+                F.to_date(cutoff), F.max(F.to_date("ts"))
+            ).cast("bigint").alias("days_since_last"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).alias("n_purchases"),
+        )
+    )
+    lbl = (
+        ev.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+        .withColumn("active_after", F.lit(1))
+    )
+    return feat.join(lbl, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "n_active_days",
+        "days_since_last",
+        "n_types",
+        "n_purchases",
+        F.when(F.col("active_after").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("churned"),
+    )

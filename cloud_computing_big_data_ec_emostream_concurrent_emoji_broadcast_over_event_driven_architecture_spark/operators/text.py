@@ -1682,3 +1682,59 @@ def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sq").cast("double") / F.col("n_docs"), 6
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "q_langid_confusion",
+    tags=("text", "eval", "diagnostics"),
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang,
+                   CASE WHEN {stopword_ratio_sql("string_split(text, ' ')")}
+                             > {LANGID_THRESHOLD}
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM documents
+        ),
+        cell AS (
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT lang, pred_lang, n_docs,
+               ROUND(CAST(n_docs AS DOUBLE)
+                     / SUM(n_docs) OVER (PARTITION BY lang), 6)
+                   AS label_share
+        FROM cell
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CONFUSION MATRIX: the langid heuristic
+    (``q_text_langid``) evaluated against the corpus's own ``lang``
+    labels — (label, prediction, count, share-of-label) cells, the
+    self-evaluation every gate model needs before its threshold ships
+    (the same eval shape ``q_ann_recall_audit`` gives the ANN index and
+    ``q_dedup_tier_recall`` gives the dedup tiers: the engine measures
+    its own operators as queries).
+
+    Plan: one corpus scan scores and labels simultaneously; the matrix
+    is |langs|×2 cells and the share window runs over that constant-
+    size table. At 100 TB: scan-bound, shuffle is matrix-sized."""
+    docs = table(spark, sf_dir, "documents")
+    ratio = stopword_ratio(tokens(F.col("text")))
+    scored = docs.select(
+        "lang",
+        F.when(ratio > LANGID_THRESHOLD, "en")
+        .otherwise("other")
+        .alias("pred_lang"),
+    )
+    cell = scored.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("label_share"),
+    )

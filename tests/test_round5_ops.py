@@ -359,3 +359,33 @@ def test_linear_attribution_conserves_purchases(spark, sf_dir):
         total_value, abs=0.5
     )
     assert {r.channel for r in rows} >= {"direct"}
+
+
+def test_churn_training_set_has_no_leakage_and_both_labels(spark, sf_dir):
+    """Structural leakage check: recomputing every feature from ONLY
+    the pre-cutoff slice reproduces the training set exactly, and (at
+    the fixture cutoffs) both label classes occur."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.sampling import (
+        _CHURN_FEATURE_CUTOFF,
+        q_churn_training_set,
+    )
+
+    rows = q_churn_training_set(spark, sf_dir).collect()
+    labels = {r.churned for r in rows}
+    assert labels == {0, 1}
+    pre = table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(_CHURN_FEATURE_CUTOFF).cast("timestamp_ntz")
+    )
+    manual = {
+        r.user_id: (r.n, r.d)
+        for r in pre.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.to_date("ts")).alias("d"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, d = manual[r.user_id]
+        assert (r.n_events, r.n_active_days) == (n, d)
+    assert len(rows) == len(manual)  # exactly the featurizable users

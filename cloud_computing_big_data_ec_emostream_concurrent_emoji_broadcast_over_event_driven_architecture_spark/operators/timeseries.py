@@ -1891,3 +1891,81 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("detr25") * F.col("k") - F.col("num")) / den, 6
         ).alias("residual"),
     )
+
+
+@register(
+    "q_interarrival_stats",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(LAG(ts) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ))) AS BIGINT) AS gap_sec
+            FROM events
+        ),
+        g AS (SELECT event_type, gap_sec FROM gaps
+              WHERE gap_sec IS NOT NULL)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               ROUND(quantile_cont(gap_sec, 0.5), 4) AS p50_sec,
+               ROUND(quantile_cont(gap_sec, 0.95), 4) AS p95_sec,
+               CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec,
+               ROUND(CAST(SUM(gap_sec) AS DOUBLE) / COUNT(*), 4)
+                   AS mean_sec,
+               ROUND(
+                   SQRT(GREATEST(
+                       CAST(COUNT(*) AS DOUBLE)
+                           * CAST(SUM(CAST(gap_sec AS DECIMAL(18,0))
+                                      * CAST(gap_sec AS DECIMAL(18,0)))
+                                  AS DOUBLE)
+                       - CAST(SUM(gap_sec) AS DOUBLE)
+                           * CAST(SUM(gap_sec) AS DOUBLE), 0.0))
+                   / CAST(SUM(gap_sec) AS DOUBLE), 6) AS burstiness_cv
+        FROM g
+        GROUP BY 1
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL TIME ANALYSIS per event type: gap percentiles,
+    worst silence, mean rate, and the burstiness coefficient of
+    variation (CV = σ/μ of gaps; ≈1 is Poisson, ≫1 is bursty) — the
+    diagnostic that separates "traffic is smooth, size for the mean"
+    from "traffic is bursty, size for the spike", and the SLO input
+    behind max_gap alerting.
+
+    Plan: one type-partitioned lag window ((ts, event_id) tie-break)
+    produces the gaps; the rollup computes exact interpolated
+    percentiles plus moment-decomposed CV — gap moments accumulate
+    through the decimal lane (Σgap² overflows BIGINT at real volumes),
+    every factor casts to double individually, and GREATEST(...,0)
+    clamps the variance's last-ulp negativity for near-constant gap
+    series (sqrt(-ε) is NaN and hashes engine-dependently). At 100 TB:
+    one data-sized shuffle on event_type (salt if a type dominates —
+    the ``q_join_salted`` pattern), |types|-row output."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev = F.lag(F.col("ts")).over(w)
+    gaps = ev.select(
+        "event_type",
+        (
+            sec - F.unix_timestamp(prev.cast("timestamp"))
+        ).alias("gap_sec"),
+    ).filter(F.col("gap_sec").isNotNull())
+    dec = "decimal(18,0)"
+    n_d = F.count("*").cast("double")
+    s_d = F.sum("gap_sec").cast("double")
+    ss_d = F.sum(F.col("gap_sec").cast(dec) * F.col("gap_sec").cast(dec)).cast(
+        "double"
+    )
+    cv = F.sqrt(F.greatest(n_d * ss_d - s_d * s_d, F.lit(0.0))) / s_d
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_sec, 0.5)"), 4).alias("p50_sec"),
+        F.round(F.expr("percentile(gap_sec, 0.95)"), 4).alias("p95_sec"),
+        F.max("gap_sec").cast("bigint").alias("max_gap_sec"),
+        F.round(s_d / F.count("*"), 4).alias("mean_sec"),
+        F.round(cv, 6).alias("burstiness_cv"),
+    )

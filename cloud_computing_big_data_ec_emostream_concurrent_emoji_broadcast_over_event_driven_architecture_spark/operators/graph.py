@@ -224,7 +224,12 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIER_FANOUT = 10  # arithmetic org chart: parent(k) = k div 10
-HIER_MAX_DEPTH = 6  # ceil(log10(max custkey)) — covers every fixture sf
+# Divisor ladder 10^0..10^18 covers the FULL bigint range (max bigint
+# < 10^19, so k div 10^18 <= 9 and the explicit root 0 completes every
+# walk) — the ancestor array can never omit the root no matter the
+# scale factor, and array_distinct collapses the unused tail to one 0
+# entry so the explode fan-out stays digits(k)+1, not 20.
+_HIER_DIVISORS = [HIER_FANOUT**i for i in range(19)]
 
 
 @register(
@@ -262,16 +267,19 @@ def q_hierarchy_subtree_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this operator shows the scale-correct replacement: because
     every ancestor of k is a PREFIX of its digit string, the full
     ancestor set is a CLOSED-FORM per-row array
-    (k, k div 10, k div 100, …) — one explode, one aggregation, ZERO
-    joins and zero iterations. The hash match proves
+    (k, k div 10, k div 100, …, 0) — one explode, one aggregation,
+    ZERO joins and zero iterations. The hash match proves
     unrolled-expansion ≡ recursive traversal.
 
     At 100 TB: the fact table aggregates once per customer
     (custkey-keyed, map-combined); the explode multiplies the
-    CUSTOMER aggregate by depth ≤ {HIER_MAX_DEPTH} — bounded fan-out
+    CUSTOMER aggregate by depth ≤ digits(custkey)+1 — bounded fan-out
     on a dimension-sized table, with the rollup partial-combined on
-    the ancestor key. An iterative-join formulation (the PageRank /
-    connected-components shape, which the engine also has) is only
+    the ancestor key. The divisor ladder spans the full bigint range
+    and the root 0 is appended explicitly, so the array matches the
+    oracle's walk-to-root at ANY scale factor (no fixture-tuned depth
+    constant). An iterative-join formulation (the PageRank /
+    connected-components shape — ``q_hierarchy_data_edges``) is only
     needed when the parent edge is DATA, not arithmetic — stated
     boundary."""
     from ..catalog import table
@@ -284,15 +292,17 @@ def q_hierarchy_subtree_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
-    # pow() is double math — floor+cast back to BIGINT is exact here
-    # because custkey < 10^7 (well inside double's 2^53 integer range)
+    # integer `div` per literal power — exact for ANY bigint custkey
+    # (no double pow in the path); trailing 0s collapse via distinct
     ancestors = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(HIER_MAX_DEPTH)),
-            lambda i: F.floor(
-                F.col("node")
-                / F.pow(F.lit(float(HIER_FANOUT)), i.cast("double"))
-            ).cast("bigint"),
+        F.concat(
+            F.array(
+                *[
+                    F.expr(f"node div {d}").cast("bigint")
+                    for d in _HIER_DIVISORS
+                ]
+            ),
+            F.array(F.lit(0).cast("bigint")),
         )
     )
     walked = spend.select(

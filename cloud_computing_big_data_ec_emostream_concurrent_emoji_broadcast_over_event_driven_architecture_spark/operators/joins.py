@@ -929,10 +929,17 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str):
     at WRITE time, so every subsequent orderkey join sort-merges
     bucket-to-bucket with no Exchange (plan pinned by
     tests/test_bucketing.py)."""
+    import hashlib
     import re
 
-    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # tag carries BOTH the human-readable basename and a hash of the
+    # FULL fixture path: two fixture dirs sharing a basename (e.g.
+    # /a/sf0.01 and /b/sf0.01) get distinct catalog tables instead of
+    # the second silently reading the first's bucketed data
+    norm = sf_dir.rstrip("/")
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", norm.rsplit("/", 1)[-1])
+    tag += "_" + hashlib.sha1(norm.encode()).hexdigest()[:8]
+    key = (spark.sparkContext.applicationId, norm)
     names = (f"smb_orders_{tag}", f"smb_lineitem_{tag}")
     if key not in _BUCKETED_READY:
         from ..catalog import write_bucketed
@@ -1132,7 +1139,9 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   AND UNBOUNDED FOLLOWING)
         ),
         credited AS (
-            SELECT event_type AS channel, p_id, p_value
+            SELECT event_type AS channel, p_id, p_value,
+                   ROW_NUMBER() OVER (PARTITION BY p_id
+                                      ORDER BY ts, event_id) AS rn
             FROM nxt
             WHERE event_type IN
                   ({", ".join(f"'{t}'" for t in ATTR_TOUCHES)})
@@ -1145,9 +1154,23 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         weighted AS (
             SELECT c.channel,
-                   CAST(ROUND(1.0 / p.n, 10) AS DECIMAL(28,10)) AS w,
-                   CAST(ROUND(c.p_value / p.n, 10) AS DECIMAL(28,10))
-                       AS wv
+                   CASE WHEN c.rn = 1
+                        THEN CAST(1 AS DECIMAL(28,10))
+                             - CAST(p.n - 1 AS DECIMAL(7,0))
+                               * CAST(ROUND(1.0 / p.n, 10)
+                                      AS DECIMAL(12,10))
+                        ELSE CAST(ROUND(1.0 / p.n, 10)
+                                  AS DECIMAL(28,10))
+                   END AS w,
+                   CASE WHEN c.rn = 1
+                        THEN CAST(ROUND(c.p_value, 10)
+                                  AS DECIMAL(28,10))
+                             - CAST(p.n - 1 AS DECIMAL(7,0))
+                               * CAST(ROUND(c.p_value / p.n, 10)
+                                      AS DECIMAL(22,10))
+                        ELSE CAST(ROUND(c.p_value / p.n, 10)
+                                  AS DECIMAL(28,10))
+                   END AS wv
             FROM credited c JOIN per_p p USING (p_id)
             UNION ALL
             SELECT 'direct' AS channel,
@@ -1181,7 +1204,13 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     is co-partitioned on that same key. Fractional credits round to 10
     dp in double (identical IEEE on both engines) then accumulate as
     decimal(28,10) — exact, order-free summation — before the final
-    rounded readout."""
+    rounded readout. Conservation is EXACT, not to-the-grain: the
+    FIRST touch of each purchase (ts, event_id order) takes the
+    remainder ``1 − (n−1)·round(1/n, 10)`` so per-purchase credit sums
+    to precisely 1 (and weighted value to round(p_value, 10)) in exact
+    decimal arithmetic; the remainder product stays in DECIMAL(12,10)
+    × DECIMAL(7,0) lanes, inside both engines' no-truncation precision
+    rules (documented bound: < 10^7 touches per purchase)."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -1207,17 +1236,40 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookback = F.col("p_ts") <= F.col("ts") + F.expr(
         f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"
     )
-    credited = nxt.filter(
-        F.col("event_type").isin(*ATTR_TOUCHES)
-        & F.col("p_id").isNotNull()
-        & lookback
-    ).select(F.col("event_type").alias("channel"), "p_id", "p_value")
+    rn_w = Window.partitionBy("p_id").orderBy("ts", "event_id")
+    credited = (
+        nxt.filter(
+            F.col("event_type").isin(*ATTR_TOUCHES)
+            & F.col("p_id").isNotNull()
+            & lookback
+        )
+        .select(
+            F.col("event_type").alias("channel"), "p_id", "p_value",
+            "ts", "event_id",
+        )
+        .withColumn("rn", F.row_number().over(rn_w))
+        .drop("ts", "event_id")
+    )
     per_p = credited.groupBy("p_id").agg(F.count("*").alias("n"))
     dec = "decimal(28,10)"
+    w_rest = F.round(F.lit(1.0) / F.col("n"), 10)
+    wv_rest = F.round(F.col("p_value") / F.col("n"), 10)
+    n_dec = (F.col("n") - F.lit(1)).cast("decimal(7,0)")
     weighted = credited.join(per_p, "p_id").select(
         "channel",
-        F.round(F.lit(1.0) / F.col("n"), 10).cast(dec).alias("w"),
-        F.round(F.col("p_value") / F.col("n"), 10).cast(dec).alias("wv"),
+        F.when(
+            F.col("rn") == 1,
+            F.lit(1).cast(dec) - n_dec * w_rest.cast("decimal(12,10)"),
+        )
+        .otherwise(w_rest.cast(dec))
+        .alias("w"),
+        F.when(
+            F.col("rn") == 1,
+            F.round(F.col("p_value"), 10).cast(dec)
+            - n_dec * wv_rest.cast("decimal(22,10)"),
+        )
+        .otherwise(wv_rest.cast(dec))
+        .alias("wv"),
     )
     direct = (
         ev.filter(F.col("event_type") == "purchase")

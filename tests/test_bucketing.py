@@ -53,3 +53,32 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql(f"DROP TABLE IF EXISTS orders_b_{tag}")
         spark.sql(f"DROP TABLE IF EXISTS customer_b_{tag}")
+
+
+def test_bucketed_pair_distinct_for_same_basename(spark, sf_dir, tmp_path):
+    """Two fixture dirs sharing a basename must map to DISTINCT catalog
+    tables (the memo tag hashes the FULL path): a second fixture named
+    `sfX` under a different parent can never silently serve the first
+    fixture's bucketed data."""
+    import os
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.joins import (
+        _bucketed_pair,
+    )
+
+    a = tmp_path / "parent_a" / "sfsame"
+    b = tmp_path / "parent_b" / "sfsame"
+    for d in (a, b):
+        d.parent.mkdir(parents=True, exist_ok=True)
+        os.symlink(sf_dir, d)
+    before = {t.name for t in spark.catalog.listTables()}
+    try:
+        _bucketed_pair(spark, str(a))
+        mid = {t.name for t in spark.catalog.listTables()} - before
+        _bucketed_pair(spark, str(b))
+        after = {t.name for t in spark.catalog.listTables()} - before
+        # the second fixture created its OWN tables, not reused a's
+        assert len(mid) == 2 and len(after) == 4, (mid, after)
+    finally:
+        for t in {t.name for t in spark.catalog.listTables()} - before:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

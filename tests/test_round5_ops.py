@@ -131,23 +131,23 @@ def test_xcorr_best_lag_dominates_all_lags(spark, sf_dir):
         for tb in types:
             if ta == tb:
                 continue
-            best = None
+            cands = {}
             for lag in range(XCORR_MAX_LAG_HOURS + 1):
                 x = dense[ta][: len(hours) - lag]
                 y = dense[tb][lag:]
                 if x.std() == 0 or y.std() == 0:
                     continue
-                c = round(float(np.corrcoef(x, y)[0, 1]), 6)
-                if best is None or c > best[1]:
-                    best = (lag, c)
-            if best is None:
+                cands[lag] = round(float(np.corrcoef(x, y)[0, 1]), 6)
+            if not cands:
                 assert (ta, tb) not in got
                 continue
             blag, bcorr = got[(ta, tb)]
-            assert bcorr == pytest.approx(best[1], abs=1e-6)
-            assert blag == best[0] or bcorr == pytest.approx(
-                best[1], abs=1e-6
-            )
+            best_c = max(cands.values())
+            assert bcorr == pytest.approx(best_c, abs=1e-6)
+            # the operator's tie-break is MIN lag among rounded-max
+            # correlations (desc corr, asc lag_h) — pin the lag itself
+            winners = [lag for lag, c in cands.items() if c == best_c]
+            assert blag == min(winners)
 
 
 def test_rollup_reaggregate_equals_direct(spark, sf_dir):
@@ -339,9 +339,11 @@ def test_snapshot_diff_classes_are_exhaustive(spark, sf_dir):
 
 
 def test_linear_attribution_conserves_purchases(spark, sf_dir):
-    """Each purchase distributes exactly one unit of credit: summed
-    attributed_purchases equals the purchase count, and attributed
-    value sums to total purchase value (to rounding grain)."""
+    """Each purchase distributes EXACTLY one unit of credit (the first
+    touch absorbs the remainder 1 - (n-1)*round(1/n,10) in exact
+    decimal lanes), so the summed attributed_purchases equals the
+    purchase count to the 4-dp per-channel display rounding, and
+    attributed value sums to total purchase value to the 2-dp grain."""
     from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.joins import (
         q_attribution_linear,
     )
@@ -352,11 +354,13 @@ def test_linear_attribution_conserves_purchases(spark, sf_dir):
     )
     n_purch = ev.count()
     total_value = ev.agg(F.sum("value")).collect()[0][0]
+    # exact conservation: only the per-channel display rounding
+    # (4 dp / 2 dp) separates the sums from the true totals
     assert sum(r.attributed_purchases for r in rows) == pytest.approx(
-        n_purch, abs=0.01
+        n_purch, abs=len(rows) * 5e-5
     )
     assert sum(r.attributed_value for r in rows) == pytest.approx(
-        total_value, abs=0.5
+        total_value, abs=len(rows) * 5e-3 + 1e-6 * n_purch
     )
     assert {r.channel for r in rows} >= {"direct"}
 

@@ -25,6 +25,10 @@ from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # stamp host load BEFORE the run: a loaded host inflates every number
+    # uniformly (round-5's apparent 35% "regression" was load-average 4+),
+    # so the JSON carries the context needed to read absolutes correctly
+    load1_pre = round(os.getloadavg()[0], 2)
     spark = build_session(app_name="engine_bench")
     specs = headline_specs()
 
@@ -86,6 +90,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load1": load1_pre,
+                "load1_post": round(os.getloadavg()[0], 2),
             }
         )
     )

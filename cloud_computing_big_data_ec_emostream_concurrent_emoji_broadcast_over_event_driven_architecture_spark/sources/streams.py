@@ -37,6 +37,67 @@ def kafka_events_stream(
     )
 
 
+def kafka_connector_status(
+    spark: SparkSession, bootstrap: str | None = None
+) -> dict:
+    """Observable gate for the Kafka path: reports, at session level,
+    exactly what is (and isn't) available so every downstream consumer
+    — the integration tests' skip reasons, a deploy preflight, README
+    troubleshooting — names the SPECIFIC missing piece instead of a
+    generic "kafka unavailable".
+
+    Returns ``{"jar": bool, "bootstrap": str, "broker_reachable": bool,
+    "usable": bool, "reason": str}`` where ``reason`` is the
+    human-readable verdict ("ok", or which of the connector jar /
+    broker is missing and how to supply it). When the path is unusable,
+    the certified in-repo substitute is the ``emoji_wire`` custom
+    DataSource (sources/emoji_wire.py) — same wire format, replayable
+    offsets under checkpointing."""
+    import os as _os
+    import socket as _socket
+
+    jar = True
+    try:
+        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: SLF001
+    except Exception:
+        jar = False
+    bootstrap = bootstrap or _os.environ.get(
+        "SPARK_GRAFT_KAFKA_BOOTSTRAP", ""
+    )
+    reachable = False
+    if bootstrap and ":" in bootstrap:
+        host, _, port = bootstrap.rpartition(":")
+        try:
+            with _socket.create_connection((host, int(port)), timeout=2):
+                reachable = True
+        except OSError:
+            reachable = False
+    missing = []
+    if not jar:
+        missing.append(
+            "spark-sql-kafka connector jar not on classpath (launch with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+        )
+    if not bootstrap:
+        missing.append(
+            "no broker configured (set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port)"
+        )
+    elif not reachable:
+        missing.append(f"broker {bootstrap!r} not reachable")
+    usable = jar and reachable
+    return {
+        "jar": jar,
+        "bootstrap": bootstrap,
+        "broker_reachable": reachable,
+        "usable": usable,
+        "reason": "ok"
+        if usable
+        else "; ".join(missing)
+        + " — use the emoji_wire custom DataSource as the certified "
+        "substitute (sources/emoji_wire.py)",
+    }
+
+
 def file_replay_stream(
     spark: SparkSession,
     directory: str,

@@ -49,13 +49,26 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
 
+    import time
+
     qs, osql = e.queries(), e.oracle_sql()
     fails, lines = [], []
+
+    def emit(msg: str) -> None:
+        # stream progress to stderr so long runs (10x parity soaks) are
+        # observable while the stdout summary stays one block at the end
+        lines.append(msg)
+        print(msg, file=sys.stderr, flush=True)
+
     for name, fn in sorted(qs.items()):
+        t_q = time.perf_counter()
         try:
             sdf = fn(spark, sf)
             if name not in osql:
-                lines.append(f"{name}: rows-only, {sdf.count()} rows")
+                emit(
+                    f"{name}: rows-only, {sdf.count()} rows "
+                    f"[{time.perf_counter() - t_q:.1f}s]"
+                )
                 continue
             s_cols = [c.lower() for c in sdf.columns]
             s_rows = sorted(
@@ -71,17 +84,20 @@ def main() -> int:
                 key=repr,
             )
             ok = sorted(s_cols) == sorted(d_cols) and s_rows == d_rows
-            lines.append(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(s_rows)} rows)")
+            emit(
+                f"{name}: {'MATCH' if ok else 'MISMATCH'} "
+                f"({len(s_rows)} rows) [{time.perf_counter() - t_q:.1f}s]"
+            )
             if not ok:
                 fails.append(name)
                 if sorted(s_cols) != sorted(d_cols):
-                    lines.append(f"  cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+                    emit(f"  cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
                 else:
                     diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:2]
-                    lines.append(f"  first diffs: {diffs}")
+                    emit(f"  first diffs: {diffs}")
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
-            lines.append(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:160]}")
+            emit(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:160]}")
     print("\n".join(lines))
     print(f"TOTAL {len(qs)} queries, {len(osql)} oracles, FAILED: {fails or 'none'}")
     spark.stop()

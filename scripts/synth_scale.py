@@ -1,0 +1,147 @@
+"""Materialize a COMPLETE key-consistent N× clone of an sf fixture.
+
+Unlike scripts/scale_ratio.py (which clones only the tables its ratio
+queries touch), this produces a full 10-table fixture directory that the
+ENTIRE registry — and therefore ``scripts/driver_sim.py`` — can run
+against, so oracle parity can be re-proven at volume (default: 10× sf0.1
+≈ a TPC-H sf1-equivalent: 6 M lineitem, 1.5 M orders, 1 M events).
+
+Key discipline (what makes the clone *consistent*, not just bigger):
+
+- fact surrogate keys shift by ``copy × 10^9`` (event_id, o_orderkey /
+  l_orderkey, doc_id, vec_id) — copies can never collide;
+- the customer FOREIGN key shifts by ``copy × 10^6`` on BOTH sides
+  (orders.o_custkey AND customer.c_custkey), so every order still finds
+  exactly one customer and per-customer aggregates scale by count-of-
+  copies with identical per-copy content; user_id shifts the same way;
+- part/supplier keys are NOT shifted: lineitem copies fan IN to the
+  same dims (the realistic shape — dims grow slower than facts);
+- region/nation/part/supplier parquet files are byte-copied verbatim;
+- document text is re-tokenized per copy (every word gets an ``x<copy>``
+  suffix) so copies share NO shingles — near-dup pair counts scale
+  exactly N×, not quadratically;
+- embeddings are cloned as exact duplicates (documented choice: the
+  semantic-dedup tiers then see each vector in a 10-deep duplicate
+  group, a *stress* shape for bucket density; parity is unaffected
+  because the DuckDB oracle replays the identical bands on the
+  identical data).
+
+Timestamps: events is read through ``catalog.table`` (nanos-long parquet
+rebuilt as TIMESTAMP_NTZ) and written back as plain TIMESTAMP_NTZ —
+DuckDB reads both encodings as micros timestamps, and ``catalog.table``
+auto-detects which encoding a fixture carries.
+
+Usage: python scripts/synth_scale.py [out_dir] [copies]
+       (default: /tmp/sf1x 10)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (  # noqa: E402
+    table,
+)
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.session import (  # noqa: E402
+    build_session,
+)
+
+SRC = "/root/testdata/sf0.1"
+
+FACT_SHIFT = 10**9
+DIM_SHIFT = 10**6
+
+# table -> {column: per-copy shift}
+_SHIFTS: dict[str, dict[str, int]] = {
+    "events": {"event_id": FACT_SHIFT, "user_id": DIM_SHIFT},
+    "orders": {"o_orderkey": FACT_SHIFT, "o_custkey": DIM_SHIFT},
+    "lineitem": {"l_orderkey": FACT_SHIFT},
+    "customer": {"c_custkey": DIM_SHIFT},
+    "embeddings": {"vec_id": FACT_SHIFT},
+    "documents": {"doc_id": FACT_SHIFT},
+}
+_VERBATIM = ("region", "nation", "part", "supplier")
+
+
+def _clone(spark, src: str, out: str, name: str, copies: int) -> None:
+    df = table(spark, src, name)
+    c = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(copies)])
+    ).alias("copy")
+    df = df.select("*", c)
+    shifts = _SHIFTS[name]
+    cols = []
+    for col in df.columns:
+        if col == "copy":
+            continue
+        if col in shifts:
+            cols.append(
+                (F.col(col) + F.col("copy") * F.lit(shifts[col])).alias(col)
+            )
+        elif name == "documents" and col == "text":
+            # per-copy token suffix: no shingle is shared across copies
+            cols.append(
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(
+                            w, F.lit("x"), F.col("copy").cast("string")
+                        ),
+                    ),
+                    " ",
+                ).alias("text")
+            )
+        else:
+            cols.append(F.col(col))
+    out_df = df.select(*cols)
+    if name == "documents":
+        out_df = out_df.withColumn("n_chars", F.length("text"))
+    # single flat file named {name}.parquet — byte-compatible with the
+    # driver fixtures' layout (DuckDB's read_parquet takes the same
+    # path on both); parquet row groups keep the Spark scan splittable
+    import glob
+
+    tmp = f"{out}/_tmp_{name}"
+    out_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(f"{tmp}/part-*.parquet")
+    os.replace(part, f"{out}/{name}.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def synthesize_full(spark, out: str, copies: int = 10, src: str = SRC) -> str:
+    os.makedirs(out, exist_ok=True)
+    for name in _VERBATIM:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.exists(dst):
+            shutil.copy(f"{src}/{name}.parquet", dst)
+    for name in _SHIFTS:
+        if not os.path.exists(f"{out}/{name}.parquet"):
+            _clone(spark, src, out, name, copies)
+            print(f"# cloned {name} x{copies}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = build_session(app_name="synth_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_full(spark, out, copies)
+    import duckdb
+
+    for name in sorted(_SHIFTS) + list(_VERBATIM):
+        n = duckdb.sql(
+            f"select count(*) from read_parquet('{out}/{name}.parquet')"
+        ).fetchone()[0]
+        print(f"{name}: {n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

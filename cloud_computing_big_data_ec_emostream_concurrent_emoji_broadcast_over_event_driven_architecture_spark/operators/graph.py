@@ -316,3 +316,134 @@ def q_hierarchy_subtree_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("n_orders"),
         F.round(F.sum("s"), 2).cast("double").alias("subtree_revenue"),
     )
+
+
+# Data-edge hierarchy: the parent pointer is a COLUMN of an edge table,
+# not an arithmetic rule the plan may exploit — the declared boundary of
+# q_hierarchy_subtree_revenue. The fixture derives the edge from the
+# customer key (mixed multiplier -> variable branching factor 2..8, so
+# parent(k) < k strictly: the forest is acyclic with data-looking,
+# non-uniform shape), but the Spark plan treats it as an OPAQUE edge
+# list and climbs it by ITERATED JOIN to a fixpoint — the recursive-CTE
+# execution strategy that works when no closed form exists.
+_HIER_EDGE_EXPR = "c_custkey div (2 + (c_custkey * 2654435761) % 7)"
+_HIER_DATA_MAX_ITERS = 64
+
+
+@register(
+    "q_hierarchy_data_edges",
+    tags=("graph", "hierarchy", "recursive", "iterative", "scale"),
+    oracle=f"""
+        WITH RECURSIVE edges AS (
+            SELECT c_custkey AS node,
+                   {_HIER_EDGE_EXPR.replace("div", "//")} AS parent
+            FROM customer
+        ),
+        spend AS (
+            SELECT o_custkey AS node,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        walk AS (
+            SELECT node AS anc, node FROM edges
+            UNION ALL
+            SELECT e.parent AS anc, w.node
+            FROM walk w
+            JOIN edges e ON e.node = w.anc AND e.parent < e.node
+        )
+        SELECT w.anc AS node,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COALESCE(SUM(sp.n_orders), 0) AS BIGINT) AS n_orders,
+               CAST(ROUND(COALESCE(SUM(sp.s), 0), 2) AS DOUBLE)
+                   AS subtree_revenue
+        FROM walk w LEFT JOIN spend sp ON sp.node = w.node
+        GROUP BY 1
+    """,
+)
+def q_hierarchy_data_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBTREE ROLLUP OVER DATA EDGES (iterative-join recursion): the
+    twin of ``q_hierarchy_subtree_revenue`` for the case its docstring
+    declares out of closed-form reach — the parent pointer is a DATA
+    column, so the ancestor closure must be COMPUTED, not expanded.
+    The oracle walks a genuine ``WITH RECURSIVE`` over the same edge
+    table; Spark climbs it one level per iteration — frontier ⨝ edges
+    on the ancestor key — accumulating (ancestor, member) pairs until
+    the frontier empties (a true fixpoint, like
+    ``connected_components``), then rolls member spend up per ancestor
+    in one aggregation. Parents outside the customer key space simply
+    stop climbing (forest of orphan roots) — both engines agree by the
+    same join semantics.
+
+    At 100 TB: per-iteration cost is one equi-join of the frontier
+    (≤ |customer| rows) against the edge list on the climbed key — a
+    dimension-sized shuffle, never fact-sized; the fact table
+    aggregates ONCE (spend) before joining the closure. Each frontier
+    is ``localCheckpoint``-ed so the iterative plan never accretes
+    lineage, and the loop bound is log₂(max key) because every edge at
+    least halves the key (branching factor ≥ 2). Iterations: ~24 at
+    bigint scale, ~8 at fixture scale."""
+    from functools import reduce
+
+    from ..catalog import table
+
+    cust = table(spark, sf_dir, "customer")
+    edges = (
+        cust.select(
+            F.col("c_custkey").alias("node"),
+            F.expr(_HIER_EDGE_EXPR).cast("bigint").alias("parent"),
+        )
+        .persist()
+    )
+    # climb: frontier_i holds (anc, node) at depth i; next depth exists
+    # only where the current ancestor itself has a DECREASING edge row.
+    # The parent < node guard is the acyclicity contract made explicit:
+    # it drops self-loops (the fixture's custkey-0 root points at
+    # itself) and would drop any data cycle, so the fixpoint always
+    # exists — the same guard the oracle's recursive join carries.
+    climb = edges.filter(F.col("parent") < F.col("node"))
+    frontier = edges.select(
+        F.col("node").alias("anc"), "node"
+    ).localCheckpoint()
+    parts = [frontier]
+    for _ in range(_HIER_DATA_MAX_ITERS):
+        nxt = (
+            frontier.join(
+                climb.withColumnsRenamed(
+                    {"node": "anc", "parent": "up"}
+                ),
+                "anc",
+            )
+            .select(F.col("up").alias("anc"), "node")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        parts.append(nxt)
+        frontier = nxt
+    closure = reduce(DataFrame.unionByName, parts)
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("node"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).alias("s"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    out = (
+        closure.join(spend, "node", "left")
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.coalesce(F.sum("n_orders"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum("s"), F.lit(0).cast("decimal(28,10)")), 2
+            )
+            .cast("double")
+            .alias("subtree_revenue"),
+        )
+    )
+    edges.unpersist()
+    return out

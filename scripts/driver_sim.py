@@ -37,7 +37,18 @@ def norm(v):
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = SparkSession.builder.master("local[8]").appName("driver_sim").getOrCreate()
+    b = SparkSession.builder.master("local[8]").appName("driver_sim")
+    # The contract simulation at sf0.01 stays VANILLA (the driver's own
+    # session: Spark defaults, 1g driver heap). For volume soaks (the
+    # 10x parity run) the same harness needs a bigger heap — 1g OOMs in
+    # HashAggregate spill-reads at 6M-row lineitem — so the knob below
+    # raises ONLY the process size, no query-visible semantics.
+    import os
+
+    mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
+    if mem:
+        b = b.config("spark.driver.memory", mem)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     df = e.entry(spark)

@@ -788,7 +788,9 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
 
     Returns (doc_id, lbl) with lbl = min doc_id of the component.
     """
-    labels = (
+    from ..caches import track_checkpoint
+
+    labels = track_checkpoint(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
@@ -818,6 +820,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             )
             .localCheckpoint()
         )
+        stepped = track_checkpoint(stepped)
         changed = stepped.filter(F.col("lbl") != F.col("prev_lbl")).count()
         labels = stepped.drop("prev_lbl")
         if changed == 0:
@@ -876,7 +879,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id_a").alias("doc_id_b"),
         )
     ).withColumnsRenamed({"doc_id_a": "src", "doc_id_b": "dst"})
-    edges = edges.persist()
+    from ..caches import track_transient
+
+    edges = track_transient(edges.persist())
     labels = connected_components(edges)
     return labels.select(
         "doc_id",

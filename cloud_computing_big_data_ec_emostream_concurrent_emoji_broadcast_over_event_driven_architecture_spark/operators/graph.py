@@ -84,6 +84,9 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnsRenamed({"doc_id_a": "src", "doc_id_b": "dst"})
         .persist()
     )
+    from ..caches import track_checkpoint, track_transient
+
+    edges = track_transient(edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("pr"))
     for _ in range(PR_ITERS):
@@ -102,7 +105,7 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sum(F.col("c").cast("decimal(28,10)")).cast("double")
             ).alias("pr")
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = track_checkpoint(ranks.localCheckpoint(eager=False))
     return ranks.select("doc_id", F.round("pr", 6).alias("pagerank"))
 
 
@@ -151,7 +154,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the pair list is referenced by all three join branches —
     # without it the whole MinHash pipeline would run three times (same
     # pattern as q_pagerank_neardup's edge list)
-    pairs = (
+    from ..caches import track_transient
+
+    pairs = track_transient(
         q_dedup_minhash(spark, sf_dir)
         .select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
         .persist()
@@ -401,10 +406,12 @@ def q_hierarchy_data_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it drops self-loops (the fixture's custkey-0 root points at
     # itself) and would drop any data cycle, so the fixpoint always
     # exists — the same guard the oracle's recursive join carries.
+    from ..caches import track_checkpoint
+
     climb = edges.filter(F.col("parent") < F.col("node"))
-    frontier = edges.select(
-        F.col("node").alias("anc"), "node"
-    ).localCheckpoint()
+    frontier = track_checkpoint(
+        edges.select(F.col("node").alias("anc"), "node").localCheckpoint()
+    )
     parts = [frontier]
     for _ in range(_HIER_DATA_MAX_ITERS):
         nxt = (
@@ -417,6 +424,7 @@ def q_hierarchy_data_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("up").alias("anc"), "node")
             .localCheckpoint()
         )
+        nxt = track_checkpoint(nxt)
         if nxt.isEmpty():
             break
         parts.append(nxt)

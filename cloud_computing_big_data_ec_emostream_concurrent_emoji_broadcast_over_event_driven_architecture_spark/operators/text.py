@@ -1619,8 +1619,12 @@ def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scan, and both two-phase-rank passes plus the rollup chain
     # from it — without the checkpoint each plan branch re-runs the
     # regexp/tokenize scan
+    from ..caches import track_checkpoint
+
     bucket = F.expr(f"doc_id div {QUALITY_RANK_BUCKET}")
-    bscored = scored.withColumn("bkt", bucket).localCheckpoint(eager=True)
+    bscored = track_checkpoint(
+        scored.withColumn("bkt", bucket).localCheckpoint(eager=True)
+    )
     bcounts = bscored.groupBy("quality", "bkt").agg(
         F.count("*").alias("c")
     )

@@ -359,8 +359,14 @@ def bloom_probe_stream(
         if existing:
             out = spark.table(f"global_temp.{name}").unionByName(out)
         # eager localCheckpoint materializes the accumulated view so the
-        # next batch's union doesn't re-execute prior batches' plans
-        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(name)
+        # next batch's union doesn't re-execute prior batches' plans;
+        # swap_view_checkpoint releases the batch it replaces (bounded
+        # storage over an unbounded stream)
+        from ..caches import swap_view_checkpoint
+
+        ck = out.localCheckpoint(eager=True)
+        ck.createOrReplaceGlobalTempView(name)
+        swap_view_checkpoint(ck, name)
 
     return (
         docs_stream.writeStream.outputMode("append")
@@ -558,8 +564,11 @@ def ts_similarity_stream(
                 .groupBy("user_id", "hour")
                 .agg(F.sum("cnt").alias("cnt"))
             )
+        from ..caches import swap_view_checkpoint
+
         cells = delta.localCheckpoint(eager=True)
         cells.createOrReplaceGlobalTempView(cells_view)
+        swap_view_checkpoint(cells, cells_view)
 
         grid = cells.select(F.count_distinct("hour").alias("n"))
         stats = cells.groupBy("user_id").agg(
@@ -599,7 +608,9 @@ def ts_similarity_stream(
             )
             .select("user_id", F.round(corr, 6).alias("corr"))
         )
-        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(name)
+        ck_out = out.localCheckpoint(eager=True)
+        ck_out.createOrReplaceGlobalTempView(name)
+        swap_view_checkpoint(ck_out, name)
 
     return (
         events.writeStream.outputMode("append")
@@ -667,15 +678,20 @@ def bitmap_distinct_stream(
                 .groupBy("event_type", "word_id")
                 .agg(F.bit_or("word").alias("word"))
             )
+        from ..caches import swap_view_checkpoint
+
         words = delta.localCheckpoint(eager=True)
         words.createOrReplaceGlobalTempView(words_view)
+        swap_view_checkpoint(words, words_view)
         out = words.groupBy("event_type").agg(
             F.sum(F.bit_count("word"))
             .cast("bigint")
             .alias("distinct_users"),
             F.count("*").cast("bigint").alias("bitmap_words"),
         )
-        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(name)
+        ck_out = out.localCheckpoint(eager=True)
+        ck_out.createOrReplaceGlobalTempView(name)
+        swap_view_checkpoint(ck_out, name)
 
     return (
         events.writeStream.outputMode("append")

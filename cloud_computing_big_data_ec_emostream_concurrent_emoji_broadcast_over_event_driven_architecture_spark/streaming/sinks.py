@@ -125,6 +125,9 @@ def start_topk_sink(
             .localCheckpoint(eager=True)
         )
         ranked.createOrReplaceGlobalTempView(query_name)
+        from ..caches import swap_view_checkpoint
+
+        swap_view_checkpoint(ranked, query_name)
 
     return (
         counts.writeStream.outputMode(output_mode)

@@ -340,24 +340,14 @@ def _minhash_oracle() -> str:
     """
 
 
-@register(
-    "q_dedup_minhash",
-    headline=True,
-    tags=("dedup", "minhash", "lsh", "scale"),
-    oracle=_minhash_oracle(),
-)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: 16 minhashes banded 4×4; only band-collision
-    candidates get exact Jaccard verification (≥ 0.8 emitted). This is the
-    100 TB path: cost is O(docs × bands) for the candidate join instead of
-    an inverted-index join whose hot-shingle skew explodes quadratically.
-    The oracle replays the IDENTICAL pipeline in SQL (same md5-derived
-    hashes, same band keys), so candidates — not just survivors — must
-    agree across engines."""
-    # Signatures come per-row from the cached hashed-shingle table (see
-    # _hashed_shingle_sets) — no explode+groupBy shuffle at all; the only
-    # shuffles in the whole query are the LSH band join and the candidate
-    # verification joins.
+def minhash_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct band-collision pairs (doc_id_a < doc_id_b) — the LSH
+    candidate generator, exposed so skew audits can count candidates
+    independently of verification (tests/test_skew.py plants a
+    degenerate corpus where one band key captures 10% of docs and pins
+    the candidate count at exactly the hot clique, not x NUM_BANDS)."""
     hdf = _hashed_shingle_sets(spark, sf_dir)
     sig = hdf.select("doc_id", "sig")
     band_rows = sig.select(
@@ -397,6 +387,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return cand
+
+
+@register(
+    "q_dedup_minhash",
+    headline=True,
+    tags=("dedup", "minhash", "lsh", "scale"),
+    oracle=_minhash_oracle(),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: 16 minhashes banded 4×4; only band-collision
+    candidates get exact Jaccard verification (≥ 0.8 emitted). This is the
+    100 TB path: cost is O(docs × bands) for the candidate join instead of
+    an inverted-index join whose hot-shingle skew explodes quadratically.
+    The oracle replays the IDENTICAL pipeline in SQL (same md5-derived
+    hashes, same band keys), so candidates — not just survivors — must
+    agree across engines."""
+    # Signatures come per-row from the cached hashed-shingle table (see
+    # _hashed_shingle_sets) — no explode+groupBy shuffle at all; the only
+    # shuffles in the whole query are the LSH band join and the candidate
+    # verification joins.
+    hdf = _hashed_shingle_sets(spark, sf_dir)
+    cand = minhash_candidate_pairs(spark, sf_dir)
     # Exact verification of candidates only: join each candidate pair back
     # to the doc-level hashed sets and intersect the ARRAYS — join
     # cardinality is one row per candidate pair (vs one per shingle

@@ -98,3 +98,117 @@ def test_df_cap_engages_on_hot_only_pairs(spark, hot_shingle_sf_dir):
     assert (910, 911) not in pairs
     # and no boilerplate-driven candidate explosion among the 80 docs
     assert not any(a < 900 and b < 900 for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def hot_band_sf_dir(spark, tmp_path_factory):
+    """Degenerate corpora for the LSH tiers (round-6 adversarial-skew
+    item): 10% of documents are IDENTICAL (every MinHash band key for
+    them collides — one band bucket captures 10% of the corpus) and 10%
+    of embeddings are IDENTICAL (every RHP band code collides). The
+    rest are unique. The tier must emit the hot clique's pairs exactly
+    once (not once per band) and produce near-zero background
+    candidates."""
+    import math
+
+    d = tmp_path_factory.mktemp("hot_bands")
+    n_docs, n_hot = 300, 30
+    boiler = " ".join(f"hotword{j}" for j in range(30))
+    rows = []
+    for i in range(n_hot):
+        rows.append((i, boiler, "en", "web", len(boiler)))
+    for i in range(n_hot, n_docs):
+        uniq = " ".join(f"u{i}w{j}" for j in range(30))
+        rows.append((i, uniq, "en", "web", len(uniq)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(2).write.parquet(str(d / "documents.parquet"))
+
+    n_vec, n_hot_vec, dim = 300, 30, 64
+    hot = [math.sin(7 * j + 1) for j in range(dim)]
+
+    import random
+
+    rng = random.Random(20260814)  # seeded: reproducible fixture
+    vecs = []
+    for i in range(n_hot_vec):
+        vecs.append((i, [float(x) for x in hot], 0))
+    for i in range(n_hot_vec, n_vec):
+        vecs.append(
+            (i, [float(rng.uniform(-1.0, 1.0)) for _ in range(dim)], 1)
+        )
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.parquet(str(d / "embeddings.parquet"))
+    return str(d), n_hot, n_hot_vec
+
+
+def test_minhash_band_skew_candidate_bound(spark, hot_band_sf_dir):
+    """One MinHash band bucket holding 10% of docs: candidates must be
+    EXACTLY the hot clique C(30,2) — the distinct() collapses the
+    4-band multiplicity, and unique docs contribute nothing."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.dedup import (
+        clear_hashset_cache,
+        minhash_candidate_pairs,
+        q_dedup_minhash,
+    )
+
+    sf_dir, n_hot, _ = hot_band_sf_dir
+    clear_hashset_cache()
+    try:
+        cands = minhash_candidate_pairs(spark, sf_dir).collect()
+        hot_clique = n_hot * (n_hot - 1) // 2
+        in_hot = [
+            (r.doc_id_a, r.doc_id_b)
+            for r in cands
+            if r.doc_id_a < n_hot and r.doc_id_b < n_hot
+        ]
+        assert len(in_hot) == hot_clique  # exactly once, not x NUM_BANDS
+        # background: unique docs share no shingles; any stray band
+        # collision stays negligible (pinned at < 1% of the clique)
+        assert len(cands) - hot_clique <= hot_clique // 100
+        # and the verified output emits the full identical clique
+        pairs = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in q_dedup_minhash(spark, sf_dir).collect()
+        }
+        assert {p for p in pairs if p[0] < n_hot} == set(in_hot)
+    finally:
+        clear_hashset_cache()
+
+
+def test_rhp_band_skew_candidate_bound(spark, hot_band_sf_dir):
+    """One RHP band code holding 10% of embeddings: candidate pairs are
+    the hot clique exactly once plus a bounded random-collision
+    background — the distinct() collapses the 8-band multiplicity."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _rhp_candidate_pairs,
+        clear_rhp_cache,
+    )
+
+    sf_dir, _, n_hot = hot_band_sf_dir
+    clear_rhp_cache()
+    try:
+        cands = [
+            (r.vec_id_a, r.vec_id_b)
+            for r in _rhp_candidate_pairs(spark, sf_dir).collect()
+        ]
+        hot_clique = n_hot * (n_hot - 1) // 2
+        in_hot = [p for p in cands if p[0] < n_hot and p[1] < n_hot]
+        assert len(in_hot) == hot_clique
+        assert len(set(cands)) == len(cands)  # distinct really distinct
+        # RHP with 8 bands of 6 bits is a COARSE filter: fair
+        # independent sign bits would collide on >=1 band with prob
+        # 1-(1-2^-6)^8 ~ 11.8%; the deterministic LCG planes carry
+        # enough bit correlation that the measured rate on seeded
+        # iid-uniform vectors is ~27%. Pin at 40% of all-pairs:
+        # catastrophic regressions (losing the distinct() -> ~8x
+        # multiplicity, or a band collapsing to one code -> all-pairs)
+        # overshoot it immediately, while the documented coarse rate
+        # passes with margin.
+        n_vec = 300
+        all_pairs = n_vec * (n_vec - 1) // 2
+        assert len(cands) <= int(0.40 * all_pairs), len(cands)
+    finally:
+        clear_rhp_cache()

@@ -339,13 +339,15 @@ def growth_flows_stream(
     batch. Constant per-user state, the same property that makes
     ``attribution_stream`` streamable.
 
-    CHURN is deliberately absent from the streaming form: a churn row
-    is the OBSERVATION OF ABSENCE (no activity by end of day d+1),
-    which streaming can only emit from a timer sweep — the batch
-    operator derives it from the same lead() the classification uses,
-    so the nightly batch remains the system of record for churn while
-    this stream feeds the real-time new/retained/resurrected counters.
-    Stated divergence, same class as SURVEY §2 ST4.
+    CHURN is deliberately absent from THIS form: a churn row is the
+    OBSERVATION OF ABSENCE (no activity by end of day d+1), which
+    streaming can only emit from a timer sweep. The churn-complete
+    twins are :func:`growth_flows_churn_stream` (event-time timeouts,
+    runs everywhere) and :func:`growth_flows_timer_stream` (Spark 4
+    ``transformWithStateInPandas`` timers, gated by
+    :func:`timer_backend_available`); this timer-free variant remains
+    for pipelines that only need the real-time
+    new/retained/resurrected counters with zero timeout bookkeeping.
 
     In-order replay reproduces the batch classification exactly (rows
     are sorted by (ts, event_id) within each micro-batch; pinned in
@@ -397,4 +399,269 @@ def growth_flows_stream(
         stateStructType=_GROWTH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DAY_MS = 86_400 * 1_000
+
+
+def timer_backend_available() -> tuple[bool, str]:
+    """Observable gate for the ``transformWithStateInPandas`` timer
+    backend, mirroring the Kafka connector gate: the Spark 4 stateful
+    processor speaks a protobuf wire protocol to its JVM state server
+    (``pyspark/sql/streaming/proto/StateMessage_pb2.py``), so without
+    ``google.protobuf`` the driver-side pre-init worker crashes before
+    the first batch. Tests skip with THIS reason instead of an opaque
+    ``STREAM_FAILED``; :func:`growth_flows_churn_stream` is the
+    certified substitute that needs no protobuf."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False, (
+            "google.protobuf not installed: transformWithStateInPandas "
+            "state-server protocol unavailable in this environment "
+            "(growth_flows_churn_stream is the certified substitute)"
+        )
+    return True, ""
+
+
+def growth_flows_churn_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """CHURN-COMPLETE streaming growth accounting on the
+    ``applyInPandasWithState`` backend via **event-time timeouts**
+    (``GroupStateTimeout.EventTimeTimeout``) — closes the declared
+    batch/stream asymmetry of :func:`growth_flows_stream` without the
+    protobuf-backed ``transformWithStateInPandas`` path (see
+    :func:`timer_backend_available`).
+
+    Churn is the observation of ABSENCE: ``churned(d) ⇔ active(d−1) ∧
+    ¬active(d)``. Three emission paths cover every way absence becomes
+    observable, together reproducing the batch lead() derivation row
+    for row (pinned in tests/test_streaming_timers.py):
+
+    1. **Timeout sweep** — every activity re-arms the group's event-time
+       timeout at start-of-day ``last+2`` (= end of the churn window
+       ``last+1``). When the watermark passes it with no new activity,
+       Spark invokes the group with ``hasTimedOut`` and we emit
+       ``(user, last+1, "churned")``. Fresh activity overwrites the
+       timeout, so a retained user never churns.
+    2. **In-batch gap** — consecutive same-user days ``L → d`` with
+       ``d > L+1`` arriving in one batch can never fire the timeout
+       (data in the batch suppresses it), so the data path emits the
+       missed ``(user, L+1, "churned")`` inline before the
+       ``resurrected`` row.
+    3. **Already-past window** — when the re-arm target is at or below
+       the current watermark (history replayed after the watermark
+       advanced), no future in-watermark event can contradict absence,
+       so churn is emitted immediately instead of arming a dead timer.
+
+    A ``churn_emitted`` flag in state makes paths 1 and 2 mutually
+    exclusive across batches (a timeout in batch k, then a comeback in
+    batch k+1, must not re-emit the same churn row). State survives a
+    fired timeout — the comeback classifies ``resurrected``, matching
+    the batch lag() rule.
+
+    At 100 TB: per-user state is one (long, boolean) row plus one
+    pending timeout — the same constant-state property as the
+    classification-only stream; the timeout sweep is the state store's
+    own range scan, not a per-batch full-keyspace pass."""
+    state_schema = T.StructType(
+        [
+            T.StructField("last_day", T.LongType()),
+            T.StructField("churn_emitted", T.BooleanType()),
+        ]
+    )
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_day, churn_emitted = state.get
+            if not churn_emitted:
+                # state persists (no remove()): a later comeback must
+                # classify resurrected, exactly like the batch lag()
+                state.update((last_day, True))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "day_num": [last_day + 1],
+                        "flow": ["churned"],
+                    }
+                )
+            return
+        last_day, churn_emitted = (
+            state.get if state.exists else (None, False)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_day, out_flow = [], []
+        for row in pdf.itertuples():
+            d = int(row.ts.value // 1_000) // _US_PER_DAY
+            if last_day is None:
+                flow = "new"
+            elif d == last_day:
+                continue
+            elif d == last_day + 1:
+                flow = "retained"
+            elif d > last_day:
+                if not churn_emitted:  # path 2: timeout was suppressed
+                    out_day.append(last_day + 1)
+                    out_flow.append("churned")
+                flow = "resurrected"
+            else:  # older than the frontier — late arrival, day closed
+                continue
+            out_day.append(d)
+            out_flow.append(flow)
+            last_day = d
+            churn_emitted = False
+        if last_day is not None:
+            # Spark clears a group's pending timeout on EVERY function
+            # call — even one whose rows were all late no-ops — so the
+            # watch must be re-armed here whenever the frontier's churn
+            # is still unobserved, and only then.
+            if churn_emitted:
+                state.update((last_day, True))
+            else:
+                window_end_ms = (last_day + 2) * _DAY_MS
+                if window_end_ms > state.getCurrentWatermarkMs():
+                    state.update((last_day, False))
+                    state.setTimeoutTimestamp(window_end_ms)
+                else:  # path 3: window already swept past
+                    state.update((last_day, True))
+                    out_day.append(last_day + 1)
+                    out_flow.append("churned")
+        if out_day:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_day),
+                    "day_num": out_day,
+                    "flow": out_flow,
+                }
+            )
+
+    stream = events.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark_delay)
+    return stream.groupBy(F.col("user_id")).applyInPandasWithState(
+        update,
+        outputStructType=GROWTH_FLOW_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def growth_flows_timer_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """CHURN-COMPLETE streaming growth accounting via EVENT-TIME TIMERS
+    (``transformWithStateInPandas``, Spark 4) — closes the one declared
+    batch/stream asymmetry of :func:`growth_flows_stream`: churn is the
+    observation of ABSENCE (no activity through end of day L+1), which
+    only a timer sweep can emit.
+
+    Per-user state is still one integer (last active day). Every
+    activity (re)arms a single event-time timer at the start of day
+    L+2 = the end of the user's churn-observation window; when the
+    WATERMARK passes it without new activity the timer fires and emits
+    ``(user, L+1, "churned")`` — exactly the batch identity
+    ``churned(d) ⇔ active(d−1) ∧ ¬active(d)``. New activity first
+    deletes the stale timer, so a retained user never churns, and a
+    comeback after a fired churn classifies ``resurrected`` — matching
+    the batch lag() classification row for row (pinned in
+    tests/test_streaming_timers.py by replaying multi-day fixtures and
+    diffing against the batch window).
+
+    Needs the RocksDB state store provider (the transformWithState
+    backend), ``google.protobuf`` for the state-server wire protocol
+    (check :func:`timer_backend_available` — in protobuf-less
+    environments :func:`growth_flows_churn_stream` is the certified
+    substitute with identical output), and an event-time watermark on
+    ``ts_col``; churn for day d emits once the watermark passes
+    end-of-day d — the final fixture day's churn stays open until
+    later data closes it, the correct streaming reading of "absence
+    not yet observable".
+
+    At 100 TB: state is 8 bytes + one timer per active user, RocksDB
+    keeps it off-heap, and the timer sweep is the state store's own
+    range scan — no per-batch full-keyspace pass."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _GrowthTimerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last_day", "last_day long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_day = None
+            if self._last.exists():
+                last_day = self._last.get()[0]
+            out_day, out_flow = [], []
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                d = int(row.ts.value // 1_000) // _US_PER_DAY
+                if last_day is None:
+                    flow = "new"
+                elif d == last_day:
+                    continue
+                elif d == last_day + 1:
+                    flow = "retained"
+                elif d > last_day:
+                    flow = "resurrected"
+                else:
+                    continue
+                out_day.append(d)
+                out_flow.append(flow)
+                last_day = d
+            if last_day is not None:
+                self._last.update((last_day,))
+                # re-arm the absence watch: one live timer per user at
+                # start-of-day last+2 (== end of churn window last+1)
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer((last_day + 2) * _DAY_MS)
+            if out_day:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(out_day),
+                        "day_num": out_day,
+                        "flow": out_flow,
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            churn_day = expiredTimerInfo.getExpiryTimeInMs() // _DAY_MS - 1
+            last_day = self._last.get()[0] if self._last.exists() else None
+            # fire only if the state still says "last active the day
+            # before the churn day" — a stale timer the delete missed
+            # (or a race with same-batch activity) must not double-emit
+            if last_day is not None and last_day == churn_day - 1:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "day_num": [churn_day],
+                        "flow": ["churned"],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    stream = events.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark_delay)
+    return stream.groupBy(F.col("user_id")).transformWithStateInPandas(
+        _GrowthTimerProcessor(),
+        outputStructType=GROWTH_FLOW_SCHEMA,
+        outputMode="update",
+        timeMode="eventTime",
     )

@@ -364,7 +364,7 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     est = (F.col("kk") - 1) * F.lit(float(HASH_SPACE)) / F.col("hk")
     return (
-        kth.crossJoin(exact)
+        kth.crossJoin(F.broadcast(exact))
         .select(
             F.col("exact_distinct"),
             F.round(est, 4).alias("kmv_estimate"),
@@ -862,12 +862,20 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         a_k.select(F.col("hk").alias("a_hk"), F.col("kk").alias("a_kk"))
         .crossJoin(
-            b_k.select(F.col("hk").alias("b_hk"), F.col("kk").alias("b_kk"))
+            F.broadcast(
+                b_k.select(
+                    F.col("hk").alias("b_hk"), F.col("kk").alias("b_kk")
+                )
+            )
         )
         .crossJoin(
-            u_k.select(F.col("hk").alias("u_hk"), F.col("kk").alias("u_kk"))
+            F.broadcast(
+                u_k.select(
+                    F.col("hk").alias("u_hk"), F.col("kk").alias("u_kk")
+                )
+            )
         )
-        .crossJoin(ex)
+        .crossJoin(F.broadcast(ex))
     )
     return joined.select(
         F.round(est("a"), 4).alias("est_a"),

@@ -1144,8 +1144,8 @@ def q_dedup_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = exact.join(approx, ["doc_id_a", "doc_id_b"])
     return (
         exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(approx.agg(F.count("*").alias("n_minhash")))
-        .crossJoin(common.agg(F.count("*").alias("n_common")))
+        .crossJoin(F.broadcast(approx.agg(F.count("*").alias("n_minhash"))))
+        .crossJoin(F.broadcast(common.agg(F.count("*").alias("n_common"))))
         .select(
             "n_exact",
             "n_minhash",
@@ -1426,8 +1426,8 @@ def q_minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_exact = exact_pairs.agg(F.count("*").alias("n_exact"))
         nb = len(MINHASH_AB) // band_size
         return (
-            n_cand.crossJoin(n_exact)
-            .crossJoin(n_found)
+            n_cand.crossJoin(F.broadcast(n_exact))
+            .crossJoin(F.broadcast(n_found))
             .select(
                 F.lit(f"bands{nb}x{band_size}").alias("config"),
                 "n_candidates",

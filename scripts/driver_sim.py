@@ -8,6 +8,7 @@ Exit code 0 iff every oracle-backed query matches.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -37,14 +38,13 @@ def norm(v):
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    b = SparkSession.builder.master("local[8]").appName("driver_sim")
+    cores = os.environ.get("SPARK_GRAFT_SIM_CORES", "8")
+    b = SparkSession.builder.master(f"local[{cores}]").appName("driver_sim")
     # The contract simulation at sf0.01 stays VANILLA (the driver's own
     # session: Spark defaults, 1g driver heap). For volume soaks (the
     # 10x parity run) the same harness needs a bigger heap — 1g OOMs in
     # HashAggregate spill-reads at 6M-row lineitem — so the knob below
     # raises ONLY the process size, no query-visible semantics.
-    import os
-
     mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
     if mem:
         b = b.config("spark.driver.memory", mem)

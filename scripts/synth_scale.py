@@ -20,11 +20,19 @@ Key discipline (what makes the clone *consistent*, not just bigger):
 - document text is re-tokenized per copy (every word gets an ``x<copy>``
   suffix) so copies share NO shingles — near-dup pair counts scale
   exactly N×, not quadratically;
-- embeddings are cloned as exact duplicates (documented choice: the
-  semantic-dedup tiers then see each vector in a 10-deep duplicate
-  group, a *stress* shape for bucket density; parity is unaffected
-  because the DuckDB oracle replays the identical bands on the
-  identical data).
+- embedding vectors are ROTATED per copy (element ``i`` of copy ``c``
+  reads ``x[(i + 7c) mod d]``): a rotation is an orthogonal transform,
+  so every intra-copy cosine is bit-preserved (each copy reproduces the
+  original pair structure exactly) while cross-copy cosines become
+  lag-``7Δc`` circular cross-correlations — noise-level for these
+  near-random vectors — so semantic-dedup/ANN answers scale ~N×.
+  The first cut cloned vectors verbatim; that re-created round 1's
+  density caveat on the embedding side: every vector became a 10-deep
+  exact-duplicate clique (45 sim-1.0 pairs per vector, 100× growth on
+  every original near-pair) and the *oracle replay* of the band join,
+  not the Spark plan, became the soak's bottleneck (>40 GB, unbounded).
+  Lesson re-encoded: near-dup benchmark cost tracks planted pair
+  density, in every modality.
 
 Timestamps: events is read through ``catalog.table`` (nanos-long parquet
 rebuilt as TIMESTAMP_NTZ) and written back as plain TIMESTAMP_NTZ —
@@ -83,6 +91,17 @@ def _clone(spark, src: str, out: str, name: str, copies: int) -> None:
         if col in shifts:
             cols.append(
                 (F.col(col) + F.col("copy") * F.lit(shifts[col])).alias(col)
+            )
+        elif name == "embeddings" and col == "embedding":
+            # per-copy rotation (orthogonal): intra-copy cosines exact,
+            # cross-copy cosines decorrelated — answers scale ~N x
+            n = F.size("embedding")
+            r = (F.col("copy") * F.lit(7)) % n
+            cols.append(
+                F.concat(
+                    F.slice(F.col("embedding"), r + F.lit(1), n - r),
+                    F.slice(F.col("embedding"), F.lit(1), r),
+                ).alias("embedding")
             )
         elif name == "documents" and col == "text":
             # per-copy token suffix: no shingle is shared across copies

@@ -1,0 +1,335 @@
+"""HTTP + SSE serving tier over the engine's streaming state — a REAL
+bound listener, stdlib-only (SURVEY.md §2.1 S7/S8).
+
+The reference serves its aggregation state over Flask
+(analytical_server.py:137-150: ``/api/stats``, ``/api/emoji-data``,
+``/api/total-data``) and relays the live event feed to browsers as
+Server-Sent Events (client.py:157-181: ``/events`` yields
+``data: <payload>\\n\\n`` frames with a ``ping`` on 20 s idle), with the
+WebSocket pub-sub layer broadcasting every message to every subscriber
+(pubsub.py:98-103).
+
+Engine equivalents, with the serving tier reading ONLY from streaming
+sink state (never re-aggregating):
+
+- :func:`api_stats` / :func:`api_emoji_data` / :func:`api_total_data`
+  build the reference's exact payload shapes from an update-mode memory
+  sink table (one small DataFrame query each — the per-(type, window)
+  aggregate state is bounded by cardinality, so the terminal
+  ``collect`` is serving-sized by construction, not data-sized).
+- :class:`SseHub` is the in-process pub-sub node: thread-safe
+  subscriber registry, broadcast with drop-on-disconnect — the
+  stdlib twin of the reference's ClusterNode (pubsub.py:14-31).
+- :func:`sse_batch_sink` adapts the hub to the engine's
+  ``fanout_foreach_batch`` contract so each micro-batch of an
+  aggregate stream is pushed to every connected SSE client.
+- :class:`StatsHttpServer` binds ``ThreadingHTTPServer`` (port 0 =
+  ephemeral) and routes the three JSON endpoints, ``/events`` (SSE,
+  ping-on-idle like the reference client), and a minimal ``/``
+  dashboard page.
+
+No Flask/websockets dependency: the transport is ~the stdlib, and the
+analytics underneath is the engine's watermarked windowed aggregation
+instead of the reference's hand-rolled in-Python minute ledger
+(analytical_server.py:13-110).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the reference's rolling retention (analytical_server.py:13)
+WINDOW_MINUTES = 3
+
+# reference client.py:171-173: 20 s idle -> "data: ping"
+SSE_IDLE_SECONDS = 20.0
+
+
+# ---------------------------------------------------------------- payloads
+
+
+def latest_counts(spark: SparkSession, sink_table: str) -> DataFrame:
+    """Current per-(type, window) counts: an update-mode memory sink keeps
+    EVERY emission, so collapse to the latest (cnt is monotone per window,
+    hence max == last)."""
+    return (
+        spark.sql(f"SELECT * FROM {sink_table}")
+        .groupBy("event_type", "window")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+
+
+def api_stats(
+    spark: SparkSession,
+    sink_table: str,
+    window_minutes: int = WINDOW_MINUTES,
+) -> dict:
+    """reference /api/stats (analytical_server.py:96-109, 147-150)."""
+    t = latest_counts(spark, sink_table)
+    cutoff = t.agg(
+        (F.max("window.end") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        .alias("c")
+    ).collect()[0]["c"]
+    recent = t.filter(F.col("window.end") > F.lit(cutoff))
+    breakdown = {
+        r["event_type"]: r["n"]
+        for r in recent.groupBy("event_type")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    return {
+        "total_emojis": int(sum(breakdown.values())),
+        "emoji_breakdown": breakdown,
+        "window_minutes": window_minutes,
+    }
+
+
+def api_total_data(spark: SparkSession, sink_table: str) -> list[dict]:
+    """reference /api/total-data (analytical_server.py:84-94, 142-145)."""
+    rows = (
+        latest_counts(spark, sink_table)
+        .groupBy(F.col("window.start").alias("minute"))
+        .agg(F.sum("cnt").alias("count"))
+        .orderBy("minute")
+        .collect()
+    )
+    return [
+        {"timestamp": r["minute"].isoformat(), "count": r["count"]}
+        for r in rows
+    ]
+
+
+def api_emoji_data(spark: SparkSession, sink_table: str) -> dict[str, list[dict]]:
+    """reference /api/emoji-data (analytical_server.py:68-82, 137-140)."""
+    rows = (
+        latest_counts(spark, sink_table)
+        .select("event_type", F.col("window.start").alias("minute"), "cnt")
+        .orderBy("event_type", "minute")
+        .collect()
+    )
+    out: dict[str, list[dict]] = {}
+    for r in rows:
+        out.setdefault(r["event_type"], []).append(
+            {"timestamp": r["minute"].isoformat(), "count": r["cnt"]}
+        )
+    return out
+
+
+# ---------------------------------------------------------------- SSE hub
+
+
+class SseHub:
+    """In-process pub-sub node: every published message goes to every
+    live subscriber; slow/dead subscribers are dropped, not waited on
+    (the reference broadcasts with a 5 s send timeout and discards
+    closed sockets, pubsub.py:14-31 — a bounded per-subscriber queue is
+    the synchronous-HTTP equivalent)."""
+
+    def __init__(self, max_queue: int = 1000) -> None:
+        self._subs: dict[int, queue.Queue] = {}
+        self._ids = itertools.count()
+        self._lock = threading.Lock()
+        self._max_queue = max_queue
+
+    def subscribe(self) -> tuple[int, queue.Queue]:
+        q: queue.Queue = queue.Queue(maxsize=self._max_queue)
+        with self._lock:
+            sid = next(self._ids)
+            self._subs[sid] = q
+        return sid, q
+
+    def unsubscribe(self, sid: int) -> None:
+        with self._lock:
+            self._subs.pop(sid, None)
+
+    @property
+    def subscriber_count(self) -> int:
+        with self._lock:
+            return len(self._subs)
+
+    def publish(self, message: dict) -> int:
+        """Broadcast to all subscribers; a full queue drops THAT
+        subscriber (backpressure = disconnect, as in the reference's
+        send-timeout eviction). Returns live-subscriber count."""
+        with self._lock:
+            subs = list(self._subs.items())
+        dead = []
+        for sid, q in subs:
+            try:
+                q.put_nowait(message)
+            except queue.Full:
+                dead.append(sid)
+        for sid in dead:
+            self.unsubscribe(sid)
+        return self.subscriber_count
+
+
+def sse_batch_sink(hub: SseHub) -> Callable[[DataFrame, int], None]:
+    """Adapt a hub to the ``fanout_foreach_batch`` BatchSink contract:
+    each micro-batch row becomes one SSE message. Meant for AGGREGATE
+    streams (per-window counts — rows bounded by key×window cardinality,
+    so the collect is state-sized); the raw-event relay shape of the
+    reference is the same sink fed by the decoded wire stream."""
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        cols = batch_df.columns
+        for row in batch_df.collect():
+            msg = {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in zip(cols, row)
+            }
+            # window structs arrive as Rows; flatten to ISO strings
+            for k, v in list(msg.items()):
+                if hasattr(v, "asDict"):
+                    msg[k] = {
+                        kk: (vv.isoformat() if hasattr(vv, "isoformat") else vv)
+                        for kk, vv in v.asDict().items()
+                    }
+            msg["batch_id"] = batch_id
+            hub.publish(msg)
+
+    return deliver
+
+
+# ---------------------------------------------------------------- server
+
+_DASHBOARD_HTML = """<!DOCTYPE html>
+<html><head><title>engine stats</title></head>
+<body>
+<h1>Streaming stats</h1>
+<p>Endpoints: <a href="/api/stats">/api/stats</a>,
+<a href="/api/emoji-data">/api/emoji-data</a>,
+<a href="/api/total-data">/api/total-data</a>,
+<a href="/events">/events</a> (SSE)</p>
+</body></html>
+"""
+
+
+class StatsHttpServer:
+    """A real bound HTTP listener serving the reference's endpoint
+    surface from engine streaming state.
+
+    ``port=0`` binds an ephemeral port (read it back from ``.port``).
+    ``serve_background()`` runs the accept loop on a daemon thread;
+    ``close()`` shuts it down. ``sse_idle_seconds`` controls the
+    keep-alive ping cadence (the reference's 20 s, client.py:171-173);
+    tests shrink it."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink_table: str,
+        hub: SseHub | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        window_minutes: int = WINDOW_MINUTES,
+        sse_idle_seconds: float = SSE_IDLE_SECONDS,
+    ) -> None:
+        self.spark = spark
+        self.sink_table = sink_table
+        self.hub = hub or SseHub()
+        self.window_minutes = window_minutes
+        self.sse_idle_seconds = sse_idle_seconds
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # tests shouldn't spam stderr with access logs
+            def log_message(self, fmt: str, *args: Any) -> None:
+                pass
+
+            def _json(self, payload: Any) -> None:
+                body = json.dumps(payload, sort_keys=True).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802 — stdlib contract
+                path = self.path.split("?", 1)[0]
+                try:
+                    if path == "/api/stats":
+                        self._json(
+                            api_stats(
+                                outer.spark,
+                                outer.sink_table,
+                                outer.window_minutes,
+                            )
+                        )
+                    elif path == "/api/emoji-data":
+                        self._json(api_emoji_data(outer.spark, outer.sink_table))
+                    elif path == "/api/total-data":
+                        self._json(api_total_data(outer.spark, outer.sink_table))
+                    elif path == "/events":
+                        self._sse()
+                    elif path == "/":
+                        body = _DASHBOARD_HTML.encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/html")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self.send_error(404)
+                except BrokenPipeError:
+                    pass  # client went away mid-response
+
+            def _sse(self) -> None:
+                """reference client.py:157-181: text/event-stream,
+                ``data: <json>\\n\\n`` per message, ``data: ping`` on
+                idle timeout."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                sid, q = outer.hub.subscribe()
+                try:
+                    while True:
+                        try:
+                            msg = q.get(timeout=outer.sse_idle_seconds)
+                            frame = f"data: {json.dumps(msg, sort_keys=True)}\n\n"
+                        except queue.Empty:
+                            frame = "data: ping\n\n"
+                        self.wfile.write(frame.encode())
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # subscriber disconnected — normal SSE lifecycle
+                finally:
+                    outer.hub.unsubscribe(sid)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def serve_background(self) -> "StatsHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever,
+            kwargs={"poll_interval": 0.1},
+            daemon=True,
+        )
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

@@ -20,8 +20,6 @@ import json
 import sys
 import time
 
-from pyspark.sql import functions as F
-
 sys.path.insert(0, ".")
 
 from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.session import (  # noqa: E402
@@ -38,74 +36,11 @@ from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event
     start_memory_sink,
 )
 
-WINDOW_MINUTES = 3  # the reference's rolling retention (analytical_server.py:13)
-
-
-def _latest(spark, sink_table: str):
-    """The current per-(type, window) counts: an update-mode memory sink
-    holds EVERY emission, so collapse to the latest (cnt is monotone per
-    window — max == last)."""
-    return (
-        spark.sql(f"SELECT * FROM {sink_table}")
-        .groupBy("event_type", "window")
-        .agg(F.max("cnt").alias("cnt"))
-    )
-
-
-def api_stats(spark, sink_table: str) -> dict:
-    """reference /api/stats (analytical_server.py:96-109, 147-150)."""
-    t = _latest(spark, sink_table)
-    cutoff = t.agg(
-        (F.max("window.end") - F.expr(f"INTERVAL {WINDOW_MINUTES} MINUTES"))
-        .alias("c")
-    ).collect()[0]["c"]
-    recent = t.filter(F.col("window.end") > F.lit(cutoff))
-    breakdown = {
-        r["event_type"]: r["n"]
-        for r in recent.groupBy("event_type")
-        .agg(F.sum("cnt").alias("n"))
-        .collect()
-    }
-    return {
-        "total_emojis": int(sum(breakdown.values())),
-        "emoji_breakdown": breakdown,
-        "window_minutes": WINDOW_MINUTES,
-    }
-
-
-def api_total_data(spark, sink_table: str) -> list[dict]:
-    """reference /api/total-data (analytical_server.py:84-94, 142-145)."""
-    rows = (
-        _latest(spark, sink_table)
-        .groupBy(F.col("window.start").alias("minute"))
-        .agg(F.sum("cnt").alias("count"))
-        .orderBy("minute")
-        .collect()
-    )
-    return [
-        {"timestamp": r["minute"].isoformat(), "count": r["count"]}
-        for r in rows
-    ]
-
-
-def api_emoji_data(spark, sink_table: str) -> dict[str, list[dict]]:
-    """reference /api/emoji-data (analytical_server.py:68-82, 137-140)."""
-    rows = (
-        _latest(spark, sink_table)
-        .select(
-            "event_type",
-            F.col("window.start").alias("minute"),
-            "cnt",
-        )
-        .orderBy("event_type", "minute")
-        .collect()
-    )
-    out: dict[str, list[dict]] = {}
-    for r in rows:
-        out.setdefault(r["event_type"], []).append(
-            {"timestamp": r["minute"].isoformat(), "count": r["cnt"]}
-        )
-    return out
+from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.serving import (  # noqa: E402
+    api_emoji_data,
+    api_stats,
+    api_total_data,
+)
 
 
 def main() -> None:

@@ -39,7 +39,12 @@ def norm(v):
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     cores = os.environ.get("SPARK_GRAFT_SIM_CORES", "8")
-    b = SparkSession.builder.master(f"local[{cores}]").appName("driver_sim")
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("driver_sim")
+        # cosmetic only: keep the per-query progress log parseable
+        .config("spark.ui.showConsoleProgress", "false")
+    )
     # The contract simulation at sf0.01 stays VANILLA (the driver's own
     # session: Spark defaults, 1g driver heap). For volume soaks (the
     # 10x parity run) the same harness needs a bigger heap — 1g OOMs in
@@ -87,6 +92,7 @@ def main() -> int:
                  for r in (tuple(row) for row in sdf.collect())),
                 key=repr,
             )
+            t_spark = time.perf_counter() - t_q
             res = con.execute(osql[name])
             d_cols = [c[0].lower() for c in res.description]
             d_rows = sorted(
@@ -95,9 +101,15 @@ def main() -> int:
                 key=repr,
             )
             ok = sorted(s_cols) == sorted(d_cols) and s_rows == d_rows
+            # total stays the soak_report.py parse target; the
+            # spark/oracle split diagnoses WHICH side a slow soak query
+            # spends its time in (the 10x embedding-dedup read was the
+            # oracle replay, not the Spark plan) without re-running.
             emit(
                 f"{name}: {'MATCH' if ok else 'MISMATCH'} "
                 f"({len(s_rows)} rows) [{time.perf_counter() - t_q:.1f}s]"
+                f" (spark {t_spark:.1f}s, oracle "
+                f"{time.perf_counter() - t_q - t_spark:.1f}s)"
             )
             if not ok:
                 fails.append(name)

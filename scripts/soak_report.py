@@ -28,6 +28,8 @@ import sys
 LINE = re.compile(
     r"(q_[a-z0-9_]+): (?:MATCH|MISMATCH|rows-only,?) ?"
     r"\(?(\d+) rows\)? \[(\d+\.\d)s\]"
+    # optional spark/oracle wall split (newer driver_sim logs)
+    r"(?: \(spark (\d+\.\d)s, oracle (\d+\.\d)s\))?"
 )
 
 # ratio above which a query is flagged for explanation in SCALING.md.
@@ -36,12 +38,14 @@ LINE = re.compile(
 SUPERLINEAR = 4.0
 
 
-def parse(path: str) -> dict[str, tuple[float, int]]:
-    out: dict[str, tuple[float, int]] = {}
+def parse(path: str) -> dict[str, tuple[float, int, float | None, float | None]]:
+    out: dict[str, tuple[float, int, float | None, float | None]] = {}
     with open(path, errors="replace") as fh:
         text = fh.read().replace("\r", "\n")
     for m in LINE.finditer(text):
-        out[m.group(1)] = (float(m.group(3)), int(m.group(2)))
+        spark_s = float(m.group(4)) if m.group(4) else None
+        oracle_s = float(m.group(5)) if m.group(5) else None
+        out[m.group(1)] = (float(m.group(3)), int(m.group(2)), spark_s, oracle_s)
     return out
 
 
@@ -54,17 +58,22 @@ def main() -> int:
     missing = sorted(set(one) ^ set(ten))
     rows = []
     for q in common:
-        t1, r1 = one[q]
-        t10, r10 = ten[q]
-        rows.append((t10 / max(t1, 0.05), q, t1, t10, r1, r10))
+        t1, r1 = one[q][:2]
+        t10, r10, sp10, or10 = ten[q]
+        rows.append((t10 / max(t1, 0.05), q, t1, t10, r1, r10, sp10, or10))
     rows.sort(reverse=True)
 
-    print("| query | 1x (s) | 10x (s) | ratio | rows 1x -> 10x |")
-    print("|---|---|---|---|---|")
-    for ratio, q, t1, t10, r1, r10 in rows:
+    print("| query | 1x (s) | 10x (s) | ratio | 10x split | rows 1x -> 10x |")
+    print("|---|---|---|---|---|---|")
+    for ratio, q, t1, t10, r1, r10, sp10, or10 in rows:
         flag = " **!**" if ratio > SUPERLINEAR else ""
+        split = (
+            f"spark {sp10:.1f} / duck {or10:.1f}"
+            if sp10 is not None
+            else "—"
+        )
         print(f"| {q} | {t1:.1f} | {t10:.1f} | {ratio:.1f}{flag} "
-              f"| {r1} -> {r10} |")
+              f"| {split} | {r1} -> {r10} |")
 
     ratios = [r[0] for r in rows]
     if ratios:

@@ -35,13 +35,37 @@ NEAR_DUP_COS = 0.35
 IVF_K = 8  # pseudo-centroids: vec_id < 8
 
 # --- random-hyperplane LSH parameters --------------------------------------
-# 48 sign bits banded 8×6: band-collision probability for a pair at cosine
-# s is 1-(1-p^6)^8 with p = 1 - arccos(s)/π — ≈0.54 at the loose 0.35
-# threshold and →1 for true near-dups (s ≥ 0.9). More bands raise recall,
-# wider bands shrink candidate buckets; both are compile-time dials.
-RHP_BITS = 48
-RHP_BAND_BITS = 6
-RHP_BANDS = RHP_BITS // RHP_BAND_BITS
+# Band-collision probability for a pair at cosine s is 1-(1-p^b)^8 with
+# p = 1 - arccos(s)/π and b the band width in bits — ≈0.54 at the loose
+# 0.35 threshold (b=6) and →1 for true near-dups (s ≥ 0.9). More bands
+# raise recall; wider bands shrink candidate buckets.
+#
+# The band width is OCCUPANCY-ADAPTIVE: at fixed width, expected bucket
+# occupancy is n/2^b, so in-bucket candidate pairs grow quadratically in
+# n — the round-6 10× soak measured exactly that (q_dedup_embedding
+# 16 s → 500 s at 10× rows under the old fixed 6-bit bands). The width
+# rule below keeps expected occupancy ≤ RHP_TARGET_OCC, bounding total
+# candidate work at ~n·RHP_TARGET_OCC·RHP_BANDS/2 — linear in n, the
+# 100 TB shape — at a measured, documented recall cost (wider bands lose
+# marginal pairs; the verify step is exact either way, so banding can
+# only lose candidates, never invent them). Both engines derive the same
+# width from COUNT(*), so the oracle replays the adaptation bit-for-bit.
+RHP_BITS = 48  # sketch width — FIXED (q_embedding_lsh_sketch contract)
+RHP_BANDS = 8
+RHP_BAND_BITS = 6  # band-width FLOOR: ≤4096 vectors keeps legacy 8×6 banding
+RHP_BAND_BITS_MAX = 16  # 64×2^16 ≈ 4.2M vectors; beyond that re-shard first
+RHP_TARGET_OCC = 64  # target expected bucket occupancy
+
+
+def rhp_band_bits(n: int) -> int:
+    """Smallest band width b in [RHP_BAND_BITS, RHP_BAND_BITS_MAX] with
+    2^b · RHP_TARGET_OCC ≥ n — i.e. expected bucket occupancy ≤ target.
+    Pure integer arithmetic so DuckDB's twin (``_RHP_PARAMS_CTE``) can
+    never diverge on a float-log boundary."""
+    for b in range(RHP_BAND_BITS, RHP_BAND_BITS_MAX + 1):
+        if (1 << b) * RHP_TARGET_OCC >= n:
+            return b
+    return RHP_BAND_BITS_MAX
 # two-round LCG (exact in int64) — the deterministic pseudo-random plane
 # component generator both engines replay bit-identically
 _RHP_A = 1103515245
@@ -94,16 +118,29 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rhp_plane(j: int, d: Column) -> Column:
-    """Component d of hyperplane j in [-0.5, 0.5): a two-round LCG over the
-    flat index j*stride+d, divided by 2^31 (exact in float64)."""
+    """Component d of hyperplane j in [-0.5, 0.5): two LCG rounds with an
+    xor-shift mix between and after, over the flat index j*stride+d,
+    divided by 2^31 (exact in float64).
+
+    The xor-shift steps matter: a bare LCG chain evaluated at SEQUENTIAL
+    INPUTS is affine in the index (h(idx+1) − h(idx) ≡ A mod M), so every
+    'plane' was a shifted copy of one arithmetic progression — the sign
+    bits carried heavy cross-plane correlation (measured band-collision
+    rate 2.3× the iid expectation, and the marginal band bit split
+    buckets so poorly that widening bands barely cut candidate mass).
+    xor of a right-shift is non-linear mod M and breaks the lattice;
+    every intermediate stays < 2^31 so all products fit int64 exactly in
+    both engines."""
     idx = d.cast("long") + F.lit(j * _RHP_STRIDE).cast("long")
     h1 = (F.lit(_RHP_A).cast("long") * idx + F.lit(_RHP_C)) % F.lit(_RHP_M)
-    h2 = (F.lit(_RHP_A).cast("long") * h1 + F.lit(_RHP_C)) % F.lit(_RHP_M)
-    return h2.cast("double") / F.lit(float(_RHP_M)) - F.lit(0.5)
+    m1 = h1.bitwiseXOR(F.shiftright(h1, 13))
+    h2 = (F.lit(_RHP_A).cast("long") * m1 + F.lit(_RHP_C)) % F.lit(_RHP_M)
+    m2 = h2.bitwiseXOR(F.shiftright(h2, 17))
+    return m2.cast("double") / F.lit(float(_RHP_M)) - F.lit(0.5)
 
 
-def _rhp_bit_exprs(v: Column) -> list[Column]:
-    """RHP_BITS sign-bit columns (0/1) for an array<double> vector.
+def _rhp_bit_exprs(v: Column, nbits: int = RHP_BITS) -> list[Column]:
+    """``nbits`` sign-bit columns (0/1) for an array<double> vector.
 
     Each bit is sign(v · plane_j). The dot product folds exact
     decimal(18,10) per-element contributions (the accumulator re-cast
@@ -117,7 +154,7 @@ def _rhp_bit_exprs(v: Column) -> list[Column]:
         return lambda x, d: (x * _rhp_plane(j, d)).cast("decimal(18,10)")
 
     bits = []
-    for j in range(RHP_BITS):
+    for j in range(nbits):
         s = F.aggregate(
             F.zip_with(v, idxs, contrib_fn(j)),
             F.lit(0).cast("decimal(28,10)"),
@@ -141,21 +178,32 @@ def clear_rhp_cache() -> None:
 
 def _rhp_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, sketch long, codes array<int>[RHP_BANDS]) — persisted: the
-    48 decimal folds are the expensive part and the banded self-join below
-    reads this from both sides."""
+    decimal folds are the expensive part and the banded self-join below
+    reads this from both sides.
+
+    The band width comes from :func:`rhp_band_bits` over the corpus row
+    count — an index-build-time statistic, exactly like choosing nlist
+    for an IVF index. The one count() job per (session, fixture) reads
+    parquet footers only; its result is memoized with the sketch frame.
+    The 48-bit ``sketch`` column is NOT adaptive — it is a stable
+    per-vector fingerprint (q_embedding_lsh_sketch pins it), so band
+    codes draw on planes [0, bands·width) while the sketch always packs
+    planes [0, 48)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _RHP_CACHE:
         emb = table(spark, sf_dir, "embeddings")
-        bits = _rhp_bit_exprs(as_double(F.col("embedding")))
+        bb = rhp_band_bits(emb.count())
+        nbits = max(RHP_BITS, RHP_BANDS * bb)
+        bits = _rhp_bit_exprs(as_double(F.col("embedding")), nbits)
         sketch = bits[0].cast("long")
         for j in range(1, RHP_BITS):
             sketch = sketch + bits[j].cast("long") * F.lit(1 << j)
         codes = F.array(
             *[
                 sum(
-                    (bits[b * RHP_BAND_BITS + r] * F.lit(1 << r)
-                     for r in range(1, RHP_BAND_BITS)),
-                    start=bits[b * RHP_BAND_BITS],
+                    (bits[b * bb + r] * F.lit(1 << r)
+                     for r in range(1, bb)),
+                    start=bits[b * bb],
                 ).cast("int")
                 for b in range(RHP_BANDS)
             ]
@@ -195,16 +243,34 @@ def _rhp_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# one plane component as SQL (j and d are column references in scope)
+# one plane component as SQL (j and d are column references in scope) —
+# replays _rhp_plane exactly: LCG → xor(h, h>>13) → LCG → xor(h, h>>17)
+_RHP_H1_SQL = (
+    f"((CAST({_RHP_A} AS BIGINT) * (CAST(j AS BIGINT) * {_RHP_STRIDE} + d) "
+    f"+ {_RHP_C}) % {_RHP_M})"
+)
+_RHP_M1_SQL = f"xor({_RHP_H1_SQL}, {_RHP_H1_SQL} >> 13)"
+_RHP_H2_SQL = (
+    f"((CAST({_RHP_A} AS BIGINT) * {_RHP_M1_SQL} + {_RHP_C}) % {_RHP_M})"
+)
 _RHP_PLANE_SQL = (
-    f"(CAST((CAST({_RHP_A} AS BIGINT) * ((CAST({_RHP_A} AS BIGINT) * "
-    f"(CAST(j AS BIGINT) * {_RHP_STRIDE} + d) + {_RHP_C}) % {_RHP_M}) "
-    f"+ {_RHP_C}) % {_RHP_M} AS DOUBLE) / {_RHP_M}.0 - 0.5)"
+    f"(CAST(xor({_RHP_H2_SQL}, {_RHP_H2_SQL} >> 17) AS DOUBLE) "
+    f"/ {_RHP_M}.0 - 0.5)"
 )
 
 # shared oracle pipeline: vectors → per-(vec, plane) exact decimal dot
-# signs → per-band packed codes. Replays the Spark sketch bit-for-bit.
+# signs → per-band packed codes. Replays the Spark sketch bit-for-bit,
+# including the occupancy-adaptive band width (params.bb replays
+# rhp_band_bits() in pure integer arithmetic — no float-log boundary).
 _RHP_CTE = f"""
+        params AS (
+            SELECT COALESCE(
+                (SELECT MIN(b)
+                 FROM range({RHP_BAND_BITS}, {RHP_BAND_BITS_MAX} + 1) t(b)
+                 WHERE (CAST(1 AS BIGINT) << b) * {RHP_TARGET_OCC}
+                       >= (SELECT COUNT(*) FROM embeddings)),
+                {RHP_BAND_BITS_MAX}) AS bb
+        ),
         ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v
                FROM embeddings),
         ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
@@ -213,16 +279,21 @@ _RHP_CTE = f"""
         contrib AS (
             SELECT vec_id, j,
                    CAST(x * {_RHP_PLANE_SQL} AS DECIMAL(18,10)) AS c
-            FROM ex CROSS JOIN range(0, {RHP_BITS}) t(j)
+            FROM ex
+            CROSS JOIN range(0, {RHP_BANDS} * {RHP_BAND_BITS_MAX}) t(j)
+            CROSS JOIN params
+            WHERE j < GREATEST({RHP_BITS}, {RHP_BANDS} * params.bb)
         ),
         bits AS (
             SELECT vec_id, j, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
             FROM contrib GROUP BY vec_id, j
         ),
         codes AS (
-            SELECT vec_id, CAST(j // {RHP_BAND_BITS} AS INT) AS band,
-                   CAST(SUM(bit << (j % {RHP_BAND_BITS})) AS INT) AS code
-            FROM bits GROUP BY vec_id, CAST(j // {RHP_BAND_BITS} AS INT)
+            SELECT vec_id, CAST(j // params.bb AS INT) AS band,
+                   CAST(SUM(bit << (j % params.bb)) AS INT) AS code
+            FROM bits CROSS JOIN params
+            WHERE j < {RHP_BANDS} * params.bb
+            GROUP BY vec_id, CAST(j // params.bb AS INT)
         )
 """
 
@@ -242,7 +313,7 @@ _RHP_CAND_CTE = """
     oracle=f"""
         WITH {_RHP_CTE}
         SELECT vec_id, CAST(SUM(bit << j) AS BIGINT) AS sketch
-        FROM bits GROUP BY vec_id
+        FROM bits WHERE j < {RHP_BITS} GROUP BY vec_id
     """,
 )
 def q_embedding_lsh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,13 +342,17 @@ def q_embedding_lsh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.35) with RANDOM-HYPERPLANE
-    LSH candidate generation: pairs must share ≥1 of 8 six-bit sign-bands
-    (an equi-join on (band, code), mirroring the MinHash text tier), then
-    the exact cosine runs on candidates only. Nothing in the plan is
-    all-pairs or blocked on a low-cardinality attribute — this is the
-    shape that survives 100 TB, with recall tuned by the band dials (see
-    module constants). The oracle replays the identical sketch + banding,
-    so candidates — not just survivors — agree across engines."""
+    LSH candidate generation: pairs must share ≥1 of 8 sign-bands (an
+    equi-join on (band, code), mirroring the MinHash text tier), then
+    the exact cosine runs on candidates only. Band width is
+    occupancy-adaptive (:func:`rhp_band_bits`): expected bucket occupancy
+    stays ≤ {RHP_TARGET_OCC} as the corpus grows, so candidate work is
+    ~n·occ·bands/2 — linear in n, the shape that survives 100 TB — at a
+    documented recall cost per extra bit (the round-6 10× soak measured
+    the fixed-width form at 31× wall). Nothing in the plan is all-pairs
+    or blocked on a low-cardinality attribute. The oracle replays the
+    identical sketch + banding + width rule, so candidates — not just
+    survivors — agree across engines."""
     cand = _rhp_candidate_pairs(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     ea = emb.select(

@@ -80,3 +80,172 @@ def test_hierarchy_data_edges_root_collects_everything(spark, sf_dir):
     )
     if custkeys == list(range(len(custkeys))):
         assert rows[0].n_members == n_cust
+
+
+# --- occupancy-adaptive RHP banding (round-6 10x soak fix) -----------------
+
+
+def test_rhp_band_bits_rule():
+    """Width rule invariants: floor at small n, occupancy bound honored,
+    monotone non-decreasing in n, capped at the max."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        RHP_BAND_BITS,
+        RHP_BAND_BITS_MAX,
+        RHP_TARGET_OCC,
+        rhp_band_bits,
+    )
+
+    assert rhp_band_bits(0) == RHP_BAND_BITS
+    assert rhp_band_bits(500) == RHP_BAND_BITS  # sf0.01: legacy banding
+    assert rhp_band_bits(2000) == RHP_BAND_BITS  # sf0.1: legacy banding
+    # the 10x soak fixture (20k vectors) must widen
+    assert rhp_band_bits(20000) > RHP_BAND_BITS
+    prev = 0
+    for n in (1, 100, 4096, 4097, 20000, 10**6, 10**9, 10**12):
+        b = rhp_band_bits(n)
+        assert b >= prev, "width must be monotone in n"
+        prev = b
+        assert RHP_BAND_BITS <= b <= RHP_BAND_BITS_MAX
+        if b < RHP_BAND_BITS_MAX:
+            # occupancy bound: 2^b buckets hold n at <= target each
+            assert (1 << b) * RHP_TARGET_OCC >= n
+            if b > RHP_BAND_BITS:
+                # minimality: one bit fewer would violate the bound
+                assert (1 << (b - 1)) * RHP_TARGET_OCC < n
+
+
+@pytest.fixture(scope="module")
+def adaptive_rhp_sf_dir(spark, tmp_path_factory):
+    """A corpus big enough to engage adaptive banding (8192 vectors ->
+    7-bit bands) with seeded pseudo-random unit-range vectors; the first
+    128 vectors are repeated from a smaller twin fixture so sketch
+    stability across corpus sizes is observable."""
+    import random
+
+    d = tmp_path_factory.mktemp("adaptive_rhp")
+    rng = random.Random(20260815)
+    dim = 16  # low dims correlate sign bits and skew buckets hard
+    big = [
+        (i, [float(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        for i in range(8192)
+    ]
+    small = big[:128]
+    spark.createDataFrame(
+        big, "vec_id long, embedding array<float>"
+    ).coalesce(4).write.parquet(str(d / "big" / "embeddings.parquet"))
+    spark.createDataFrame(
+        small, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(str(d / "small" / "embeddings.parquet"))
+    return str(d / "big"), str(d / "small")
+
+
+def test_rhp_adaptive_width_engages_and_cuts_candidates(
+    spark, adaptive_rhp_sf_dir, monkeypatch
+):
+    """At 8192 vectors the band width must exceed the 6-bit floor (codes
+    >= 64 appear) and the in-bucket pair mass must drop materially vs
+    the fixed 6-bit banding on the SAME corpus — each extra bit roughly
+    halves it (2x here at 7 bits; 8x at the soak's 9 bits). The
+    absolute mass is deliberately not pinned: the
+    deterministic LCG planes carry bit correlation (see
+    test_rhp_band_skew_candidate_bound), so bucket occupancy runs a
+    measured ~4-5x over the iid-uniform expectation — the RELATIVE cut
+    is the scale property the width rule exists to deliver."""
+    from pyspark.sql import functions as F
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+        similarity as sim,
+    )
+
+    big, _ = adaptive_rhp_sf_dir
+    sim.clear_rhp_cache()
+    try:
+        max_code = sim.rhp_band_rows(spark, big).agg(
+            F.max("code").alias("m")
+        ).collect()[0]["m"]
+        assert max_code >= 64, "adaptive width did not engage"
+
+        # 'pair mass' = sum over (band, code) buckets of C(occ, 2): the
+        # band join's OUTPUT rows, the thing that explodes at scale (the
+        # DISTINCT pair count moves less because coarse bands overlap)
+        def pair_mass() -> float:
+            occ = sim.rhp_band_rows(spark, big).groupBy("band", "code").count()
+            return occ.agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("m")
+            ).collect()[0]["m"]
+
+        mass_adaptive = pair_mass()
+        sim.clear_rhp_cache()
+        monkeypatch.setattr(sim, "rhp_band_bits", lambda n: 6)
+        mass_fixed = pair_mass()
+        assert mass_adaptive < 0.75 * mass_fixed, (mass_adaptive, mass_fixed)
+    finally:
+        sim.clear_rhp_cache()
+
+
+def test_rhp_adaptive_banding_matches_duckdb(spark, adaptive_rhp_sf_dir):
+    """Cross-engine lockstep at an n where the width rule is ACTIVE
+    (the sf0.01 driver contract only ever exercises the 6-bit floor):
+    DuckDB's params/codes CTEs must reproduce the Spark candidate set
+    exactly — count AND membership."""
+    import duckdb
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _RHP_CAND_CTE,
+        _RHP_CTE,
+        _rhp_candidate_pairs,
+        clear_rhp_cache,
+    )
+
+    big, _ = adaptive_rhp_sf_dir
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{big}/embeddings.parquet/*.parquet')"
+    )
+    truth = set(
+        map(
+            tuple,
+            con.execute(
+                f"WITH {_RHP_CTE}, {_RHP_CAND_CTE} "
+                "SELECT vec_id_a, vec_id_b FROM cand"
+            ).fetchall(),
+        )
+    )
+    clear_rhp_cache()
+    try:
+        got = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in _rhp_candidate_pairs(spark, big).collect()
+        }
+        assert got == truth, (
+            len(got), len(truth), sorted(got ^ truth)[:5]
+        )
+    finally:
+        clear_rhp_cache()
+        con.close()
+
+
+def test_rhp_sketch_stable_across_corpus_sizes(spark, adaptive_rhp_sf_dir):
+    """The 48-bit sketch is a per-vector fingerprint — it must NOT move
+    when the corpus grows and the band width adapts (only band codes
+    may): shared vectors sketch identically in both fixtures."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _rhp_sketches,
+        clear_rhp_cache,
+    )
+
+    big, small = adaptive_rhp_sf_dir
+    clear_rhp_cache()
+    try:
+        s_small = {
+            r.vec_id: r.sketch for r in _rhp_sketches(spark, small).collect()
+        }
+        s_big = {
+            r.vec_id: r.sketch
+            for r in _rhp_sketches(spark, big).collect()
+            if r.vec_id < 128
+        }
+        assert s_small == s_big
+    finally:
+        clear_rhp_cache()

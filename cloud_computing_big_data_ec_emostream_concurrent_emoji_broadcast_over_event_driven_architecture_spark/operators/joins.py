@@ -150,14 +150,20 @@ def q_join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("join", "range", "scale"),
     oracle="""
-        SELECT a.event_id, COUNT(b.event_id) AS n_nearby
-        FROM events a
-        LEFT JOIN events b
-          ON a.user_id = b.user_id
-         AND b.event_id <> a.event_id
-         AND abs(CAST(floor(epoch(b.ts)) AS BIGINT)
-                 - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 60
-        GROUP BY 1
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ),
+        hits AS (
+            SELECT a.event_id, COUNT(*) AS n
+            FROM e a JOIN e b ON a.user_id = b.user_id
+             AND b.event_id <> a.event_id
+             AND b.sec BETWEEN a.sec - 60 AND a.sec + 60
+            GROUP BY 1
+        )
+        SELECT e.event_id, COALESCE(h.n, 0) AS n_nearby
+        FROM e LEFT JOIN hits h USING (event_id)
     """,
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,7 +176,14 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, bucket)** followed by the exact |Δt| ≤ 60 filter. Every
     qualifying pair lands in exactly one probe bucket, so no dedup is
     needed, and the shuffle is hash-partitioned — at 100 TB this stays a
-    shuffled hash join, never a cartesian."""
+    shuffled hash join, never a cartesian.
+
+    Oracle note: the proof decomposes differently from the engine (a
+    per-user hash join with a BETWEEN residual + left zero-fill, not the
+    bucket explode) — the original single LEFT JOIN with an abs()
+    condition planned as a blockwise nested loop in DuckDB and became
+    the round-6 10× soak's wall-clock hog (~27 s at sf0.1, quadratic
+    beyond); this form hash-joins (0.17 s, same rows bit-for-bit)."""
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec")
     )

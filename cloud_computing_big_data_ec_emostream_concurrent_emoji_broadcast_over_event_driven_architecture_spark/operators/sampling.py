@@ -19,11 +19,12 @@ shuffle, and the DuckDB oracle reproduces the exact subset.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.stable import stable_round, stable_round_sql
 from ..plans.registry import register
 
 _EV_HASH = md5_long_sql("CAST(event_id AS VARCHAR)")
@@ -296,23 +297,54 @@ def q_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winsor_bound_sql(tag: str) -> str:
+    """One interpolated percentile bound, spelled as explicit
+    rank-arithmetic so both engines execute the IDENTICAL float ops:
+    v[k+1] + (v[k+2] − v[k+1]) · frac with k = floor(p·(n−1))."""
+    v0 = f"MAX(CASE WHEN r.rn = p.{tag}_k + 1 THEN r.value END)"
+    v1 = (
+        f"MAX(CASE WHEN r.rn = LEAST(p.{tag}_k + 2, p.n) "
+        f"THEN r.value END)"
+    )
+    return f"({v0} + ({v1} - {v0}) * (MAX(p.{tag}_idx) - MAX(p.{tag}_k)))"
+
+
 @register(
     "q_winsorize",
     tags=("stats", "cleaning"),
-    oracle="""
-        WITH clip AS (
-            SELECT event_type,
-                   quantile_cont(value, 0.01) AS lo,
-                   quantile_cont(value, 0.99) AS hi
-            FROM events GROUP BY event_type
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY value) AS rn
+            FROM events
+        ),
+        params AS (
+            SELECT event_type, COUNT(*) AS n,
+                   0.01 * CAST(COUNT(*) - 1 AS DOUBLE) AS lo_idx,
+                   FLOOR(0.01 * CAST(COUNT(*) - 1 AS DOUBLE)) AS lo_k,
+                   0.99 * CAST(COUNT(*) - 1 AS DOUBLE) AS hi_idx,
+                   FLOOR(0.99 * CAST(COUNT(*) - 1 AS DOUBLE)) AS hi_k
+            FROM events GROUP BY 1
+        ),
+        clip AS (
+            SELECT r.event_type,
+                   {_winsor_bound_sql('lo')} AS lo,
+                   {_winsor_bound_sql('hi')} AS hi
+            FROM ranked r JOIN params p USING (event_type)
+            GROUP BY 1
         )
         SELECT e.event_type,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-               ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
+               {stable_round_sql(
+                   "CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo), c.hi)"
+                   " AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)")}
                    AS winsorized_mean,
-               ROUND(AVG(e.value), 6) AS raw_mean
+               {stable_round_sql(
+                   "CAST(SUM(CAST(e.value AS DECIMAL(28,10)))"
+                   " AS DOUBLE) / COUNT(*)")} AS raw_mean
         FROM events e JOIN clip c USING (event_type)
         GROUP BY e.event_type
     """,
@@ -321,17 +353,64 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINSORIZATION: clip each value to its group's [p1, p99] before
     aggregating — the outlier-robust mean every metrics/feature pipeline
     reaches for (a fat-finger event no longer drags the average). The
-    per-group clip bounds are one exact-percentile aggregation (at 100 TB
-    the approx_percentile sketch is the drop-in) broadcast back onto the
-    fact table, so the whole operator costs one extra tiny join over the
-    plain mean; both engines share the interpolated-quantile definition
-    and rounding absorbs ulp drift."""
-    ev = table(spark, sf_dir, "events")
-    clip = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("lo"),
-        F.expr("percentile(value, 0.99)").alias("hi"),
+    per-group clip bounds interpolate between explicit ranks (one
+    per-group sort window; at 100 TB the approx_percentile sketch is the
+    drop-in) and broadcast back onto the fact table, so the whole
+    operator costs one extra tiny join over the plain mean.
+
+    Determinism (round-6 10× soak find): engine-native percentile
+    (Spark) vs quantile_cont (DuckDB) interpolate with different float
+    expression ORDER — the bounds disagreed by ~3e-14 at 10× volume,
+    which crossed a (cloned ×10) data value sitting exactly on p99 and
+    flipped n_clipped by 10. Both engines now interpolate
+    v[k+1] + (v[k+2] − v[k+1])·frac with the same op order, means fold
+    exact decimal lanes, and the 6-dp round is the explicit
+    half-up-by-construction :func:`stable_round` — every output bit is
+    forced equal, not merely usually equal."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value")
+        ),
+    )
+    n = F.count("*")
+    params = ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (F.lit(0.01) * (n - 1).cast("double")).alias("lo_idx"),
+        F.floor(F.lit(0.01) * (n - 1).cast("double")).alias("lo_k"),
+        (F.lit(0.99) * (n - 1).cast("double")).alias("hi_idx"),
+        F.floor(F.lit(0.99) * (n - 1).cast("double")).alias("hi_k"),
+    )
+
+    def bound(tag: str) -> Column:
+        v0 = F.max(
+            F.when(F.col("rn") == F.col(f"{tag}_k") + 1, F.col("value"))
+        )
+        v1 = F.max(
+            F.when(
+                F.col("rn") == F.least(F.col(f"{tag}_k") + 2, F.col("n")),
+                F.col("value"),
+            )
+        )
+        frac = F.max(F.col(f"{tag}_idx")) - F.max(F.col(f"{tag}_k"))
+        return v0 + (v1 - v0) * frac
+
+    clip = (
+        ranked.join(F.broadcast(params), "event_type")
+        .filter(
+            (F.col("rn") == F.col("lo_k") + 1)
+            | (F.col("rn") == F.least(F.col("lo_k") + 2, F.col("n")))
+            | (F.col("rn") == F.col("hi_k") + 1)
+            | (F.col("rn") == F.least(F.col("hi_k") + 2, F.col("n")))
+        )
+        .groupBy("event_type")
+        .agg(bound("lo").alias("lo"), bound("hi").alias("hi"))
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    dec_mean = lambda c: (  # noqa: E731
+        F.sum(c.cast("decimal(28,10)")).cast("double") / F.count("*")
+    )
     return (
         ev.join(F.broadcast(clip), "event_type")
         .groupBy("event_type")
@@ -344,8 +423,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("n_clipped"),
-            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
-            F.round(F.avg("value"), 6).alias("raw_mean"),
+            stable_round(dec_mean(clipped)).alias("winsorized_mean"),
+            stable_round(dec_mean(F.col("value"))).alias("raw_mean"),
         )
     )
 

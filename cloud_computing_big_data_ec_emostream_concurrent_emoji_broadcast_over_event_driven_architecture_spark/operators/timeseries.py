@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.stable import stable_round, stable_round_sql
 from ..plans.registry import register
 from ..schemas import ISO_MICROS_FMT
 
@@ -1277,11 +1278,12 @@ def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_resample_interpolate",
     headline=True,
     tags=("time", "window", "llm-pipeline"),
-    oracle="""
+    oracle=f"""
         WITH obs AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-                         / COUNT(*), 6) AS v_obs
+                   {stable_round_sql(
+                       "CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)"
+                       " / COUNT(*)")} AS v_obs
             FROM events GROUP BY 1, 2
         ),
         bounds AS (
@@ -1320,13 +1322,13 @@ def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM joined
         )
         SELECT event_type, hour,
-               ROUND(CASE
+               {stable_round_sql('''CASE
                    WHEN v_obs IS NOT NULL THEN v_obs
                    WHEN pv IS NULL THEN nv
                    WHEN nv IS NULL THEN pv
                    ELSE pv + (nv - pv)
                         * (epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph))
-               END, 6) AS v_interp,
+               END''')} AS v_interp,
                (v_obs IS NULL) AS filled
         FROM ctx
     """,
@@ -1343,9 +1345,14 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizers).
 
     Determinism: hourly means fold exact decimal(28,10) sums before one
-    double division + round, so partition order can't flip the hash;
-    the interpolation itself is arithmetic over those stabilized
-    doubles and integer epoch gaps — identical in both engines.
+    double division, so partition order can't flip the hash; the
+    interpolation is arithmetic over those stabilized doubles and
+    integer epoch gaps — identical in both engines. The 6-dp round is
+    :func:`stable_round`, not the engines' round(): the round-6 10×
+    soak found an hourly mean of exactly 43.4728125 (a half at 6 dp)
+    that Spark's BigDecimal path rounded down and DuckDB's scaled
+    multiply rounded up — explicit FLOOR(x·1e6 + 0.5)/1e6 is the same
+    IEEE ops in both engines, so ties can't split.
 
     Plan: one fact-table aggregation (partial combines; shuffle carries
     type×hour rows), a broadcast of the single-row bounds onto the tiny
@@ -1361,10 +1368,9 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
         )
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("v_obs")
         )
     )
@@ -1416,7 +1422,7 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "event_type",
         "hour",
-        F.round(interp, 6).alias("v_interp"),
+        stable_round(interp).alias("v_interp"),
         F.col("v_obs").isNull().alias("filled"),
     )
 

@@ -26,7 +26,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.vectors import as_double, as_double_sql, cosine, cosine_sql
+from ..functions.vectors import (
+    as_double,
+    as_double_sql,
+    cosine,
+    cosine_sql,
+    dot,
+    norm,
+)
 from ..plans.registry import register
 
 QUERY_VEC_ID = 0
@@ -389,19 +396,87 @@ def clear_ivf_cache() -> None:
 KMEANS_ITERS = 2
 
 
+def _argmin_cent(v: Column, nv: Column, cs: Column) -> Column:
+    """Nearest-centroid id for vector ``v`` against the cent_id-ASCENDING
+    centroid-struct array ``cs`` (each element carrying its precomputed
+    norm ``nc``): a per-row fold keeping (best sim, its cent_id), with
+    strict ``>`` so the FIRST (smallest cent_id) wins ties — exactly
+    ROW_NUMBER() OVER (ORDER BY sim DESC, cent_id ASC).
+
+    This replaces the earlier crossJoin + window argmin, which
+    materialized N×K rows EACH CARRYING BOTH 64-double arrays through a
+    vec_id-partitioned shuffle — at the round-6 10× soak
+    (N=20k, K=312, three assignment rounds) that was ~6 GB of shuffled
+    array payload per round and the whole cost of
+    q_dedup_semdedup_scaled (296 s). The fold form computes the SAME
+    sim values in one projection: no row blowup, no shuffle, no sort.
+    Spark evaluates higher-order lambdas interpreted (CodegenFallback,
+    ~µs per element — the jstack of the first cut showed ZipWith.eval
+    dominating a single core), so the per-pair cost matters: both norms
+    are hoisted — ``sqrt(dot(v,v))`` once per ROW and per CENTROID
+    instead of per pair — which cuts per-pair work to one dot + one
+    divide while leaving every float op and its order IDENTICAL to the
+    oracle's dot/(norm·norm), so assignments stay bit-identical."""
+    sims = F.transform(
+        cs,
+        lambda c: F.struct(
+            (dot(v, c["cv"]) / (nv * c["nc"])).alias("sim"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(float("-inf")).cast("double").alias("sim"),
+            F.lit(-1).cast("long").alias("cent_id"),
+        ),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+    )
+    return best["cent_id"]
+
+
+def _cent_array(cents_df: DataFrame) -> DataFrame:
+    """Collapse a (cent_id, cv) frame to ONE row holding the cent_id-
+    sorted struct array, each element carrying its precomputed norm —
+    the broadcast payload for fold-assignment."""
+    return cents_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "cent_id", "cv", norm(F.col("cv")).alias("nc")
+                )
+            )
+        ).alias("cs")
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster's cores AND pin a
+    materialization barrier. Two jobs in one exchange: the embeddings
+    fixtures arrive as one parquet file → one partition, which would
+    serialize the interpreted assignment fold on a single core; and
+    Catalyst's CollapseProject would otherwise inline a hoisted
+    once-per-row norm back INTO the per-centroid lambda (re-evaluating
+    it K times per row) — an Exchange between the projections is the
+    barrier that keeps 'once per row' physically true. The payload is
+    just N slim rows — trivial next to the fold it parallelizes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _kmeans_assign(emb: DataFrame, cents_df: DataFrame) -> DataFrame:
     """One Lloyd assignment: every (vec_id, v) row to its nearest
-    (cosine; cent_id tie-break) centroid of the BROADCAST (cent_id, cv)
-    set. One codegen'd pass + a rank-1 window per vector."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    (cosine; cent_id tie-break) centroid — a single projection over the
+    broadcast centroid array (see :func:`_argmin_cent`)."""
     return (
-        emb.crossJoin(F.broadcast(cents_df))
-        .withColumn("sim", cosine(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cent_id")
+        _spread(emb.select("vec_id", "v", norm(F.col("v")).alias("nv")))
+        .crossJoin(F.broadcast(_cent_array(cents_df)))
+        .select(
+            "vec_id",
+            "v",
+            _argmin_cent(
+                F.col("v"), F.col("nv"), F.col("cs")
+            ).alias("cent_id"),
+        )
     )
 
 
@@ -466,25 +541,25 @@ def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the 10× scaling run flagged."""
     key = (spark.sparkContext.applicationId, sf_dir, "assigned")
     if key not in _IVF_CACHE:
-        from pyspark.sql import Window
-
         emb = table(spark, sf_dir, "embeddings")
         cents = _ivf_centroids(spark, sf_dir)
-        sim_to_cent = cosine(as_double(F.col("embedding")), F.col("cv"))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cent_sim"), F.asc("cent_id")
+        prepped = _spread(
+            emb.select(
+                "vec_id",
+                "embedding",
+                as_double(F.col("embedding")).alias("v"),
+                norm(as_double(F.col("embedding"))).alias("nv"),
+            )
         )
         assigned = (
-            emb.crossJoin(F.broadcast(cents))
+            prepped.crossJoin(F.broadcast(_cent_array(cents)))
             .select(
                 "vec_id",
                 "embedding",
-                "cent_id",
-                sim_to_cent.alias("cent_sim"),
+                _argmin_cent(
+                    F.col("v"), F.col("nv"), F.col("cs")
+                ).alias("cent_id"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cent_id")
             .persist()
         )
         _IVF_CACHE[key] = assigned

@@ -914,28 +914,36 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "funnel", "join", "scale"),
     oracle=f"""
         WITH v AS (
-            SELECT user_id, ts FROM events WHERE event_type = 'view'
+            SELECT user_id, ts, epoch(ts) AS sec
+            FROM events WHERE event_type = 'view'
         ), c AS (
-            SELECT user_id, ts FROM events WHERE event_type = 'click'
+            SELECT user_id, ts, epoch(ts) AS sec
+            FROM events WHERE event_type = 'click'
         ), p AS (
-            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+            SELECT user_id, ts, epoch(ts) AS sec
+            FROM events WHERE event_type = 'purchase'
+        ),
+        -- dedup surviving (user, click-ts) pairs BEFORE the next hop —
+        -- same shape as the engine — and keep the second hop's equality
+        -- key on the materialized CTE: the original 3-way join with the
+        -- equality phrased against v planned its second hop as a
+        -- PIECEWISE_MERGE_JOIN on the time inequality alone (559 s at
+        -- the 10x soak); this form is all HASH_JOINs (0.04 s, same rows)
+        vc AS (
+            SELECT DISTINCT c.user_id, c.ts AS cts, c.sec AS csec
+            FROM v JOIN c ON c.user_id = v.user_id
+               AND c.ts > v.ts
+               AND c.sec - v.sec <= {FUNNEL_WINDOW_SEC}
         )
         SELECT 1 AS step, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM v
         UNION ALL
-        SELECT 2, CAST(COUNT(DISTINCT v.user_id) AS BIGINT)
-        FROM v JOIN c ON c.user_id = v.user_id
-           AND c.ts > v.ts
-           AND epoch(c.ts) - epoch(v.ts) <= {FUNNEL_WINDOW_SEC}
+        SELECT 2, CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM vc
         UNION ALL
-        SELECT 3, CAST(COUNT(DISTINCT v.user_id) AS BIGINT)
-        FROM v
-        JOIN c ON c.user_id = v.user_id
-           AND c.ts > v.ts
-           AND epoch(c.ts) - epoch(v.ts) <= {FUNNEL_WINDOW_SEC}
-        JOIN p ON p.user_id = v.user_id
-           AND p.ts > c.ts
-           AND epoch(p.ts) - epoch(c.ts) <= {FUNNEL_WINDOW_SEC}
+        SELECT 3, CAST(COUNT(DISTINCT vc.user_id) AS BIGINT)
+        FROM vc JOIN p ON p.user_id = vc.user_id
+           AND p.ts > vc.cts
+           AND p.sec - vc.csec <= {FUNNEL_WINDOW_SEC}
     """,
 )
 def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,7 +2,10 @@
 vanilla SparkSession (driver-like: Spark 4 defaults, ANSI on), every
 ``queries()`` entry at the given sf dir vs its ``oracle_sql()`` DuckDB twin.
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python scripts/driver_sim.py [sf_dir] [q_name ...]
+       (default /root/testdata/sf0.01, all queries)
+Extra args restrict the run to the named queries — for re-measuring a
+fixed subset at soak volume without repaying the full registry's wall.
 Exit code 0 iff every oracle-backed query matches.
 """
 
@@ -68,6 +71,13 @@ def main() -> int:
     import time
 
     qs, osql = e.queries(), e.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     fails, lines = [], []
 
     def emit(msg: str) -> None:

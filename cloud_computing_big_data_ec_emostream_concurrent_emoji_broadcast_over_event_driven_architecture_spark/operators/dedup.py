@@ -1135,12 +1135,26 @@ def q_dedup_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     you check before trusting the approximate tier alone at 100 TB (16
     hashes × 4×4 bands gives band-collision probability 1-(1-j^4)^4,
     ≈0.986 at j=0.8; this query measures the realized recall on the
-    actual corpus). Both pair lists come from the shared cached tier, so
-    the audit costs two already-computed frames and a pair-key join."""
-    exact = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        "doc_id_a", "doc_id_b"
+    actual corpus). Each pair list is materialized ONCE (eager
+    localCheckpoint, the q_dedup_clusters precedent) before the counting
+    references: the plan below reads each list twice (its own count +
+    the intersection join), and without the checkpoint Catalyst replays
+    the full inverted-index / band-join pipeline per reference — a 2×
+    waste that is invisible at sample scale and dominated the 10× soak.
+    The checkpointed frames are pair lists (thousands of rows), so the
+    materialization cost is the one pipeline run each."""
+    from ..caches import track_checkpoint
+
+    exact = track_checkpoint(
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
     )
-    approx = q_dedup_minhash(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    approx = track_checkpoint(
+        q_dedup_minhash(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
     common = exact.join(approx, ["doc_id_a", "doc_id_b"])
     return (
         exact.agg(F.count("*").alias("n_exact"))
@@ -1373,9 +1387,17 @@ def q_minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key equi-join (never all-pairs); the exact tier reuses the
     inverted-index join.  All counts are aggregates over pair lists —
     the output is two rows."""
+    from ..caches import track_checkpoint
+
     hdf = _hashed_shingle_sets(spark, sf_dir)
-    exact_pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        "doc_id_a", "doc_id_b"
+    # materialize the exact tier ONCE: it is referenced four times below
+    # (n_exact + n_found, per config) and each reference would otherwise
+    # replay the whole inverted-index pipeline (the 10x-soak finding
+    # that also fixed q_dedup_tier_recall)
+    exact_pairs = track_checkpoint(
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
     )
 
     def band_rows(band_size: int) -> DataFrame:
@@ -1419,6 +1441,9 @@ def q_minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
+        # same once-only discipline for the candidate list: referenced
+        # by both the volume count and the recall join
+        cand = track_checkpoint(cand.localCheckpoint(eager=True))
         n_cand = cand.agg(F.count("*").alias("n_candidates"))
         n_found = cand.join(
             exact_pairs, ["doc_id_a", "doc_id_b"]

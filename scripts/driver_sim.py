@@ -56,6 +56,17 @@ def main() -> int:
     mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM")
     if mem:
         b = b.config("spark.driver.memory", mem)
+    # Scan-split knob for scale soaks. The synth fixtures are single flat
+    # files (byte-compatible with the driver's layout), so at the default
+    # 128m maxPartitionBytes a 10x documents file is still ONE scan task
+    # and every map-side explode/regexp/hash pipeline serializes — a
+    # fixture artifact a real 10x lake doesn't have (10x data arrives as
+    # 10x splits). Setting e.g. 2m makes split count grow with file size,
+    # restoring the cluster-realistic scan parallelism. Timing-only: the
+    # same value must be used at BOTH scale points of a ratio pair.
+    mpb = os.environ.get("SPARK_GRAFT_SIM_MAX_PART_BYTES")
+    if mpb:
+        b = b.config("spark.sql.files.maxPartitionBytes", mpb)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -131,6 +131,30 @@ def _clone(spark, src: str, out: str, name: str, copies: int) -> None:
     (part,) = glob.glob(f"{tmp}/part-*.parquet")
     os.replace(part, f"{out}/{name}.parquet")
     shutil.rmtree(tmp, ignore_errors=True)
+    _regroup(f"{out}/{name}.parquet")
+
+
+# target on-disk bytes per row group. Spark's coalesce(1) writer puts the
+# whole clone in ONE row group (its 128m block never fills at these sizes),
+# and parquet scans can only split at row-group boundaries — so a 10x
+# fixture would still scan as a single task and every map-side pipeline
+# would serialize, a layout artifact a real lake doesn't have (at fixed
+# production block size, 10x data = 10x row groups = 10x scan splits).
+# Rewriting with ~1 MiB groups keeps split count proportional to data;
+# pair with SPARK_GRAFT_SIM_MAX_PART_BYTES=1m at read time (same value at
+# both scale points of a ratio pair). DuckDB parallelizes over the same
+# row groups, so the oracle side scales identically.
+_GROUP_BYTES = 1024 * 1024
+
+
+def _regroup(path: str) -> None:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    n_bytes = os.path.getsize(path)
+    groups = max(1, round(n_bytes / _GROUP_BYTES))
+    rows_per_group = max(512, (t.num_rows + groups - 1) // groups)
+    pq.write_table(t, path, row_group_size=rows_per_group)
 
 
 def synthesize_full(spark, out: str, copies: int = 10, src: str = SRC) -> str:

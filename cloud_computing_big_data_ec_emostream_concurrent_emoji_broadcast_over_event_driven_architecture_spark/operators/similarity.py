@@ -200,6 +200,14 @@ def _rhp_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _RHP_CACHE:
         emb = table(spark, sf_dir, "embeddings")
         bb = rhp_band_bits(emb.count())
+        # the sketch fold is bands*width sign bits x d dims of
+        # interpreted decimal arithmetic per vector — by far the
+        # heaviest per-row expression in the engine. Round-robin the
+        # slim (vec_id, embedding) rows first (_spread, the k-means
+        # precedent): a small single-file fixture otherwise arrives as
+        # 1-3 scan splits and the fold serializes on as many cores;
+        # the frame is persisted below so the exchange is paid once.
+        emb = _spread(emb.select("vec_id", "embedding"))
         nbits = max(RHP_BITS, RHP_BANDS * bb)
         bits = _rhp_bit_exprs(as_double(F.col("embedding")), nbits)
         sketch = bits[0].cast("long")
@@ -362,15 +370,21 @@ def q_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors — agree across engines."""
     cand = _rhp_candidate_pairs(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
+    # norms hoisted to the JOIN INPUTS (once per vector, not per
+    # candidate pair — the _argmin_cent lesson: higher-order lambdas run
+    # interpreted, so per-pair cost is the wall at volume; the join
+    # boundary stops Catalyst from re-inlining them). sqrt(dot(v,v)) and
+    # the na*nb denominator keep the exact op order of cosine(), so sims
+    # stay bit-identical to the oracle's dot/(norm*norm).
     ea = emb.select(
         F.col("vec_id").alias("vec_id_a"),
         as_double(F.col("embedding")).alias("va"),
-    )
+    ).withColumn("na", norm(F.col("va")))
     eb = emb.select(
         F.col("vec_id").alias("vec_id_b"),
         as_double(F.col("embedding")).alias("vb"),
-    )
-    sim = cosine(F.col("va"), F.col("vb"))
+    ).withColumn("nb", norm(F.col("vb")))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     # plain doc-id equi-joins for verification — AQE picks broadcast at
     # small scale and shuffle-hash beyond the broadcast ceiling
     return (
@@ -1627,23 +1641,31 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest) matches q_dedup_exact/q_dedup_embedding so removal lists
     compose across tiers."""
     assigned = _ivf_assignment(spark, sf_dir)
+    # per-vector norm computed on the JOIN INPUT (N rows), not per
+    # within-cluster pair (~N·cluster_size) — same op order as cosine()
+    # so sims stay bit-identical (the q_similarity_pairs hoist)
     sides = assigned.select(
         "vec_id", "cent_id", as_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     a = sides.select(
         F.col("cent_id"),
         F.col("vec_id").alias("keep_cand"),
         F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = sides.select(
         F.col("cent_id"),
         F.col("vec_id").alias("drop_id"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     pairs = (
         a.join(b, "cent_id")
         .filter(F.col("keep_cand") < F.col("drop_id"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "sim",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("sim") >= SEMDEDUP_EPS)
     )
     return (
@@ -1820,21 +1842,31 @@ def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     init + unrolled Lloyd iterations (the oracle replays training with
     the same dynamically-sized K via a scalar subquery), equi-join on
     cent_id, drop-larger-id convention."""
-    assigned = _semdedup_assignment(spark, sf_dir)
+    assigned = _semdedup_assignment(spark, sf_dir).withColumn(
+        # once-per-vector norm on the join input (the q_dedup_semdedup
+        # hoist) — identical op order keeps sims bit-stable
+        "nv",
+        norm(F.col("v")),
+    )
     a = assigned.select(
         F.col("cent_id"),
         F.col("vec_id").alias("keep_cand"),
         F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = assigned.select(
         F.col("cent_id"),
         F.col("vec_id").alias("drop_id"),
         F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     pairs = (
         a.join(b, "cent_id")
         .filter(F.col("keep_cand") < F.col("drop_id"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "sim",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("sim") >= NEAR_DUP_COS)
     )
     return pairs.groupBy(F.col("drop_id").alias("doc_id")).agg(

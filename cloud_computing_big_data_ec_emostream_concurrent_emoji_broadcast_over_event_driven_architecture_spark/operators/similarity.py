@@ -1877,6 +1877,54 @@ def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivf_scaled",
+    tags=("similarity", "ann", "vector", "scale"),
+    oracle=f"""
+        WITH {_dyn_cents_ctes()},
+        da_final AS {_kmeans_assign_sql('dcents')},
+        qb AS (
+            SELECT cent_id, v AS qv FROM da_final
+            WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id, ROUND({cosine_sql('a.v', 'qb.qv')}, 6) AS sim
+        FROM da_final a, qb
+        WHERE a.cent_id = qb.cent_id AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_sql('a.v', 'qb.qv')} DESC, a.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under the PRODUCTION index dial: nlist = max(8,
+    N/{SEMDEDUP_TARGET_CLUSTER}), the same dynamic-K index SemDeDup's
+    scaled form trains (`_semdedup_assignment` — one shared
+    session-persisted build). ``q_ann_ivf``'s fixed K={IVF_K} makes the
+    nprobe=1 probe scan N/8 vectors — linear in the corpus, the 10×
+    soak's finding — while sizing nlist with the corpus holds expected
+    bucket occupancy (and so probe cost) CONSTANT at
+    ~{SEMDEDUP_TARGET_CLUSTER} vectors, the regime a 100 TB serving
+    index actually runs (FAISS guidance: nlist ∝ corpus). At the
+    contract fixtures K resolves to the same 8 and the two forms agree;
+    they part exactly where the scale run measures. The oracle replays
+    the dynamic-K training end-to-end, so bucket membership — not just
+    the top-k — must agree across engines."""
+    assigned = _semdedup_assignment(spark, sf_dir)
+    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cent_id").alias("q_cent"), F.col("v").alias("qv")
+    )
+    sim_to_q = cosine(F.col("v"), F.col("qv"))
+    return (
+        assigned.join(
+            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim_to_q.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
     "q_ann_recall_audit",
     tags=("similarity", "vector", "ann", "diagnostics", "scale"),
     oracle=f"""

@@ -287,3 +287,62 @@ def test_ann_ivf_scaled_floor_parity_and_bounded_probe(
         assert max_bucket < 8192 / 8
     finally:
         clear_ivf_cache()
+
+
+def test_synth_regroup_preserves_values_and_splits(spark, tmp_path):
+    """The fixture row-group rewrite must be value-transparent (both
+    engines read identical rows) while giving the scan multiple
+    row groups to split on — the layout contract the 10x soak relies
+    on (SCALING.md round 6)."""
+    import sys
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "scripts")
+    from synth_scale import _regroup
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 200_000).selectExpr(
+        "id",
+        "CAST(id % 97 AS DOUBLE) AS v",
+        # incompressible pad so the file clears several 1 MiB groups
+        "sha2(CAST(id AS STRING), 256) AS pad",
+    ).coalesce(1).write.parquet(str(tmp_path / "w"))
+    import glob
+    import os
+
+    (part,) = glob.glob(str(tmp_path / "w" / "part-*.parquet"))
+    os.replace(part, p)
+    before = duckdb.sql(
+        f"SELECT COUNT(*), SUM(v), md5(string_agg(id::VARCHAR, ',' ORDER BY id)) FROM read_parquet('{p}')"
+    ).fetchone()
+    assert pq.ParquetFile(p).metadata.num_row_groups == 1
+    _regroup(p)
+    assert pq.ParquetFile(p).metadata.num_row_groups > 1
+    after = duckdb.sql(
+        f"SELECT COUNT(*), SUM(v), md5(string_agg(id::VARCHAR, ',' ORDER BY id)) FROM read_parquet('{p}')"
+    ).fetchone()
+    assert before == after
+    sdf = spark.read.parquet(p)
+    assert sdf.count() == 200_000
+
+
+def test_rhp_sketch_build_is_spread(spark, sf_dir):
+    """The sketch fold — the heaviest per-row expression in the engine —
+    must not inherit the fixture's 1-3 scan splits: the persisted frame
+    is round-robined across defaultParallelism first."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _rhp_sketches,
+        clear_rhp_cache,
+    )
+
+    clear_rhp_cache()
+    try:
+        df = _rhp_sketches(spark, sf_dir)
+        assert (
+            df.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+    finally:
+        clear_rhp_cache()

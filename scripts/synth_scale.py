@@ -148,13 +148,27 @@ _GROUP_BYTES = 1024 * 1024
 
 
 def _regroup(path: str) -> None:
+    """Rewrite ``path`` with ~1 MiB row groups, streaming batch-by-batch.
+
+    Incremental (ParquetWriter over iter_batches) so arbitrarily large
+    clone counts never require the whole table in driver memory, and
+    schema-preserving: the writer reuses the file's arrow schema —
+    including the key-value metadata Spark wrote
+    (``org.apache.spark.sql.parquet.row.metadata``) — so downstream
+    type auto-detection (e.g. the events ``ts`` timestamp) sees the
+    same schema before and after the rewrite."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path)
+    pf = pq.ParquetFile(path)
     n_bytes = os.path.getsize(path)
     groups = max(1, round(n_bytes / _GROUP_BYTES))
-    rows_per_group = max(512, (t.num_rows + groups - 1) // groups)
-    pq.write_table(t, path, row_group_size=rows_per_group)
+    rows_per_group = max(512, (pf.metadata.num_rows + groups - 1) // groups)
+    tmp = path + ".regroup.tmp"
+    with pq.ParquetWriter(tmp, pf.schema_arrow) as writer:
+        for batch in pf.iter_batches(batch_size=rows_per_group):
+            writer.write_batch(batch, row_group_size=rows_per_group)
+    pf.close()
+    os.replace(tmp, path)
 
 
 def synthesize_full(spark, out: str, copies: int = 10, src: str = SRC) -> str:

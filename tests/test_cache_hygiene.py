@@ -23,6 +23,7 @@ def test_registry_covers_every_cache_family():
     names = set(SESSION_CACHE_CLEARERS())
     assert names == {
         "dedup_shingle_hashsets",
+        "dedup_tier_pair_lists",
         "bpe_trainings",
         "growth_activity_cells",
         "ivf_assignments",
@@ -84,6 +85,43 @@ def test_iterative_operators_release_their_loop_state(spark, sf_dir):
     q_dedup_clusters(spark, sf_dir).count()
     q_pagerank_neardup(spark, sf_dir).count()
     q_hierarchy_data_edges(spark, sf_dir).count()
+    clear_all_session_caches()
+    assert _settled_count(spark, base) <= base
+
+
+def test_pair_cache_owns_its_checkpoints(spark, sf_dir):
+    """clear_pair_cache alone must release the pair-list checkpoint
+    blocks AND leave the family rebuildable — handles and blocks are
+    owned by one clearer, with no ordering dependency on
+    iterative_transients (round-6 ADVICE: the old routing freed blocks
+    while _PAIR_CACHE still held unreadable handles)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.dedup import (
+        clear_pair_cache,
+        q_dedup_tier_recall,
+        q_minhash_band_sensitivity,
+    )
+
+    clear_all_session_caches()
+    base = _settled_count(spark, 0)
+    q_dedup_tier_recall(spark, sf_dir).count()
+    assert persisted_rdd_count(spark) > base
+    clear_pair_cache()  # deliberately NOT release_transients
+    # the shingle-hashset family (built by the underlying tiers) is a
+    # DIFFERENT family and stays persisted; pin the pair family's own
+    # level instead: release → rebuild → release returns to the same
+    # count (blocks freed each time, no accumulation)
+    hashset_level = _settled_count(spark, base)
+    # rebuild after clear works (fresh checkpoints, not dead handles)
+    assert q_dedup_tier_recall(spark, sf_dir).count() == 1
+    assert persisted_rdd_count(spark) > hashset_level
+    clear_pair_cache()
+    assert _settled_count(spark, hashset_level) <= hashset_level
+    # repeated band-sensitivity calls reuse the memoized candidate
+    # checkpoints instead of accumulating one pair per invocation
+    q_minhash_band_sensitivity(spark, sf_dir).count()
+    level = persisted_rdd_count(spark)
+    q_minhash_band_sensitivity(spark, sf_dir).count()
+    assert persisted_rdd_count(spark) <= level
     clear_all_session_caches()
     assert _settled_count(spark, base) <= base
 

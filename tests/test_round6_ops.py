@@ -295,11 +295,14 @@ def test_synth_regroup_preserves_values_and_splits(spark, tmp_path):
     row groups to split on — the layout contract the 10x soak relies
     on (SCALING.md round 6)."""
     import sys
+    from pathlib import Path
 
     import duckdb
     import pyarrow.parquet as pq
 
-    sys.path.insert(0, "scripts")
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "scripts")
+    )
     from synth_scale import _regroup
 
     p = str(tmp_path / "t.parquet")
@@ -308,24 +311,36 @@ def test_synth_regroup_preserves_values_and_splits(spark, tmp_path):
         "CAST(id % 97 AS DOUBLE) AS v",
         # incompressible pad so the file clears several 1 MiB groups
         "sha2(CAST(id AS STRING), 256) AS pad",
+        # timestamp column: catalog.table auto-detects the events ts
+        # encoding, so the rewrite must preserve it bit-for-bit
+        "timestamp_seconds(1500000000 + id % 86400) AS ts",
     ).coalesce(1).write.parquet(str(tmp_path / "w"))
     import glob
     import os
 
     (part,) = glob.glob(str(tmp_path / "w" / "part-*.parquet"))
     os.replace(part, p)
-    before = duckdb.sql(
-        f"SELECT COUNT(*), SUM(v), md5(string_agg(id::VARCHAR, ',' ORDER BY id)) FROM read_parquet('{p}')"
-    ).fetchone()
+    probe = (
+        f"SELECT COUNT(*), SUM(v), "
+        f"md5(string_agg(id::VARCHAR, ',' ORDER BY id)), "
+        f"md5(string_agg(ts::VARCHAR, ',' ORDER BY id)) "
+        f"FROM read_parquet('{p}')"
+    )
+    before = duckdb.sql(probe).fetchone()
+    schema_before = pq.ParquetFile(p).schema_arrow
     assert pq.ParquetFile(p).metadata.num_row_groups == 1
     _regroup(p)
     assert pq.ParquetFile(p).metadata.num_row_groups > 1
-    after = duckdb.sql(
-        f"SELECT COUNT(*), SUM(v), md5(string_agg(id::VARCHAR, ',' ORDER BY id)) FROM read_parquet('{p}')"
-    ).fetchone()
+    # schema (incl. Spark's key-value metadata) survives the rewrite —
+    # type auto-detection must see the same file either side
+    assert pq.ParquetFile(p).schema_arrow.equals(
+        schema_before, check_metadata=True
+    )
+    after = duckdb.sql(probe).fetchone()
     assert before == after
     sdf = spark.read.parquet(p)
     assert sdf.count() == 200_000
+    assert dict(sdf.dtypes)["ts"].startswith("timestamp")
 
 
 def test_rhp_sketch_build_is_spread(spark, sf_dir):

@@ -617,7 +617,16 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming ≤ 3 over 44 bits. Pigeonhole
     banding — 4 chunks of 11 bits; any pair within hamming 3 shares ≥1
     exact chunk — makes the candidate join an equi-join (the scale path),
-    then the exact popcount filter runs on candidates only."""
+    then the exact popcount filter runs on candidates only.
+
+    AUDIT variant: the output is the FULL pair list, which grows with
+    the corpus's true near-dup density (17.5× for 10× docs in the
+    round-6 soak) — fine for inspection, not a 100 TB output contract.
+    The production form is ``q_dedup_simhash_best`` (O(docs) output)."""
+    return _simhash_pairs_frame(spark, sf_dir)
+
+
+def _simhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprints persist through the shared cache: the 44-bit vote fold
     # is the costliest expression in the module and the self-join below
     # references it from both sides.
@@ -662,6 +671,66 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.filter(hamming <= HAMMING_MAX).select(
         "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    )
+
+
+@register(
+    "q_dedup_simhash_best",
+    tags=("dedup", "simhash", "lsh", "scale"),
+    oracle=f"""
+        WITH {_SIMHASH_SQL},
+        chunks AS (
+            SELECT doc_id, simhash, c,
+                   (simhash >> (c * {SIMHASH_CHUNK_BITS})) & {(1 << SIMHASH_CHUNK_BITS) - 1} AS chunk_val
+            FROM fp, range(0, {SIMHASH_CHUNKS}) t(c)
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_id_a, x.simhash AS ha,
+                            y.doc_id AS doc_id_b, y.simhash AS hb
+            FROM chunks x JOIN chunks y
+              ON x.c = y.c AND x.chunk_val = y.chunk_val
+             AND x.doc_id < y.doc_id
+        ),
+        pairs AS (
+            SELECT doc_id_a, doc_id_b,
+                   bit_count(xor(ha, hb)) AS hamming
+            FROM cand
+            WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+        ),
+        ranked AS (
+            SELECT doc_id_b AS doc_id, doc_id_a AS kept_doc_id, hamming,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id_b ORDER BY hamming, doc_id_a
+                   ) AS rn
+            FROM pairs
+        )
+        SELECT doc_id, kept_doc_id, hamming FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_simhash_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash PRODUCTION form: per-document BEST MATCH — each near-dup
+    document appears exactly once with its closest keeper, so the output
+    is O(docs) no matter how dense the duplicate cliques are (the pair
+    list grew 17.5× for 10× docs in the round-6 soak; this form cannot).
+    Keep/drop follows the dedup-tier convention (``q_dedup_exact`` /
+    ``q_dedup_semdedup``): of any qualifying pair (a < b), b is the drop
+    candidate; its keeper is the partner with minimum hamming distance
+    (ties to the smallest id), so removal lists compose across tiers.
+
+    Plan: same banded equi-join candidates as the audit variant, then a
+    partial-aggregable ``min(struct(hamming, doc_id_a))`` per drop id —
+    a map-side-combine groupBy, NOT a window sort: at 100 TB the
+    reduction happens before the shuffle, and no per-key sort is paid."""
+    pairs = _simhash_pairs_frame(spark, sf_dir)
+    best = F.min(F.struct(F.col("hamming"), F.col("doc_id_a"))).alias("b")
+    return (
+        pairs.groupBy(F.col("doc_id_b").alias("doc_id"))
+        .agg(best)
+        .select(
+            "doc_id",
+            F.col("b.doc_id_a").alias("kept_doc_id"),
+            F.col("b.hamming").alias("hamming"),
+        )
     )
 
 

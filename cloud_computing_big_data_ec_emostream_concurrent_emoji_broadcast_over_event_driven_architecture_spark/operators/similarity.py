@@ -60,19 +60,57 @@ IVF_K = 8  # pseudo-centroids: vec_id < 8
 RHP_BITS = 48  # sketch width — FIXED (q_embedding_lsh_sketch contract)
 RHP_BANDS = 8
 RHP_BAND_BITS = 6  # band-width FLOOR: ≤4096 vectors keeps legacy 8×6 banding
-RHP_BAND_BITS_MAX = 16  # 64×2^16 ≈ 4.2M vectors; beyond that re-shard first
+RHP_BAND_BITS_MAX = 16  # 64×2^16 ≈ 4.2M vectors; beyond that re-shard
+# first — the re-shard dial is IMPLEMENTED: q_dedup_embedding_sharded
 RHP_TARGET_OCC = 64  # target expected bucket occupancy
 
 
-def rhp_band_bits(n: int) -> int:
+def rhp_band_bits(n: int, shard_bits: int = 0) -> int:
     """Smallest band width b in [RHP_BAND_BITS, RHP_BAND_BITS_MAX] with
-    2^b · RHP_TARGET_OCC ≥ n — i.e. expected bucket occupancy ≤ target.
-    Pure integer arithmetic so DuckDB's twin (``_RHP_PARAMS_CTE``) can
-    never diverge on a float-log boundary."""
+    2^b · RHP_TARGET_OCC · 2^shard_bits ≥ n — i.e. expected bucket
+    occupancy ≤ target WITHIN each of the 2^shard_bits shards (exactly
+    ``(1<<b)·occ ≥ ceil(n / 2^s)`` in integers, cross-multiplied so no
+    division rounds). Pure integer arithmetic so DuckDB's twin
+    (``_RHP_PARAMS_CTE``) can never diverge on a float-log boundary."""
     for b in range(RHP_BAND_BITS, RHP_BAND_BITS_MAX + 1):
-        if (1 << b) * RHP_TARGET_OCC >= n:
+        if ((1 << b) * RHP_TARGET_OCC) << shard_bits >= n:
             return b
     return RHP_BAND_BITS_MAX
+
+
+# --- re-shard dial (the path PAST the band-width ceiling) -------------------
+# rhp_band_bits() saturates at RHP_BAND_BITS_MAX ≈ 4.2M vectors; beyond
+# that, occupancy grows linearly again unless the corpus is SHARDED
+# first. The shard key is CONTENT-derived — extra hyperplane sign bits
+# drawn from dedicated planes (indices ≥ RHP_SHARD_PLANE_BASE, disjoint
+# from every band plane at any adaptive width) — NOT a hash of vec_id: a
+# row-id hash would scatter every duplicate pair across shards with
+# probability (S-1)/S, while sign-bit sharding sends exact duplicates to
+# the SAME shard always, and near-dups with the familiar per-bit
+# agreement probability p = 1 - arccos(s)/π (the shard bits act as band
+# bits shared by all 8 bands). Recall cost per shard bit is therefore
+# the same curve the band-width dial already pays, the verify step stays
+# exact, and candidate work drops 2× per bit.
+#
+# RHP_SHARD_CAP is the per-shard size at which the dial engages. The
+# production value is the band ceiling's capacity
+# (RHP_TARGET_OCC << RHP_BAND_BITS_MAX ≈ 4.2M); the checked-in value is
+# a test-scale stand-in so the dial is demonstrably ACTIVE on the
+# shipped fixtures (inert at n=500 → floor parity with
+# q_dedup_embedding; 1 shard bit at sf0.1's n=2000; 5 bits at the 10×
+# soak's n=20000) — the rule, not the constant, is the contract.
+RHP_SHARD_CAP = 1024
+RHP_SHARD_BITS_MAX = 8
+RHP_SHARD_PLANE_BASE = RHP_BANDS * RHP_BAND_BITS_MAX  # 128
+
+
+def rhp_shard_bits(n: int) -> int:
+    """Smallest s in [0, RHP_SHARD_BITS_MAX] with 2^s · RHP_SHARD_CAP ≥
+    n (expected shard size ≤ cap); integer-exact, oracle-replayable."""
+    for s in range(0, RHP_SHARD_BITS_MAX + 1):
+        if (1 << s) * RHP_SHARD_CAP >= n:
+            return s
+    return RHP_SHARD_BITS_MAX
 # two-round LCG (exact in int64) — the deterministic pseudo-random plane
 # component generator both engines replay bit-identically
 _RHP_A = 1103515245
@@ -146,8 +184,12 @@ def _rhp_plane(j: int, d: Column) -> Column:
     return m2.cast("double") / F.lit(float(_RHP_M)) - F.lit(0.5)
 
 
-def _rhp_bit_exprs(v: Column, nbits: int = RHP_BITS) -> list[Column]:
-    """``nbits`` sign-bit columns (0/1) for an array<double> vector.
+def _rhp_bit_exprs(
+    v: Column, nbits: int = RHP_BITS, start: int = 0
+) -> list[Column]:
+    """``nbits`` sign-bit columns (0/1) for an array<double> vector,
+    for planes ``start .. start+nbits-1`` (``start > 0`` selects the
+    dedicated shard planes at RHP_SHARD_PLANE_BASE).
 
     Each bit is sign(v · plane_j). The dot product folds exact
     decimal(18,10) per-element contributions (the accumulator re-cast
@@ -161,7 +203,7 @@ def _rhp_bit_exprs(v: Column, nbits: int = RHP_BITS) -> list[Column]:
         return lambda x, d: (x * _rhp_plane(j, d)).cast("decimal(18,10)")
 
     bits = []
-    for j in range(nbits):
+    for j in range(start, start + nbits):
         s = F.aggregate(
             F.zip_with(v, idxs, contrib_fn(j)),
             F.lit(0).cast("decimal(28,10)"),
@@ -908,6 +950,214 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rhp_sharded_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, shard, band, code) LSH bucket rows with the re-shard
+    dial applied: shard = packed sign bits of the dedicated shard planes
+    (rhp_shard_bits(n) of them), band width re-derived for the PER-SHARD
+    expected count. Persisted like the unsharded sketch frame (same
+    cache family / release path)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "sharded")
+    if key not in _RHP_CACHE:
+        emb = table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        ss = rhp_shard_bits(n)
+        bb = rhp_band_bits(n, shard_bits=ss)
+        emb = _spread(emb.select("vec_id", "embedding"))
+        v = as_double(F.col("embedding"))
+        bits = _rhp_bit_exprs(v, RHP_BANDS * bb)
+        codes = F.array(
+            *[
+                sum(
+                    (bits[b * bb + r] * F.lit(1 << r)
+                     for r in range(1, bb)),
+                    start=bits[b * bb],
+                ).cast("int")
+                for b in range(RHP_BANDS)
+            ]
+        )
+        if ss == 0:
+            shard = F.lit(0)
+        else:
+            sbits = _rhp_bit_exprs(v, ss, start=RHP_SHARD_PLANE_BASE)
+            shard = sum(
+                (sbits[r] * F.lit(1 << r) for r in range(1, ss)),
+                start=sbits[0],
+            )
+        df = (
+            emb.select(
+                "vec_id",
+                shard.cast("int").alias("shard"),
+                codes.alias("codes"),
+            )
+            .select(
+                "vec_id", "shard", F.posexplode("codes").alias("band", "code")
+            )
+            .persist()
+        )
+        _RHP_CACHE[key] = df
+    return _RHP_CACHE[key]
+
+
+# sharded-oracle pipeline: same planes/decimal folds as _RHP_CTE, but
+# params add the shard-bit rule and band width derives from the
+# PER-SHARD count ((1<<b)·occ·2^ss ≥ n — the cross-multiplied integer
+# form of occ·2^b ≥ ceil(n/2^ss)); shard planes live at
+# j ≥ RHP_SHARD_PLANE_BASE so they never overlap a band plane.
+_RHP_SHARDED_CTE = f"""
+        sparams AS (
+            SELECT COALESCE(
+                (SELECT MIN(s)
+                 FROM range(0, {RHP_SHARD_BITS_MAX} + 1) t(s)
+                 WHERE (CAST(1 AS BIGINT) << s) * {RHP_SHARD_CAP}
+                       >= (SELECT COUNT(*) FROM embeddings)),
+                {RHP_SHARD_BITS_MAX}) AS ss
+        ),
+        bparams AS (
+            SELECT ss, COALESCE(
+                (SELECT MIN(b)
+                 FROM range({RHP_BAND_BITS}, {RHP_BAND_BITS_MAX} + 1) t(b)
+                 WHERE ((CAST(1 AS BIGINT) << b) * {RHP_TARGET_OCC}) << ss
+                       >= (SELECT COUNT(*) FROM embeddings)),
+                {RHP_BAND_BITS_MAX}) AS bb
+            FROM sparams
+        ),
+        ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v
+               FROM embeddings),
+        ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+                      unnest(v) AS x
+               FROM ev),
+        contrib AS (
+            SELECT vec_id, j,
+                   CAST(x * {_RHP_PLANE_SQL} AS DECIMAL(18,10)) AS c
+            FROM ex
+            CROSS JOIN range(0, {RHP_SHARD_PLANE_BASE}
+                                + {RHP_SHARD_BITS_MAX}) t(j)
+            CROSS JOIN bparams
+            WHERE j < {RHP_BANDS} * bb
+               OR (j >= {RHP_SHARD_PLANE_BASE}
+                   AND j < {RHP_SHARD_PLANE_BASE} + ss)
+        ),
+        bits AS (
+            SELECT vec_id, j, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM contrib GROUP BY vec_id, j
+        ),
+        shards AS (
+            SELECT e.vec_id, COALESCE(s.sh, 0) AS shard
+            FROM ev e LEFT JOIN (
+                SELECT vec_id,
+                       CAST(SUM(bit << (j - {RHP_SHARD_PLANE_BASE}))
+                            AS INT) AS sh
+                FROM bits WHERE j >= {RHP_SHARD_PLANE_BASE}
+                GROUP BY vec_id
+            ) s ON e.vec_id = s.vec_id
+        ),
+        scodes AS (
+            SELECT b.vec_id, sh.shard, CAST(j // bb AS INT) AS band,
+                   CAST(SUM(bit << (j % bb)) AS INT) AS code
+            FROM bits b CROSS JOIN bparams
+            JOIN shards sh ON b.vec_id = sh.vec_id
+            WHERE j < {RHP_BANDS} * bb
+            GROUP BY b.vec_id, sh.shard, CAST(j // bb AS INT)
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+            FROM scodes x JOIN scodes y
+              ON x.shard = y.shard AND x.band = y.band
+             AND x.code = y.code AND x.vec_id < y.vec_id
+        )
+"""
+
+
+@register(
+    "q_dedup_embedding_sharded",
+    tags=("dedup", "similarity", "vector", "lsh", "scale"),
+    oracle=f"""
+        WITH {_RHP_SHARDED_CTE},
+        pairs AS (
+            SELECT c.vec_id_a AS keep_cand, c.vec_id_b AS drop_id,
+                   {cosine_sql('a.v', 'b.v')} AS sim
+            FROM cand c
+            JOIN ev a ON a.vec_id = c.vec_id_a
+            JOIN ev b ON b.vec_id = c.vec_id_b
+            WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
+        ),
+        dropped AS (
+            SELECT drop_id AS doc_id,
+                   MIN(keep_cand) AS kept_doc_id,
+                   ROUND(MAX(sim), 6) AS max_sim
+            FROM pairs GROUP BY drop_id
+        )
+        SELECT d.doc_id, d.lang, dr.kept_doc_id, dr.max_sim
+        FROM dropped dr JOIN documents d ON d.doc_id = dr.doc_id
+    """,
+)
+def q_dedup_embedding_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal list with the RE-SHARD dial — the path
+    PAST the band-width ceiling (``rhp_band_bits`` saturates at
+    {RHP_BAND_BITS_MAX} bits ≈ 4.2M vectors at production occupancy; the
+    module header used to say "re-shard first" without an operator —
+    this is that operator). The corpus is split into 2^s content-derived
+    shards (s = :func:`rhp_shard_bits`; shard bits are hyperplane signs
+    from dedicated planes, so exact duplicates ALWAYS co-shard and
+    near-dups co-shard with the same per-bit probability the band dial
+    pays), the candidate join gains shard equality as one extra
+    equi-join key, and band width re-derives from the per-shard count —
+    occupancy, and therefore per-bucket pair work, stays at target for
+    ANY n: bucket count scales as 2^(s+b) while each stays ~{RHP_TARGET_OCC}
+    rows.
+
+    Below the cap (s=0) this is q_dedup_embedding exactly — same planes,
+    same width, shard key constant 0 (floor parity pinned in
+    tests/test_round7_ops.py); the shipped fixtures activate s=1 at
+    sf0.1 and s≥5 at the 10×/30× soaks. Output shape and keep/drop
+    convention match the dedup tier family."""
+    docs = table(spark, sf_dir, "documents")
+    rows = _rhp_sharded_band_rows(spark, sf_dir)
+    x, y = rows.alias("x"), rows.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.shard") == F.col("y.shard"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.code") == F.col("y.code"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id_a"),
+            F.col("y.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        as_double(F.col("embedding")).alias("va"),
+    ).withColumn("na", norm(F.col("va")))
+    eb = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        as_double(F.col("embedding")).alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .filter(sim >= NEAR_DUP_COS)
+        .select(
+            F.col("vec_id_b").alias("doc_id"),
+            F.col("vec_id_a").alias("keep_cand"),
+            sim.alias("sim"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min("keep_cand").alias("kept_doc_id"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+    )
+    return dropped.join(docs, "doc_id").select(
+        "doc_id", "lang", "kept_doc_id", "max_sim"
+    )
+
+
 QUANT_LEVELS = 255  # int8 code range 0..255
 
 
@@ -1601,8 +1851,7 @@ SEMDEDUP_EPS = 0.35  # within-cluster cosine threshold (family convention)
 
 @register(
     "q_dedup_semdedup",
-    headline=True,
-    tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
+    tags=("dedup", "similarity", "vector", "llm-pipeline"),
     oracle=f"""
         WITH {_trained_cents_ctes()},
         a_final AS {_kmeans_assign_sql('cents')},
@@ -1628,6 +1877,12 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the candidate space the way LSH bands do for
     ``q_dedup_embedding``, but with data-adaptive regions (a paraphrase
     cluster is one bucket even when its members straddle LSH bands).
+
+    PEDAGOGICAL FORM (fixed K={IVF_K} ⇒ within-cluster pair work is
+    N²/K — soak ratio 10.4 at 10×): kept registered as the
+    shared-IVF-index variant and the audit twin, but the HEADLINE slot
+    belongs to ``q_dedup_semdedup_scaled`` (dynamic K = N/64, constant
+    cluster size, linear pair work — the form you'd run at 100×).
 
     Scale contract: with K ∝ √N clusters, expected within-cluster pair
     work is ~N^1.5/K ≈ N — the fixture's K={IVF_K} stands in for that
@@ -1811,6 +2066,7 @@ def _semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_semdedup_scaled",
+    headline=True,
     tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
     oracle=f"""
         WITH {_dyn_cents_ctes()},

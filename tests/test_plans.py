@@ -554,6 +554,9 @@ def test_semdedup_equi_join_on_cluster(spark, sf_dir):
     anywhere (the only BNLJ allowed is the broadcast centroid assign)."""
     plan = _plan(spark, sf_dir, "q_dedup_semdedup")
     assert "CartesianProduct" not in plan
+    # same contract for the dynamic-K production form (the headline)
+    plan = _plan(spark, sf_dir, "q_dedup_semdedup_scaled")
+    assert "CartesianProduct" not in plan
 
 
 def test_phash_band_equi_join_carries_verify_payload(spark, sf_dir):

@@ -654,14 +654,22 @@ def _kmeans_recenter_sql(assign_cte: str) -> str:
         )"""
 
 
+# the (vec_id, v) base CTE both training chains start from — exposed so
+# the soak harness (scripts/driver_sim.py) can rebuild it verbatim when
+# it swaps a training chain for its once-materialized twin
+_EV_CTE = (
+    f"ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
+    " FROM embeddings)"
+)
+
+
 def _trained_cents_ctes() -> str:
     """The CTE chain replaying :func:`trained_centroids`: ev, c0 (first-K
     init), then {KMEANS_ITERS} unrolled assign/recenter rounds, ending in
     a ``cents`` CTE — the oracle's twin of the Spark-side IVF index
     training."""
     ctes = [
-        f"ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
-        " FROM embeddings)",
+        _EV_CTE,
         f"c0 AS (SELECT vec_id AS cent_id, {as_double_sql('embedding')}"
         f" AS cv FROM embeddings WHERE vec_id < {IVF_K})",
     ]
@@ -2025,8 +2033,7 @@ def _dyn_cents_ctes() -> str:
         " FROM embeddings)"
     )
     ctes = [
-        f"ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
-        " FROM embeddings)",
+        _EV_CTE,
         f"d0 AS (SELECT vec_id AS cent_id, {as_double_sql('embedding')}"
         f" AS cv FROM embeddings WHERE vec_id < {k_sql})",
     ]

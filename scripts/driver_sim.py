@@ -26,6 +26,84 @@ TABLES = (
 ).split()
 
 
+def _centroid_memo_rewriter(con):
+    """Oracle-side k-means memo (round-7 soak item): the dynamic-K and
+    fixed-K training chains appear verbatim in several oracles, and at
+    soak volume DuckDB re-trains per query — 4 replays dominated the 10×
+    oracle wall (SCALING.md round 6). This returns a ``rewrite(sql)``
+    that swaps each known chain for a reference to a TEMP table CTAS'd
+    ONCE from the *identical* SQL — results are bit-equal by
+    construction (same engine, same text, run once), so the parity
+    verdicts are unchanged; only repeated training is cut. Training
+    itself stays live-proven by ``q_kmeans`` (its own c0..cN chain is a
+    different text and is never rewritten). Opt out with
+    SPARK_GRAFT_SIM_NO_ORACLE_MEMO=1."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (  # noqa: E501
+        similarity as S,
+    )
+
+    ev = S._EV_CTE  # noqa: SLF001
+    fixed = S._trained_cents_ctes()  # noqa: SLF001
+    dyn = S._dyn_cents_ctes()  # noqa: SLF001
+    a_fin = f"a_final AS {S._kmeans_assign_sql('cents')}"  # noqa: SLF001
+    da_fin = f"da_final AS {S._kmeans_assign_sql('dcents')}"  # noqa: SLF001
+    # (needle, replacement, [(temp_table, create_sql)]) — final-assignment
+    # rules first: they memoize one MORE N×K pass than the chain rules
+    rules = [
+        (
+            a_fin,
+            "a_final AS (SELECT vec_id, v, cent_id FROM mat_a_final)",
+            [(
+                "mat_a_final",
+                f"CREATE TEMP TABLE mat_a_final AS WITH {fixed} "
+                f"SELECT q.vec_id, q.v, q.cent_id "
+                f"FROM {S._kmeans_assign_sql('cents')} q",  # noqa: SLF001
+            )],
+        ),
+        (
+            da_fin,
+            "da_final AS (SELECT vec_id, v, cent_id FROM mat_da_final)",
+            [(
+                "mat_da_final",
+                f"CREATE TEMP TABLE mat_da_final AS WITH {dyn} "
+                f"SELECT q.vec_id, q.v, q.cent_id "
+                f"FROM {S._kmeans_assign_sql('dcents')} q",  # noqa: SLF001
+            )],
+        ),
+        (
+            fixed,
+            f"{ev}, cents AS (SELECT cent_id, cv FROM mat_cents)",
+            [(
+                "mat_cents",
+                f"CREATE TEMP TABLE mat_cents AS WITH {fixed} "
+                "SELECT cent_id, cv FROM cents",
+            )],
+        ),
+        (
+            dyn,
+            f"{ev}, dcents AS (SELECT cent_id, cv FROM mat_dcents)",
+            [(
+                "mat_dcents",
+                f"CREATE TEMP TABLE mat_dcents AS WITH {dyn} "
+                "SELECT cent_id, cv FROM dcents",
+            )],
+        ),
+    ]
+    made: set[str] = set()
+
+    def rewrite(sql: str) -> str:
+        for needle, repl, creates in rules:
+            if needle in sql:
+                for tbl, csql in creates:
+                    if tbl not in made:
+                        con.execute(csql)
+                        made.add(tbl)
+                sql = sql.replace(needle, repl)
+        return sql
+
+    return rewrite
+
+
 def norm(v):
     if isinstance(v, float):
         return round(v, 9)
@@ -78,6 +156,10 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
+    if os.environ.get("SPARK_GRAFT_SIM_NO_ORACLE_MEMO"):
+        rewrite = lambda s: s  # noqa: E731 — the pre-memo baseline path
+    else:
+        rewrite = _centroid_memo_rewriter(con)
 
     import time
 
@@ -114,7 +196,7 @@ def main() -> int:
                 key=repr,
             )
             t_spark = time.perf_counter() - t_q
-            res = con.execute(osql[name])
+            res = con.execute(rewrite(osql[name]))
             d_cols = [c[0].lower() for c in res.description]
             d_rows = sorted(
                 (tuple(norm(v) for _, v in sorted(zip(d_cols, r)))

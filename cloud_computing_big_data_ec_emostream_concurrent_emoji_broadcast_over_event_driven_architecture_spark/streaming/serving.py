@@ -25,7 +25,10 @@ sink state (never re-aggregating):
   aggregate stream is pushed to every connected SSE client.
 - :class:`StatsHttpServer` binds ``ThreadingHTTPServer`` (port 0 =
   ephemeral) and routes the three JSON endpoints, ``/events`` (SSE,
-  ping-on-idle like the reference client), and a minimal ``/``
+  ping-on-idle like the reference client), ``/ws`` (RFC 6455 WebSocket
+  — the reference's OTHER live transport, pubsub.py:15-29, ports
+  8765-8767 per its README.md:84 — handshake + unmasked text frames +
+  protocol ping/pong/close, fed by the same hub), and a minimal ``/``
   dashboard page.
 
 No Flask/websockets dependency: the transport is ~the stdlib, and the
@@ -199,6 +202,55 @@ def sse_batch_sink(hub: SseHub) -> Callable[[DataFrame, int], None]:
     return deliver
 
 
+# ---------------------------------------------------------------- websocket
+
+# RFC 6455 §1.3 handshake GUID (public constant)
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept_key(client_key: str) -> str:
+    """Sec-WebSocket-Accept for a client's Sec-WebSocket-Key
+    (RFC 6455 §4.2.2: base64(sha1(key + GUID)))."""
+    import base64
+    import hashlib
+
+    digest = hashlib.sha1((client_key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def _ws_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    """One unmasked server→client frame (FIN set; servers MUST NOT mask,
+    RFC 6455 §5.1). opcode 0x1=text, 0x9=ping, 0x8=close."""
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < 1 << 16:
+        head += bytes([126]) + n.to_bytes(2, "big")
+    else:
+        head += bytes([127]) + n.to_bytes(8, "big")
+    return head + payload
+
+
+def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
+    """Read one client frame → (opcode, unmasked payload), or None on a
+    closed/invalid stream. Client frames MUST be masked (§5.1)."""
+    hdr = rfile.read(2)
+    if len(hdr) < 2:
+        return None
+    opcode = hdr[0] & 0x0F
+    masked, n = hdr[1] & 0x80, hdr[1] & 0x7F
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    mask = rfile.read(4) if masked else b"\x00\x00\x00\x00"
+    data = rfile.read(n)
+    if len(data) < n:
+        return None
+    return opcode, bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+
+
 # ---------------------------------------------------------------- server
 
 _DASHBOARD_HTML = """<!DOCTYPE html>
@@ -208,7 +260,7 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
 <p>Endpoints: <a href="/api/stats">/api/stats</a>,
 <a href="/api/emoji-data">/api/emoji-data</a>,
 <a href="/api/total-data">/api/total-data</a>,
-<a href="/events">/events</a> (SSE)</p>
+<a href="/events">/events</a> (SSE), <code>/ws</code> (WebSocket)</p>
 </body></html>
 """
 
@@ -270,6 +322,8 @@ class StatsHttpServer:
                         self._json(api_total_data(outer.spark, outer.sink_table))
                     elif path == "/events":
                         self._sse()
+                    elif path == "/ws":
+                        self._ws()
                     elif path == "/":
                         body = _DASHBOARD_HTML.encode()
                         self.send_response(200)
@@ -281,6 +335,51 @@ class StatsHttpServer:
                         self.send_error(404)
                 except BrokenPipeError:
                     pass  # client went away mid-response
+
+            def _ws(self) -> None:
+                """WebSocket endpoint (reference pubsub.py:15-29: every
+                published message goes to every live ws subscriber;
+                README.md:84 ports 8765-8767). RFC 6455 over the same
+                bound listener: handshake upgrade, then hub messages as
+                unmasked text frames, protocol PING on idle (the ws twin
+                of the SSE ``data: ping``), PONG for client pings, clean
+                CLOSE echo."""
+                import select
+
+                key = self.headers.get("Sec-WebSocket-Key")
+                upgrade = (self.headers.get("Upgrade") or "").lower()
+                if upgrade != "websocket" or not key:
+                    self.send_error(400, "expected websocket upgrade")
+                    return
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", _ws_accept_key(key))
+                self.end_headers()
+                self.close_connection = True
+                sid, q = outer.hub.subscribe()
+                try:
+                    while True:
+                        # drain any client frames first (close/ping)
+                        while select.select([self.connection], [], [], 0)[0]:
+                            fr = _ws_read_frame(self.rfile)
+                            if fr is None or fr[0] == 0x8:  # close
+                                if fr is not None:
+                                    self.wfile.write(_ws_frame(fr[1], 0x8))
+                                return
+                            if fr[0] == 0x9:  # ping -> pong
+                                self.wfile.write(_ws_frame(fr[1], 0xA))
+                        try:
+                            msg = q.get(timeout=outer.sse_idle_seconds)
+                            payload = json.dumps(msg, sort_keys=True).encode()
+                            self.wfile.write(_ws_frame(payload, 0x1))
+                        except queue.Empty:
+                            self.wfile.write(_ws_frame(b"ping", 0x9))
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass  # subscriber went away — normal ws lifecycle
+                finally:
+                    outer.hub.unsubscribe(sid)
 
             def _sse(self) -> None:
                 """reference client.py:157-181: text/event-stream,

@@ -261,3 +261,123 @@ def test_sse_fanout_sink_streams_aggregate_rows(spark, served_sink, tmp_path):
     assert set(m) == {"event_type", "window", "cnt", "scaled_count", "batch_id"}
     assert isinstance(m["window"], dict) and "start" in m["window"]
     assert isinstance(m["window"]["start"], str)  # ISO-flattened
+
+
+# ---------------------------------------------------------------- websocket
+
+
+def _ws_connect(server, timeout: float = 10.0):
+    """Minimal RFC 6455 client: raw socket handshake against /ws.
+    Returns (sock, rfile). Client frames are masked per §5.1."""
+    import base64
+    import socket
+
+    host, port = "127.0.0.1", server.port
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    s = socket.create_connection((host, port), timeout=timeout)
+    s.sendall(
+        (
+            f"GET /ws HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    rfile = s.makefile("rb")
+    status = rfile.readline().decode()
+    assert " 101 " in status, status
+    accept = None
+    while True:
+        line = rfile.readline().decode().strip()
+        if not line:
+            break
+        k, _, v = line.partition(":")
+        if k.lower() == "sec-websocket-accept":
+            accept = v.strip()
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.serving import (
+        _ws_accept_key,
+    )
+
+    assert accept == _ws_accept_key(key)  # RFC 6455 §4.2.2 proof
+    return s, rfile
+
+
+def _ws_read(rfile):
+    """Read one unmasked server frame -> (opcode, payload bytes)."""
+    hdr = rfile.read(2)
+    assert len(hdr) == 2
+    opcode = hdr[0] & 0x0F
+    n = hdr[1] & 0x7F
+    assert not (hdr[1] & 0x80)  # servers MUST NOT mask (§5.1)
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    return opcode, rfile.read(n)
+
+
+def _ws_send(sock, payload: bytes, opcode: int) -> None:
+    import os as _os
+
+    mask = _os.urandom(4)
+    assert len(payload) < 126
+    frame = bytes([0x80 | opcode, 0x80 | len(payload)]) + mask + bytes(
+        b ^ mask[i % 4] for i, b in enumerate(payload)
+    )
+    sock.sendall(frame)
+
+
+def test_ws_handshake_broadcast_and_ping(server):
+    """The ws twin of test_sse_delivers_published_messages_then_pings:
+    handshake (accept-key checked), hub broadcast arrives as a text
+    frame, idle gaps produce protocol PINGs, client PING gets a PONG,
+    and a client CLOSE is echoed + unsubscribes."""
+    sock, rfile = _ws_connect(server)
+    try:
+        deadline = time.monotonic() + 10
+        while server.hub.subscriber_count == 0:
+            assert time.monotonic() < deadline, "ws subscriber never registered"
+            time.sleep(0.02)
+        server.hub.publish({"event_type": "fire", "cnt": 9})
+        saw_msg = saw_ping = False
+        for _ in range(6):
+            op, payload = _ws_read(rfile)
+            if op == 0x9:
+                saw_ping = True  # idle keep-alive (0.3 s here)
+            elif op == 0x1:
+                assert json.loads(payload) == {"event_type": "fire", "cnt": 9}
+                saw_msg = True
+            if saw_msg and saw_ping:
+                break
+        assert saw_msg and saw_ping
+        # client ping -> server pong (may be preceded by idle pings)
+        _ws_send(sock, b"hello", 0x9)
+        for _ in range(6):
+            op, payload = _ws_read(rfile)
+            if op == 0xA:
+                assert payload == b"hello"
+                break
+        else:
+            raise AssertionError("no pong")
+        # clean close: echo + unsubscribe
+        _ws_send(sock, b"", 0x8)
+        for _ in range(6):
+            op, payload = _ws_read(rfile)
+            if op == 0x8:
+                break
+        else:
+            raise AssertionError("no close echo")
+    finally:
+        rfile.close()
+        sock.close()
+    deadline = time.monotonic() + 10
+    while server.hub.subscriber_count > 0 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert server.hub.subscriber_count == 0
+
+
+def test_ws_rejects_plain_get(server):
+    """GET /ws without upgrade headers is a 400, not a hang."""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{server.url}/ws", timeout=10)
+    assert ei.value.code == 400

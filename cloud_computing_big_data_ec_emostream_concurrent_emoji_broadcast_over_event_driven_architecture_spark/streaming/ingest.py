@@ -1,0 +1,213 @@
+"""HTTP ingest gateway — the reference's front door, engine-native.
+
+The reference accepts emoji events over Flask (api_server.py:52-66:
+POST ``/send_emoji`` → field validation → bounded in-process queue →
+background flusher batching into Kafka, api_server.py:19-49: ≤1000
+messages or 0.5 s per batch). This module is that edge rebuilt on the
+stdlib with the SAME observable contract:
+
+- POST ``/send_emoji`` with JSON ``{user_id, emoji_type, timestamp}``;
+  a missing field → 400 ``{"error": "Missing fields in request data"}``;
+  accepted → 200 ``{"status": "Emoji data queued"}``; a full queue →
+  503 ``{"error": "Message queue is full"}`` (status codes and payload
+  shapes verbatim from api_server.py:55-64).
+- a daemon flusher draining the queue in ≤``batch_max``-message /
+  ``flush_interval``-second batches (api_server.py:25-27).
+
+The flusher's sink is a SPOOL DIRECTORY of JSON-lines files written
+atomically (tmp + rename) — which is itself a Structured Streaming
+source: ``spark.readStream.text(spool)`` → :func:`decode_wire_events`
+is byte-equivalent to the reference's Kafka hop (this sandbox has no
+broker; with one, feed the same spool through ``start_kafka_sink`` —
+the gateway is transport-agnostic by construction). Atomic rename
+matters: Spark's file source lists a directory between micro-batches,
+and a half-written file would be read once, incompletely, forever.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+REQUIRED_FIELDS = ("user_id", "emoji_type", "timestamp")
+
+# reference api_server.py:10 (queue bound), :25-27 (batch dials)
+MAX_QUEUE = 10_000
+BATCH_MAX = 1_000
+FLUSH_INTERVAL = 0.5
+
+
+class IngestGateway:
+    """Bound HTTP listener accepting the reference's ingest POSTs into a
+    spool directory that Structured Streaming tails.
+
+    ``port=0`` binds ephemeral; ``serve_background()`` starts both the
+    accept loop and the flusher; ``close()`` stops them after a final
+    drain (so no accepted message is lost on shutdown)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_queue: int = MAX_QUEUE,
+        batch_max: int = BATCH_MAX,
+        flush_interval: float = FLUSH_INTERVAL,
+    ) -> None:
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._batch_max = batch_max
+        self._flush_interval = flush_interval
+        self._accepted = 0
+        self._flushed = 0
+        self._seq = 0
+        self._count_lock = threading.Lock()
+        self._stop = threading.Event()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt: str, *args: Any) -> None:
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload, sort_keys=True).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self) -> None:  # noqa: N802 — stdlib contract
+                if self.path.split("?", 1)[0] != "/send_emoji":
+                    self.send_error(404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    data = json.loads(self.rfile.read(n) or b"null")
+                except (ValueError, json.JSONDecodeError):
+                    data = None
+                # reference api_server.py:54-56: field presence gate
+                if not isinstance(data, dict) or not all(
+                    f in data for f in REQUIRED_FIELDS
+                ):
+                    self._json(
+                        400, {"error": "Missing fields in request data"}
+                    )
+                    return
+                try:
+                    outer._q.put(data, block=False)
+                    with outer._count_lock:
+                        outer._accepted += 1
+                    self._json(200, {"status": "Emoji data queued"})
+                except queue.Full:
+                    # api_server.py:62-63: backpressure = 503, drop
+                    self._json(503, {"error": "Message queue is full"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._threads: list[threading.Thread] = []
+
+    # ------------------------------------------------------------- counts
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    @property
+    def accepted_count(self) -> int:
+        with self._count_lock:
+            return self._accepted
+
+    @property
+    def flushed_count(self) -> int:
+        with self._count_lock:
+            return self._flushed
+
+    # ------------------------------------------------------------ flusher
+
+    def _drain_batch(self) -> list[dict]:
+        """≤batch_max messages or flush_interval seconds, whichever
+        first — the reference's batching loop (api_server.py:25-30)."""
+        batch: list[dict] = []
+        start = time.monotonic()
+        while (
+            len(batch) < self._batch_max
+            and time.monotonic() - start < self._flush_interval
+        ):
+            try:
+                batch.append(self._q.get(timeout=0.05))
+            except queue.Empty:
+                if batch:
+                    break  # partial batch + idle gap: ship it
+                if self._stop.is_set():
+                    break
+        return batch
+
+    def _write_spool(self, batch: list[dict]) -> None:
+        """One JSON-lines file per batch, atomically renamed into the
+        spool so the streaming file source never lists a partial file."""
+        name = f"part-{self._seq:08d}.json"
+        self._seq += 1
+        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for msg in batch:
+                f.write(json.dumps(msg, ensure_ascii=False) + "\n")
+        os.replace(tmp, os.path.join(self.spool_dir, name))
+        with self._count_lock:
+            self._flushed += len(batch)
+
+    def _flush_loop(self) -> None:
+        while not self._stop.is_set() or not self._q.empty():
+            batch = self._drain_batch()
+            if batch:
+                self._write_spool(batch)
+
+    # ----------------------------------------------------------- lifecycle
+
+    def serve_background(self, flusher: bool = True) -> "IngestGateway":
+        """Start the accept loop (+ the flusher unless ``flusher=False``
+        — the hook for observing pure queue backpressure: with no
+        drain, POSTs hit the reference's 503 at exactly max_queue)."""
+        accept = threading.Thread(
+            target=self._httpd.serve_forever,
+            kwargs={"poll_interval": 0.1},
+            daemon=True,
+        )
+        self._threads = [accept]
+        accept.start()
+        if flusher:
+            flush = threading.Thread(target=self._flush_loop, daemon=True)
+            self._threads.append(flush)
+            flush.start()
+        return self
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._stop.set()  # flusher drains the residue, then exits
+        for t in self._threads:
+            t.join(timeout=10)
+        self._threads = []
+
+
+def ingest_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """The gateway's spool as a typed event stream: text file source →
+    schema-checked wire decode — the engine side of the reference's
+    gateway→Kafka→consumer hop, minus the broker."""
+    from .core import decode_wire_events
+
+    raw = spark.readStream.text(spool_dir)
+    return decode_wire_events(raw, value_col="value")

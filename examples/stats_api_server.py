@@ -14,7 +14,7 @@ process, stdlib transport only:
 Run:  python examples/stats_api_server.py [seconds] [port]
 
 then e.g.  curl http://127.0.0.1:<port>/api/stats
-           curl -N http://127.0.0.1:<port>/events
+           curl -N http://127.0.0.1:<port>/events   (or ws://.../ws)
 """
 
 from __future__ import annotations
@@ -69,7 +69,7 @@ def main() -> None:
         spark, "stats_api_live", hub=hub, port=port
     ).serve_background()
     print(f"listening on {server.url}  (endpoints: /api/stats "
-          f"/api/emoji-data /api/total-data /events)")
+          f"/api/emoji-data /api/total-data /events /ws)")
 
     try:
         time.sleep(seconds)

@@ -39,6 +39,7 @@ def _centroid_memo_rewriter(con):
     different text and is never rewritten). Opt out with
     SPARK_GRAFT_SIM_NO_ORACLE_MEMO=1."""
     from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (  # noqa: E501
+        dedup as D,
         similarity as S,
     )
 
@@ -47,9 +48,51 @@ def _centroid_memo_rewriter(con):
     dyn = S._dyn_cents_ctes()  # noqa: SLF001
     a_fin = f"a_final AS {S._kmeans_assign_sql('cents')}"  # noqa: SLF001
     da_fin = f"da_final AS {S._kmeans_assign_sql('dcents')}"  # noqa: SLF001
+    minhash = D._minhash_oracle()  # noqa: SLF001
     # (needle, replacement, [(temp_table, create_sql)]) — final-assignment
-    # rules first: they memoize one MORE N×K pass than the chain rules
+    # rules first: they memoize one MORE N×K pass than the chain rules.
+    # Dedup chains join the centroid ones in round 7: the 10× soak
+    # measured the md5 shingle hashing (_HS_CTE: q_dedup_ngram_jaccard
+    # 184 s), the minhash pair chain (embedded verbatim in 6 oracles:
+    # tier recall, graph ×3, sampling, cluster family) and the simhash
+    # vote fold as the remaining oracle-wall drivers.
     rules = [
+        (
+            minhash,
+            "\n        SELECT doc_id_a, doc_id_b, jaccard"
+            " FROM mat_minhash_pairs\n    ",
+            [(
+                "mat_minhash_pairs",
+                f"CREATE TEMP TABLE mat_minhash_pairs AS {minhash}",
+            )],
+        ),
+        (
+            D._HS_CTE,  # noqa: SLF001
+            """
+        w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        hsl AS (SELECT doc_id, hs FROM mat_hsl),
+        ne AS (
+            SELECT doc_id, hs, len(hs) AS n FROM hsl WHERE len(hs) > 0
+        ),
+        sh AS (SELECT doc_id, unnest(hs) AS h FROM ne)
+""",
+            [(
+                "mat_hsl",
+                f"CREATE TEMP TABLE mat_hsl AS WITH {D._HS_CTE} "  # noqa: SLF001
+                "SELECT doc_id, hs FROM hsl",
+            )],
+        ),
+        (
+            D._SIMHASH_SQL,  # noqa: SLF001
+            """
+        fp AS (SELECT doc_id, simhash FROM mat_simhash_fp)
+""",
+            [(
+                "mat_simhash_fp",
+                f"CREATE TEMP TABLE mat_simhash_fp AS WITH "
+                f"{D._SIMHASH_SQL} SELECT doc_id, simhash FROM fp",  # noqa: SLF001
+            )],
+        ),
         (
             a_fin,
             "a_final AS (SELECT vec_id, v, cent_id FROM mat_a_final)",
@@ -92,6 +135,11 @@ def _centroid_memo_rewriter(con):
     made: set[str] = set()
 
     def rewrite(sql: str) -> str:
+        if any(sql.strip() == needle.strip() for needle, _, _ in rules):
+            # the query whose oracle IS a memoized chain stays the live
+            # fully-un-rewritten proof of that pipeline (q_dedup_minhash,
+            # like q_kmeans for centroid training)
+            return sql
         for needle, repl, creates in rules:
             if needle in sql:
                 for tbl, csql in creates:

@@ -1155,10 +1155,12 @@ def q_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tier_recall_oracle() -> str:
-    minhash = _minhash_oracle()
-    return f"""
-        WITH exact_pairs AS (
+# the exact tier's pair list as ONE self-contained CTE block (nested
+# WITH): the uncapped inverted-index join + Jaccard gate. Shared by the
+# two audit oracles and exposed verbatim so the soak harness
+# (scripts/driver_sim.py) can materialize it once per fixture — the
+# DuckDB-side twin of the Spark session's _tier_pair_list memo.
+_EXACT_PAIRS_BLOCK = f"""exact_pairs AS (
             WITH {_HS_CTE},
             inter AS (
                 SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
@@ -1172,7 +1174,13 @@ def _tier_recall_oracle() -> str:
             JOIN ne sa ON inter.doc_id_a = sa.doc_id
             JOIN ne sb ON inter.doc_id_b = sb.doc_id
             WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
-        ),
+        )"""
+
+
+def _tier_recall_oracle() -> str:
+    minhash = _minhash_oracle()
+    return f"""
+        WITH {_EXACT_PAIRS_BLOCK},
         approx_pairs AS (
             SELECT doc_id_a, doc_id_b FROM ({minhash})
         )
@@ -1472,18 +1480,7 @@ def _band_sensitivity_oracle() -> str:
         ),
         {_band_cand_sql(4, "b4")},
         {_band_cand_sql(2, "b2")},
-        inter AS (
-            SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS c
-            FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
-            GROUP BY 1, 2
-        ),
-        exact_pairs AS (
-            SELECT doc_id_a, doc_id_b
-            FROM inter
-            JOIN ne sa ON inter.doc_id_a = sa.doc_id
-            JOIN ne sb ON inter.doc_id_b = sb.doc_id
-            WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
-        )
+        {_EXACT_PAIRS_BLOCK}
         {per_config}
     """
 

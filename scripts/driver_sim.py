@@ -67,32 +67,22 @@ def _centroid_memo_rewriter(con):
             )],
         ),
         (
-            D._HS_CTE,  # noqa: SLF001
-            """
-        w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        hsl AS (SELECT doc_id, hs FROM mat_hsl),
-        ne AS (
-            SELECT doc_id, hs, len(hs) AS n FROM hsl WHERE len(hs) > 0
-        ),
-        sh AS (SELECT doc_id, unnest(hs) AS h FROM ne)
-""",
+            D._EXACT_PAIRS_BLOCK,  # noqa: SLF001
+            "exact_pairs AS (SELECT doc_id_a, doc_id_b"
+            " FROM mat_exact_pairs)",
             [(
-                "mat_hsl",
-                f"CREATE TEMP TABLE mat_hsl AS WITH {D._HS_CTE} "  # noqa: SLF001
-                "SELECT doc_id, hs FROM hsl",
+                "mat_exact_pairs",
+                f"CREATE TEMP TABLE mat_exact_pairs AS WITH "
+                f"{D._EXACT_PAIRS_BLOCK} "  # noqa: SLF001
+                "SELECT doc_id_a, doc_id_b FROM exact_pairs",
             )],
         ),
-        (
-            D._SIMHASH_SQL,  # noqa: SLF001
-            """
-        fp AS (SELECT doc_id, simhash FROM mat_simhash_fp)
-""",
-            [(
-                "mat_simhash_fp",
-                f"CREATE TEMP TABLE mat_simhash_fp AS WITH "
-                f"{D._SIMHASH_SQL} SELECT doc_id, simhash FROM fp",  # noqa: SLF001
-            )],
-        ),
+        # NOT memoized, deliberately: materializing the hashed-shingle
+        # lists (mat_hsl) or the simhash fingerprints made their readers
+        # SLOWER at 10x (list-column temp-table scans lose to
+        # recomputation in DuckDB: q_dedup_ngram_jaccard 184->307 s) —
+        # measured round 7, so only flat pair lists and centroids are
+        # materialized.
         (
             a_fin,
             "a_final AS (SELECT vec_id, v, cent_id FROM mat_a_final)",

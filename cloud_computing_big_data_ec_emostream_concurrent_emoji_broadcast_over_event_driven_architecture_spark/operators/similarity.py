@@ -622,8 +622,11 @@ def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _IVF_CACHE[key]
 
 
-def _kmeans_assign_sql(cents_cte: str) -> str:
-    """One Lloyd assignment in DuckDB SQL against a (cent_id, cv) CTE."""
+def _kmeans_assign_sql(cents_cte: str, src: str = "ev") -> str:
+    """One Lloyd assignment in DuckDB SQL against a (cent_id, cv) CTE.
+    ``src`` defaults to the full-corpus ``ev`` CTE (the default keeps
+    every existing oracle text byte-identical — the soak harness's memo
+    needles depend on that); the two-level build passes its sample."""
     return f"""(
             SELECT vec_id, v, cent_id FROM (
                 SELECT e.vec_id, e.v, c.cent_id,
@@ -631,7 +634,7 @@ def _kmeans_assign_sql(cents_cte: str) -> str:
                            PARTITION BY e.vec_id
                            ORDER BY {cosine_sql('e.v', 'c.cv')} DESC, c.cent_id
                        ) AS rn
-                FROM ev e, {cents_cte} c
+                FROM {src} e, {cents_cte} c
             ) WHERE rn = 1
         )"""
 
@@ -2171,6 +2174,204 @@ def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dynamic-K training end-to-end, so bucket membership — not just
     the top-k — must agree across engines."""
     assigned = _semdedup_assignment(spark, sf_dir)
+    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cent_id").alias("q_cent"), F.col("v").alias("qv")
+    )
+    sim_to_q = cosine(F.col("v"), F.col("qv"))
+    return (
+        assigned.join(
+            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim_to_q.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+# --- two-level IVF: the sub-quadratic index BUILD ---------------------------
+# The dynamic-K regime (K = N/64) keeps PROBES constant-cost but makes
+# the BUILD quadratic: training assigns all N vectors against all K
+# centroids (N·K = N²/64 cosines per Lloyd round — the 30× soak measured
+# q_ann_ivf_scaled's build at 4.9× wall for 3× data). The production fix
+# is two-fold, both standard (FAISS train-on-sample guidance; IMI/
+# two-level routing): (a) TRAIN on a bounded deterministic sample, so
+# training work is sample·K ∝ N, and (b) ASSIGN through a coarse level —
+# nearest of ~√K coarse routers first, then nearest fine centroid WITHIN
+# that router's group — so assignment work is N·(√K + K/√K) ≈ 2N√K
+# instead of N·K. Assignment through a router is approximate in the
+# standard way (a vector's true nearest fine centroid may live under a
+# different router); both engines replay the identical rule, so bucket
+# membership still hash-matches.
+IVF2_SAMPLE = 4096  # training sample: vec_id < min(N, 4096)
+IVF2_K_CAP = 1024  # K = max(8, min(N // 64, 1024)) — keeps K ≤ sample/4
+
+
+def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cent_id) under the two-level sample-trained build,
+    session-persisted like the other index families."""
+    import math
+
+    key = (spark.sparkContext.applicationId, sf_dir, "twolevel")
+    if key not in _IVF_CACHE:
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        n = emb.count()
+        k = max(8, min(n // SEMDEDUP_TARGET_CLUSTER, IVF2_K_CAP))
+        samp_n = min(n, IVF2_SAMPLE)
+        k2 = max(4, math.isqrt(k))
+        samp = emb.filter(F.col("vec_id") < samp_n)
+        cents = samp.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        )
+        for _ in range(KMEANS_ITERS):
+            cents = _kmeans_recenter(_kmeans_assign(samp, cents))
+        coarse_arr = _cent_array(cents.filter(F.col("cent_id") < k2))
+        # route each fine centroid to its nearest coarse router
+        routed = (
+            cents.withColumn("ncv", norm(F.col("cv")))
+            .crossJoin(F.broadcast(coarse_arr))
+            .select(
+                "cent_id",
+                "cv",
+                _argmin_cent(
+                    F.col("cv"), F.col("ncv"), F.col("cs")
+                ).alias("coarse_id"),
+            )
+        )
+        # per-router fine-centroid struct arrays (cent_id-ascending, the
+        # _argmin_cent tie-break order)
+        groups = routed.groupBy("coarse_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "cent_id", "cv", norm(F.col("cv")).alias("nc")
+                    )
+                )
+            ).alias("fs")
+        )
+        va = (
+            _spread(emb.select("vec_id", "v", norm(F.col("v")).alias("nv")))
+            .crossJoin(F.broadcast(coarse_arr))
+            .select(
+                "vec_id",
+                "v",
+                "nv",
+                _argmin_cent(
+                    F.col("v"), F.col("nv"), F.col("cs")
+                ).alias("coarse_id"),
+            )
+        )
+        assigned = va.join(F.broadcast(groups), "coarse_id").select(
+            "vec_id",
+            "v",
+            _argmin_cent(F.col("v"), F.col("nv"), F.col("fs")).alias(
+                "cent_id"
+            ),
+        )
+        _IVF_CACHE[key] = assigned.persist()
+    return _IVF_CACHE[key]
+
+
+def _twolevel_assign_ctes() -> str:
+    """Oracle replay of the two-level build: integer-exact dials, Lloyd
+    on the sample, coarse routing, routed fine assignment — ends in an
+    ``fa`` CTE of (vec_id, v, cent_id)."""
+    k_sql = (
+        f"(SELECT GREATEST(8, LEAST(COUNT(*) // {SEMDEDUP_TARGET_CLUSTER},"
+        f" {IVF2_K_CAP})) FROM embeddings)"
+    )
+    sn_sql = f"(SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
+    # isqrt in pure integers: largest s with s*s <= k (k <= 1024 -> s <= 32)
+    k2_sql = (
+        f"(SELECT GREATEST(4, MAX(s)) FROM range(1, 40) t(s)"
+        f" WHERE s * s <= {k_sql})"
+    )
+    ctes = [
+        _EV_CTE,
+        f"sev AS (SELECT vec_id, v FROM ev WHERE vec_id < {sn_sql})",
+        f"t0 AS (SELECT vec_id AS cent_id, v AS cv FROM ev"
+        f" WHERE vec_id < {k_sql})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(
+            f"tka{i} AS {_kmeans_assign_sql(f't{i}', src='sev')}"
+        )
+        ctes.append(f"t{i + 1} AS {_kmeans_recenter_sql(f'tka{i}')}")
+    ctes += [
+        f"tcents AS (SELECT cent_id, cv FROM t{KMEANS_ITERS})",
+        f"coarse AS (SELECT cent_id AS coarse_id, cv AS ccv FROM tcents"
+        f" WHERE cent_id < {k2_sql})",
+        f"""route AS (
+            SELECT cent_id, cv, coarse_id FROM (
+                SELECT f.cent_id, f.cv, c.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.cent_id
+                           ORDER BY {cosine_sql('f.cv', 'c.ccv')} DESC,
+                                    c.coarse_id
+                       ) AS rn
+                FROM tcents f, coarse c
+            ) WHERE rn = 1
+        )""",
+        f"""vca AS (
+            SELECT vec_id, v, coarse_id FROM (
+                SELECT e.vec_id, e.v, c.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'c.ccv')} DESC,
+                                    c.coarse_id
+                       ) AS rn
+                FROM ev e, coarse c
+            ) WHERE rn = 1
+        )""",
+        f"""fa AS (
+            SELECT vec_id, v, cent_id FROM (
+                SELECT a.vec_id, a.v, r.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
+                                    r.cent_id
+                       ) AS rn
+                FROM vca a JOIN route r ON r.coarse_id = a.coarse_id
+            ) WHERE rn = 1
+        )""",
+    ]
+    return ",\n        ".join(ctes)
+
+
+@register(
+    "q_ann_ivf_twolevel",
+    tags=("similarity", "ann", "vector", "scale"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes()},
+        qb AS (
+            SELECT cent_id, v AS qv FROM fa
+            WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id, ROUND({cosine_sql('a.v', 'qb.qv')}, 6) AS sim
+        FROM fa a, qb
+        WHERE a.cent_id = qb.cent_id AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_sql('a.v', 'qb.qv')} DESC, a.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under the SUB-QUADRATIC index build: dynamic K
+    (constant bucket occupancy, as ``q_ann_ivf_scaled``) but trained on
+    a bounded sample and assigned through a two-level coarse-router
+    fold — build work ~N·2√K instead of N·K, the shape that makes the
+    constant-occupancy index affordable at 100 TB (the 30× soak
+    measured the flat build at 4.9× wall for 3× data; this one's
+    assignment is √K-bounded per row). Probe shape identical to the
+    other IVF forms: the query's bucket only, top-{TOP_K} by cosine.
+
+    Plan: both assignment levels are broadcast-array folds (no N×K
+    rows, no shuffle); the router groups are a K-row broadcast join.
+    The oracle replays sample training, routing, and routed assignment
+    end to end, so bucket membership must agree bit-for-bit."""
+    assigned = _twolevel_assignment(spark, sf_dir)
     qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("cent_id").alias("q_cent"), F.col("v").alias("qv")
     )

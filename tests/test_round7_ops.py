@@ -180,3 +180,30 @@ def test_headline_set_contains_only_scale_forms():
     names = set(headline_specs())
     assert "q_dedup_semdedup_scaled" in names
     assert "q_dedup_semdedup" not in names
+
+
+def test_twolevel_ivf_build_shape(spark, sf_dir):
+    """Two-level assignment covers every vector exactly once, uses the
+    documented integer dials, and plans as broadcast folds (no N×K rows,
+    no cartesian)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _twolevel_assignment,
+        clear_ivf_cache,
+        q_ann_ivf_twolevel,
+    )
+
+    clear_ivf_cache()
+    try:
+        n = table(spark, sf_dir, "embeddings").count()
+        a = _twolevel_assignment(spark, sf_dir)
+        assert a.count() == n
+        assert a.select("vec_id").distinct().count() == n
+        plan = q_ann_ivf_twolevel(spark, sf_dir)._jdf.queryExecution().explainString(  # noqa: SLF001
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "CartesianProduct" not in plan
+    finally:
+        clear_ivf_cache()

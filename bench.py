@@ -66,21 +66,52 @@ def main() -> None:
         f"# cache_build: {cache_build:.3f}s (warm recount {cache_warm:.3f}s)",
         file=sys.stderr,
     )
-    for name, spec in sorted(specs.items()):
-        # best of 2: the machine shares cores with other tenants, so a
-        # single sample can be 2-3x off; min measures the query, not the
-        # scheduler. (Cached subtrees warm on the first run like they
-        # would in any long-lived session.)
-        best, n = None, 0
-        for _ in range(2):
+    # Two FULL PASSES over the headline set (round-8 verdict item: three
+    # rounds of BENCH deltas needed forensics to read). Each query's
+    # reported time is the min of its two samples — min measures the
+    # query, not the scheduler, on a machine sharing cores with other
+    # tenants — and the JSON carries BOTH pass totals so a reader can
+    # see run-to-run spread (the cold-start trap: pass 1 of a fresh JVM
+    # measured ~1.5× pass 2 on 2026-08-15) without re-running anything.
+    pass_times: list[dict[str, float]] = [{}, {}]
+    rows_seen: dict[str, int] = {}
+    for p in range(2):
+        for name, spec in sorted(specs.items()):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            rows_seen[name] = df.count()
+            pass_times[p][name] = time.perf_counter() - t0
+    for name in sorted(specs):
+        best = min(pass_times[0][name], pass_times[1][name])
         per_query[name] = round(best, 4)
         total += best
-        print(f"# {name}: {n} rows in {best:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: {rows_seen[name]} rows in {best:.3f}s "
+            f"(passes {pass_times[0][name]:.3f}/{pass_times[1][name]:.3f})",
+            file=sys.stderr,
+        )
+    pass_totals = [
+        round(sum(pt.values()), 4) for pt in pass_times
+    ]
+    # queries whose two samples disagree >2x ran under scheduler noise —
+    # their min is still the best estimate, but flag them
+    noisy = sorted(
+        name
+        for name in specs
+        if max(pass_times[0][name], pass_times[1][name])
+        > 2 * max(min(pass_times[0][name], pass_times[1][name]), 1e-9)
+    )
+    # `readable`: the one-bit verdict a cross-round reader can trust
+    # without forensics — False means the host was already loaded when
+    # the run started (same-code A/B spread measured 59% at load1 2.5),
+    # so round-over-round comparison of THIS file is unsafe.
+    readable = load1_pre <= 2.0
+    if not readable:
+        print(
+            f"# WARNING: load1 {load1_pre} > 2 at start — timings are "
+            "not comparable across rounds; rerun on a quiet host",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -89,6 +120,9 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": per_query,
+                "pass_totals": pass_totals,
+                "noisy_queries": noisy,
+                "readable": readable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load1": load1_pre,
                 "load1_post": round(os.getloadavg()[0], 2),

@@ -2026,191 +2026,34 @@ def q_ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TARGET_CLUSTER = 64  # production dial: K = max(8, N/64)
 
 
-def _dyn_cents_ctes() -> str:
-    """The oracle CTE chain for DYNAMIC-K k-means: identical Lloyd
-    unrolling to :func:`_trained_cents_ctes`, but the first-K init
-    sizes K from the corpus (K = max(8, N/{SEMDEDUP_TARGET_CLUSTER}))
-    so expected cluster size stays constant as the corpus grows."""
-    k_sql = (
-        f"(SELECT greatest(8, COUNT(*) // {SEMDEDUP_TARGET_CLUSTER})"
-        " FROM embeddings)"
-    )
-    ctes = [
-        _EV_CTE,
-        f"d0 AS (SELECT vec_id AS cent_id, {as_double_sql('embedding')}"
-        f" AS cv FROM embeddings WHERE vec_id < {k_sql})",
-    ]
-    for i in range(KMEANS_ITERS):
-        ctes.append(f"dkma{i} AS {_kmeans_assign_sql(f'd{i}')}")
-        ctes.append(f"d{i + 1} AS {_kmeans_recenter_sql(f'dkma{i}')}")
-    ctes.append(f"dcents AS (SELECT cent_id, cv FROM d{KMEANS_ITERS})")
-    return ",\n        ".join(ctes)
-
-
-def _semdedup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cent_id) under DYNAMIC K — SemDeDup's own index,
-    session-persisted like the IVF assignment. K grows with the corpus
-    (K = max(8, N/{SEMDEDUP_TARGET_CLUSTER})), which holds expected
-    cluster size — and therefore per-cluster pair work — constant:
-    total candidate work is ~N·{SEMDEDUP_TARGET_CLUSTER}, linear."""
-    key = (spark.sparkContext.applicationId, sf_dir, "semdedup")
-    if key not in _IVF_CACHE:
-        emb = table(spark, sf_dir, "embeddings").select(
-            "vec_id", as_double(F.col("embedding")).alias("v")
-        )
-        k_row = emb.agg(F.count("*").alias("n")).select(
-            F.greatest(
-                F.lit(8), F.expr(f"n div {SEMDEDUP_TARGET_CLUSTER}")
-            ).alias("kd")
-        )
-        cents = (
-            emb.crossJoin(F.broadcast(k_row))
-            .filter(F.col("vec_id") < F.col("kd"))
-            .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-        )
-        for _ in range(KMEANS_ITERS):
-            cents = _kmeans_recenter(_kmeans_assign(emb, cents))
-        _IVF_CACHE[key] = _kmeans_assign(emb, cents).persist()
-    return _IVF_CACHE[key]
-
-
-@register(
-    "q_dedup_semdedup_scaled",
-    headline=True,
-    tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
-    oracle=f"""
-        WITH {_dyn_cents_ctes()},
-        da_final AS {_kmeans_assign_sql('dcents')},
-        dpairs AS (
-            SELECT a.cent_id, a.vec_id AS keep_cand, b.vec_id AS drop_id,
-                   {cosine_sql('a.v', 'b.v')} AS sim
-            FROM da_final a JOIN da_final b
-              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-            WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
-        )
-        SELECT drop_id AS doc_id,
-               MIN(cent_id) AS cent_id,
-               MIN(keep_cand) AS kept_doc_id,
-               ROUND(MAX(sim), 6) AS max_sim
-        FROM dpairs GROUP BY drop_id
-    """,
-)
-def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with the PRODUCTION cluster dial: K = max(8,
-    N/{SEMDEDUP_TARGET_CLUSTER}) — the SemDeDup paper's actual regime
-    (50k clusters for 134M docs ⇒ ~constant cluster size), where total
-    within-cluster pair work is ~N·target, LINEAR in the corpus, vs the
-    fixture-constant-K form (``q_dedup_semdedup``) whose pair work is
-    quadratic. At the small fixtures K resolves to 8 and both forms
-    agree; the 10× scaling run is where they part (SCALING.md round 4).
-
-    Everything else matches ``q_dedup_semdedup``: deterministic first-K
-    init + unrolled Lloyd iterations (the oracle replays training with
-    the same dynamically-sized K via a scalar subquery), equi-join on
-    cent_id, drop-larger-id convention."""
-    assigned = _semdedup_assignment(spark, sf_dir).withColumn(
-        # once-per-vector norm on the join input (the q_dedup_semdedup
-        # hoist) — identical op order keeps sims bit-stable
-        "nv",
-        norm(F.col("v")),
-    )
-    a = assigned.select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("keep_cand"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("drop_id"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "cent_id")
-        .filter(F.col("keep_cand") < F.col("drop_id"))
-        .withColumn(
-            "sim",
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("sim") >= NEAR_DUP_COS)
-    )
-    return pairs.groupBy(F.col("drop_id").alias("doc_id")).agg(
-        F.min("cent_id").alias("cent_id"),
-        F.min("keep_cand").alias("kept_doc_id"),
-        F.round(F.max("sim"), 6).alias("max_sim"),
-    )
-
-
-@register(
-    "q_ann_ivf_scaled",
-    tags=("similarity", "ann", "vector", "scale"),
-    oracle=f"""
-        WITH {_dyn_cents_ctes()},
-        da_final AS {_kmeans_assign_sql('dcents')},
-        qb AS (
-            SELECT cent_id, v AS qv FROM da_final
-            WHERE vec_id = {QUERY_VEC_ID}
-        )
-        SELECT a.vec_id, ROUND({cosine_sql('a.v', 'qb.qv')}, 6) AS sim
-        FROM da_final a, qb
-        WHERE a.cent_id = qb.cent_id AND a.vec_id <> {QUERY_VEC_ID}
-        ORDER BY {cosine_sql('a.v', 'qb.qv')} DESC, a.vec_id
-        LIMIT {TOP_K}
-    """,
-)
-def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k under the PRODUCTION index dial: nlist = max(8,
-    N/{SEMDEDUP_TARGET_CLUSTER}), the same dynamic-K index SemDeDup's
-    scaled form trains (`_semdedup_assignment` — one shared
-    session-persisted build). ``q_ann_ivf``'s fixed K={IVF_K} makes the
-    nprobe=1 probe scan N/8 vectors — linear in the corpus, the 10×
-    soak's finding — while sizing nlist with the corpus holds expected
-    bucket occupancy (and so probe cost) CONSTANT at
-    ~{SEMDEDUP_TARGET_CLUSTER} vectors, the regime a 100 TB serving
-    index actually runs (FAISS guidance: nlist ∝ corpus). At the
-    contract fixtures K resolves to the same 8 and the two forms agree;
-    they part exactly where the scale run measures. The oracle replays
-    the dynamic-K training end-to-end, so bucket membership — not just
-    the top-k — must agree across engines."""
-    assigned = _semdedup_assignment(spark, sf_dir)
-    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("cent_id").alias("q_cent"), F.col("v").alias("qv")
-    )
-    sim_to_q = cosine(F.col("v"), F.col("qv"))
-    return (
-        assigned.join(
-            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
-        )
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", sim_to_q.alias("sim"))
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", F.round("sim", 6).alias("sim"))
-    )
-
-
 # --- two-level IVF: the sub-quadratic index BUILD ---------------------------
-# The dynamic-K regime (K = N/64) keeps PROBES constant-cost but makes
-# the BUILD quadratic: training assigns all N vectors against all K
-# centroids (N·K = N²/64 cosines per Lloyd round — the 30× soak measured
-# q_ann_ivf_scaled's build at 4.9× wall for 3× data). The production fix
-# is two-fold, both standard (FAISS train-on-sample guidance; IMI/
-# two-level routing): (a) TRAIN on a bounded deterministic sample, so
-# training work is sample·K ∝ N, and (b) ASSIGN through a coarse level —
-# nearest of ~√K coarse routers first, then nearest fine centroid WITHIN
-# that router's group — so assignment work is N·(√K + K/√K) ≈ 2N√K
-# instead of N·K. Assignment through a router is approximate in the
+# The dynamic-K regime (K = N/64) keeps PROBES constant-cost but a flat
+# build makes TRAINING quadratic: assigning all N vectors against all K
+# centroids is N·K = N²/64 cosines per Lloyd round — the round-7 30×
+# soak measured that flat build at 4.9× wall for 3× data. The production
+# build — and since round 8 the ONLY dynamic-K build in the engine — is
+# two-fold, both standard (FAISS train-on-sample guidance; IMI/two-level
+# routing): (a) TRAIN on a bounded deterministic sample, so training
+# work is sample·K ∝ N, and (b) ASSIGN through a coarse level — nearest
+# of ~√K coarse routers first, then nearest fine centroid WITHIN that
+# router's group — so assignment work is N·(√K + K/√K) ≈ 2N√K instead
+# of N·K (measured: 0.9× wall for 3× data at the 30× soak, vs the flat
+# build's 4.9×). Assignment through a router is approximate in the
 # standard way (a vector's true nearest fine centroid may live under a
 # different router); both engines replay the identical rule, so bucket
-# membership still hash-matches.
+# membership still hash-matches. Every dynamic-K rider —
+# q_dedup_semdedup_scaled (the headline), q_ann_ivf_scaled,
+# q_semdedup_threshold_sweep, q_ann_ivf_twolevel — shares ONE
+# session-persisted build. The flat assign survives only at FIXED K=8
+# (the pedagogical q_dedup_semdedup / q_ann_ivf family), where N·K is
+# linear by construction.
 IVF2_SAMPLE = 4096  # training sample: vec_id < min(N, 4096)
 IVF2_K_CAP = 1024  # K = max(8, min(N // 64, 1024)) — keeps K ≤ sample/4
 
 
 def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cent_id) under the two-level sample-trained build,
-    session-persisted like the other index families."""
+    session-persisted — THE dynamic-K index every scaled rider shares."""
     import math
 
     key = (spark.sparkContext.applicationId, sf_dir, "twolevel")
@@ -2278,7 +2121,9 @@ def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _twolevel_assign_ctes() -> str:
     """Oracle replay of the two-level build: integer-exact dials, Lloyd
     on the sample, coarse routing, routed fine assignment — ends in an
-    ``fa`` CTE of (vec_id, v, cent_id)."""
+    ``fa`` CTE of (vec_id, v, cent_id). Shared verbatim by every
+    dynamic-K rider's oracle, so the soak harness can materialize the
+    final assignment once (scripts/driver_sim.py)."""
     k_sql = (
         f"(SELECT GREATEST(8, LEAST(COUNT(*) // {SEMDEDUP_TARGET_CLUSTER},"
         f" {IVF2_K_CAP})) FROM embeddings)"
@@ -2342,6 +2187,132 @@ def _twolevel_assign_ctes() -> str:
 
 
 @register(
+    "q_dedup_semdedup_scaled",
+    headline=True,
+    tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes()},
+        dpairs AS (
+            SELECT a.cent_id, a.vec_id AS keep_cand, b.vec_id AS drop_id,
+                   {cosine_sql('a.v', 'b.v')} AS sim
+            FROM fa a JOIN fa b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
+        )
+        SELECT drop_id AS doc_id,
+               MIN(cent_id) AS cent_id,
+               MIN(keep_cand) AS kept_doc_id,
+               ROUND(MAX(sim), 6) AS max_sim
+        FROM dpairs GROUP BY drop_id
+    """,
+)
+def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION cluster dial: K = max(8,
+    N/{SEMDEDUP_TARGET_CLUSTER}) — the SemDeDup paper's actual regime
+    (50k clusters for 134M docs ⇒ ~constant cluster size), where total
+    within-cluster pair work is ~N·target, LINEAR in the corpus, vs the
+    fixture-constant-K form (``q_dedup_semdedup``) whose pair work is
+    quadratic. At the small fixtures K resolves to 8 and both forms
+    agree on the dial; the 10× scaling run is where they part
+    (SCALING.md round 4).
+
+    Since round 8 the index is the TWO-LEVEL sample-trained build
+    (:func:`_twolevel_assignment` — training on ≤{IVF2_SAMPLE} rows,
+    assignment through √K coarse routers, ~2N√K total), replacing the
+    flat dynamic-K build whose full-corpus Lloyd was N²/64 per round
+    (the round-7 30× soak measured that flat build at 4.9× wall for 3×
+    data; the two-level build at 0.9×). The oracle replays the whole
+    two-level rule, so cluster membership must agree bit-for-bit.
+    Everything downstream matches ``q_dedup_semdedup``: equi-join on
+    cent_id, drop-larger-id convention."""
+    assigned = _twolevel_assignment(spark, sf_dir).withColumn(
+        # once-per-vector norm on the join input (the q_dedup_semdedup
+        # hoist) — identical op order keeps sims bit-stable
+        "nv",
+        norm(F.col("v")),
+    )
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("keep_cand"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("keep_cand") < F.col("drop_id"))
+        .withColumn(
+            "sim",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("sim") >= NEAR_DUP_COS)
+    )
+    return pairs.groupBy(F.col("drop_id").alias("doc_id")).agg(
+        F.min("cent_id").alias("cent_id"),
+        F.min("keep_cand").alias("kept_doc_id"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )
+
+
+@register(
+    "q_ann_ivf_scaled",
+    tags=("similarity", "ann", "vector", "scale"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes()},
+        qb AS (
+            SELECT cent_id, v AS qv FROM fa
+            WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id, ROUND({cosine_sql('a.v', 'qb.qv')}, 6) AS sim
+        FROM fa a, qb
+        WHERE a.cent_id = qb.cent_id AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_sql('a.v', 'qb.qv')} DESC, a.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under the production OCCUPANCY dial: nlist = max(8,
+    N/{SEMDEDUP_TARGET_CLUSTER}). ``q_ann_ivf``'s fixed K={IVF_K} makes
+    the nprobe=1 probe scan N/8 vectors — linear in the corpus, the 10×
+    soak's finding — while sizing nlist with the corpus holds expected
+    bucket occupancy (and so probe cost) CONSTANT at
+    ~{SEMDEDUP_TARGET_CLUSTER} vectors, the regime a 100 TB serving
+    index actually runs (FAISS guidance: nlist ∝ corpus).
+
+    Since round 8 the index behind the dial is the TWO-LEVEL
+    sample-trained build (:func:`_twolevel_assignment`), shared
+    session-wide with the headline SemDeDup — the flat dynamic-K build
+    this query used to ride trained full-corpus Lloyd at N²/64 per
+    round (measured 4.9× wall for 3× data at the 30× soak; two-level:
+    0.9×). The probe is therefore identical to ``q_ann_ivf_twolevel``
+    by construction — that query keeps the fully-inlined oracle replay
+    as the live training proof, while this oracle is eligible for the
+    soak harness's once-materialized assignment memo
+    (scripts/driver_sim.py). Bucket membership — not just the top-k —
+    must agree across engines."""
+    assigned = _twolevel_assignment(spark, sf_dir)
+    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cent_id").alias("q_cent"), F.col("v").alias("qv")
+    )
+    sim_to_q = cosine(F.col("v"), F.col("qv"))
+    return (
+        assigned.join(
+            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", sim_to_q.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
     "q_ann_ivf_twolevel",
     tags=("similarity", "ann", "vector", "scale"),
     oracle=f"""
@@ -2359,13 +2330,18 @@ def _twolevel_assign_ctes() -> str:
 )
 def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the SUB-QUADRATIC index build: dynamic K
-    (constant bucket occupancy, as ``q_ann_ivf_scaled``) but trained on
-    a bounded sample and assigned through a two-level coarse-router
-    fold — build work ~N·2√K instead of N·K, the shape that makes the
-    constant-occupancy index affordable at 100 TB (the 30× soak
-    measured the flat build at 4.9× wall for 3× data; this one's
-    assignment is √K-bounded per row). Probe shape identical to the
-    other IVF forms: the query's bucket only, top-{TOP_K} by cosine.
+    (constant bucket occupancy) trained on a bounded sample and
+    assigned through a two-level coarse-router fold — build work ~N·2√K
+    instead of N·K, the shape that makes the constant-occupancy index
+    affordable at 100 TB (the 30× soak measured the flat build at 4.9×
+    wall for 3× data; this one's assignment is √K-bounded per row).
+    Probe shape identical to the other IVF forms: the query's bucket
+    only, top-{TOP_K} by cosine. Since round 8 this build IS the
+    engine's only dynamic-K index — ``q_ann_ivf_scaled`` rides the same
+    session-persisted assignment and returns the same rows; THIS
+    query's oracle is the one the soak harness never memo-rewrites, so
+    sample training, routing, and routed assignment stay live-replayed
+    end to end every run (the q_kmeans / q_dedup_minhash precedent).
 
     Plan: both assignment levels are broadcast-array folds (no N×K
     rows, no shuffle); the router groups are a K-row broadcast join.
@@ -2601,13 +2577,12 @@ SEMDEDUP_SWEEP_THRESHOLDS = (0.20, 0.25, 0.30, 0.35, 0.40, 0.50)
     "q_semdedup_threshold_sweep",
     tags=("dedup", "similarity", "vector", "diagnostics", "scale"),
     oracle=f"""
-        WITH {_dyn_cents_ctes()},
-        da_final AS {_kmeans_assign_sql('dcents')},
+        WITH {_twolevel_assign_ctes()},
         n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
         cpairs AS (
             SELECT a.vec_id AS keep_cand, b.vec_id AS drop_id,
                    ROUND({cosine_sql('a.v', 'b.v')}, 6) AS sim
-            FROM da_final a JOIN da_final b
+            FROM fa a JOIN fa b
               ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
         ),
         th AS (
@@ -2635,14 +2610,15 @@ def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     here it is a query, not a week of notebook sweeps.
 
     Cost shape: the candidate pairs are computed ONCE from the
-    session-persisted dynamic-K assignment (same linear-pair-work index
-    as ``q_dedup_semdedup_scaled``); the sweep then multiplies PAIRS by
-    |thresholds| via a tiny broadcast join — re-running the clustering
-    or the corpus scan per threshold would be |thresholds|× the cost
-    for identical output. Similarities are rounded to 6 dp BEFORE the
-    cutoff comparison so a boundary-straddling last-ulp difference
-    cannot move a pair across a threshold on one engine only."""
-    assigned = _semdedup_assignment(spark, sf_dir)
+    session-persisted two-level dynamic-K assignment (the same
+    sub-quadratic index the headline ``q_dedup_semdedup_scaled``
+    rides); the sweep then multiplies PAIRS by |thresholds| via a tiny
+    broadcast join — re-running the clustering or the corpus scan per
+    threshold would be |thresholds|× the cost for identical output.
+    Similarities are rounded to 6 dp BEFORE the cutoff comparison so a
+    boundary-straddling last-ulp difference cannot move a pair across
+    a threshold on one engine only."""
+    assigned = _twolevel_assignment(spark, sf_dir)
     n_tot = assigned.agg(F.count("*").alias("n"))
     a = assigned.select(
         "cent_id", F.col("vec_id").alias("keep_cand"), F.col("v").alias("va")

@@ -201,6 +201,20 @@ class IngestGateway:
         for t in self._threads:
             t.join(timeout=10)
         self._threads = []
+        # FINAL drain (round-8 ADVICE): ThreadingHTTPServer with
+        # daemon_threads does not join in-flight handler threads, so a
+        # POST can acknowledge 200 and enqueue AFTER the flusher's
+        # "stopped && queue empty" check passed — without this sweep
+        # that acknowledged message would be lost, contradicting the
+        # class docstring. One last spool file picks up any residue.
+        residue: list[dict] = []
+        while True:
+            try:
+                residue.append(self._q.get(block=False))
+            except queue.Empty:
+                break
+        if residue:
+            self._write_spool(residue)
 
 
 def ingest_stream(spark: SparkSession, spool_dir: str) -> DataFrame:

@@ -232,9 +232,17 @@ def _ws_frame(payload: bytes, opcode: int = 0x1) -> bytes:
     return head + payload
 
 
+# Reject client frames above this payload size (round-8 ADVICE): the
+# 127 extended-length form lets a misbehaving client declare up to 2^64
+# bytes and force the handler thread into a huge blocking read/alloc.
+# The hub only ever relays small JSON rows, so 1 MiB is generous.
+_WS_MAX_FRAME = 1 << 20
+
+
 def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
     """Read one client frame → (opcode, unmasked payload), or None on a
-    closed/invalid stream. Client frames MUST be masked (§5.1)."""
+    closed/invalid/oversized stream (None closes the connection).
+    Client frames MUST be masked (§5.1)."""
     hdr = rfile.read(2)
     if len(hdr) < 2:
         return None
@@ -244,6 +252,8 @@ def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
         n = int.from_bytes(rfile.read(2), "big")
     elif n == 127:
         n = int.from_bytes(rfile.read(8), "big")
+    if n > _WS_MAX_FRAME:
+        return None
     mask = rfile.read(4) if masked else b"\x00\x00\x00\x00"
     data = rfile.read(n)
     if len(data) < n:
@@ -358,10 +368,36 @@ class StatsHttpServer:
                 self.end_headers()
                 self.close_connection = True
                 sid, q = outer.hub.subscribe()
+
+                def pending() -> bool:
+                    """A client frame is available NOW: bytes already
+                    sit in the rfile BUFFER (a previous frame read pulls
+                    whole coalesced TCP segments into the BufferedReader
+                    — select() cannot see those; round-8 ADVICE) or the
+                    socket itself is readable."""
+                    try:
+                        # peek must not block when the buffer is empty —
+                        # zero timeout turns its raw read into an
+                        # immediate BlockingIOError instead
+                        self.connection.settimeout(0.0)
+                        try:
+                            if self.rfile.peek(1):
+                                return True
+                        finally:
+                            self.connection.settimeout(None)
+                    except (BlockingIOError, InterruptedError, ValueError):
+                        self.connection.settimeout(None)
+                    except OSError:
+                        self.connection.settimeout(None)
+                        return True  # dead socket: let the frame read fail
+                    return bool(
+                        select.select([self.connection], [], [], 0)[0]
+                    )
+
                 try:
                     while True:
                         # drain any client frames first (close/ping)
-                        while select.select([self.connection], [], [], 0)[0]:
+                        while pending():
                             fr = _ws_read_frame(self.rfile)
                             if fr is None or fr[0] == 0x8:  # close
                                 if fr is not None:

@@ -26,18 +26,40 @@ TABLES = (
 ).split()
 
 
+# Queries whose oracle must NEVER be memo-rewritten: each is the live,
+# fully-inlined replay proof of a pipeline every other rider of that
+# pipeline reads from a temp table (q_kmeans proves fixed-K training the
+# same way by having its own distinct c0..cN chain text).
+_LIVE_PROOFS = frozenset({"q_ann_ivf_twolevel"})
+
+_CTE_NAME_RE = None  # compiled lazily in _cte_names
+
+
+def _cte_names(sql_fragment: str) -> set[str]:
+    """CTE names a replacement fragment introduces (``x AS (``)."""
+    global _CTE_NAME_RE
+    import re
+
+    if _CTE_NAME_RE is None:
+        _CTE_NAME_RE = re.compile(r"\b(\w+)\s+AS\s*\(")
+    return set(_CTE_NAME_RE.findall(sql_fragment))
+
+
 def _centroid_memo_rewriter(con):
-    """Oracle-side k-means memo (round-7 soak item): the dynamic-K and
-    fixed-K training chains appear verbatim in several oracles, and at
-    soak volume DuckDB re-trains per query — 4 replays dominated the 10×
-    oracle wall (SCALING.md round 6). This returns a ``rewrite(sql)``
-    that swaps each known chain for a reference to a TEMP table CTAS'd
-    ONCE from the *identical* SQL — results are bit-equal by
-    construction (same engine, same text, run once), so the parity
-    verdicts are unchanged; only repeated training is cut. Training
-    itself stays live-proven by ``q_kmeans`` (its own c0..cN chain is a
-    different text and is never rewritten). Opt out with
-    SPARK_GRAFT_SIM_NO_ORACLE_MEMO=1."""
+    """Oracle-side memo (round-7 soak item, extended round 8): the
+    two-level dynamic-K assignment chain, the fixed-K training chain,
+    the dedup pair chains, and (new) the flat exploded shingle-hash
+    relation appear verbatim in several oracles, and at soak volume
+    DuckDB re-derives them per query — the replays dominated the 10×
+    oracle wall (SCALING.md rounds 6-7). This returns a
+    ``rewrite(sql, name)`` that swaps each known chain for a reference
+    to a TEMP table CTAS'd ONCE from the *identical* SQL — results are
+    bit-equal by construction (same engine, same text, run once), so
+    the parity verdicts are unchanged; only repeated derivation is cut.
+    Each pipeline keeps one live fully-inlined proof (_LIVE_PROOFS +
+    the sql==needle rule below). Opt out with
+    SPARK_GRAFT_SIM_NO_ORACLE_MEMO=1; tests/test_oracle_memo.py pins
+    memoized == raw on the contract fixture."""
     from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (  # noqa: E501
         dedup as D,
         similarity as S,
@@ -45,17 +67,18 @@ def _centroid_memo_rewriter(con):
 
     ev = S._EV_CTE  # noqa: SLF001
     fixed = S._trained_cents_ctes()  # noqa: SLF001
-    dyn = S._dyn_cents_ctes()  # noqa: SLF001
+    tl = S._twolevel_assign_ctes()  # noqa: SLF001
     a_fin = f"a_final AS {S._kmeans_assign_sql('cents')}"  # noqa: SLF001
-    da_fin = f"da_final AS {S._kmeans_assign_sql('dcents')}"  # noqa: SLF001
     minhash = D._minhash_oracle()  # noqa: SLF001
-    # (needle, replacement, [(temp_table, create_sql)]) — final-assignment
-    # rules first: they memoize one MORE N×K pass than the chain rules.
-    # Dedup chains join the centroid ones in round 7: the 10× soak
-    # measured the md5 shingle hashing (_HS_CTE: q_dedup_ngram_jaccard
-    # 184 s), the minhash pair chain (embedded verbatim in 6 oracles:
-    # tier recall, graph ×3, sampling, cluster family) and the simhash
-    # vote fold as the remaining oracle-wall drivers.
+    hs = D._HS_CTE  # noqa: SLF001
+    # (needle, replacement, [(temp_table, create_sql)]) — ORDER MATTERS:
+    # the minhash and exact-pairs needles textually CONTAIN the _HS_CTE
+    # needle (nested WITH copies), so they must run first; the
+    # final-assignment rules run before their chain rules because they
+    # memoize one MORE N×K pass. The 10× soaks measured the md5 shingle
+    # hashing (_HS_CTE, ~126 s in q_dedup_ngram_jaccard alone), the
+    # minhash pair chain (embedded verbatim in 6 oracles) and the
+    # k-means replays as the oracle-wall drivers.
     rules = [
         (
             minhash,
@@ -77,12 +100,28 @@ def _centroid_memo_rewriter(con):
                 "SELECT doc_id_a, doc_id_b FROM exact_pairs",
             )],
         ),
-        # NOT memoized, deliberately: materializing the hashed-shingle
-        # lists (mat_hsl) or the simhash fingerprints made their readers
-        # SLOWER at 10x (list-column temp-table scans lose to
-        # recomputation in DuckDB: q_dedup_ngram_jaccard 184->307 s) —
-        # measured round 7, so only flat pair lists and centroids are
-        # materialized.
+        # The FLAT exploded (doc_id, h) shingle relation (round-8 item):
+        # the md5-per-shingle fold is the cost, so it is paid once into
+        # a flat temp table; ``ne``'s per-doc hash SETS are rebuilt from
+        # it by a GROUP BY. The rebuilt list order is unspecified vs the
+        # original hs, which is safe because every surviving consumer is
+        # order-insensitive (len(list_intersect), list_min folds, n);
+        # tests/test_oracle_memo.py pins value-parity. The round-7
+        # negative result stands: materializing the LIST-typed hsl (or
+        # simhash fingerprints) made readers SLOWER (184->307 s) —
+        # list-column temp-table scans lose to recomputation in DuckDB —
+        # so the memo is the flat relation, never the lists.
+        (
+            hs,
+            "\n        ne AS (SELECT doc_id, list(h ORDER BY h) AS hs,"
+            " COUNT(*) AS n\n               FROM mat_sh GROUP BY doc_id),"
+            "\n        sh AS (SELECT doc_id, h FROM mat_sh)\n",
+            [(
+                "mat_sh",
+                f"CREATE TEMP TABLE mat_sh AS WITH {hs} "
+                "SELECT doc_id, h FROM sh",
+            )],
+        ),
         (
             a_fin,
             "a_final AS (SELECT vec_id, v, cent_id FROM mat_a_final)",
@@ -94,16 +133,6 @@ def _centroid_memo_rewriter(con):
             )],
         ),
         (
-            da_fin,
-            "da_final AS (SELECT vec_id, v, cent_id FROM mat_da_final)",
-            [(
-                "mat_da_final",
-                f"CREATE TEMP TABLE mat_da_final AS WITH {dyn} "
-                f"SELECT q.vec_id, q.v, q.cent_id "
-                f"FROM {S._kmeans_assign_sql('dcents')} q",  # noqa: SLF001
-            )],
-        ),
-        (
             fixed,
             f"{ev}, cents AS (SELECT cent_id, cv FROM mat_cents)",
             [(
@@ -112,19 +141,24 @@ def _centroid_memo_rewriter(con):
                 "SELECT cent_id, cv FROM cents",
             )],
         ),
+        # the two-level dynamic-K chain (round 8: the only dynamic-K
+        # build) — its riders read the once-materialized assignment;
+        # q_ann_ivf_twolevel (_LIVE_PROOFS) replays the chain live.
         (
-            dyn,
-            f"{ev}, dcents AS (SELECT cent_id, cv FROM mat_dcents)",
+            tl,
+            "fa AS (SELECT vec_id, v, cent_id FROM mat_fa)",
             [(
-                "mat_dcents",
-                f"CREATE TEMP TABLE mat_dcents AS WITH {dyn} "
-                "SELECT cent_id, cv FROM dcents",
+                "mat_fa",
+                f"CREATE TEMP TABLE mat_fa AS WITH {tl} "
+                "SELECT vec_id, v, cent_id FROM fa",
             )],
         ),
     ]
     made: set[str] = set()
 
-    def rewrite(sql: str) -> str:
+    def rewrite(sql: str, name: str = "") -> str:
+        if name in _LIVE_PROOFS:
+            return sql
         if any(sql.strip() == needle.strip() for needle, _, _ in rules):
             # the query whose oracle IS a memoized chain stays the live
             # fully-un-rewritten proof of that pipeline (q_dedup_minhash,
@@ -132,6 +166,17 @@ def _centroid_memo_rewriter(con):
             return sql
         for needle, repl, creates in rules:
             if needle in sql:
+                # duplicate-CTE guard (round-8 ADVICE): a replacement
+                # must not re-introduce a CTE name that still exists
+                # OUTSIDE the needle being replaced — that would shadow
+                # or collide and silently change what the oracle checks.
+                residue = sql.replace(needle, "")
+                clash = _cte_names(repl) & _cte_names(residue)
+                if clash:
+                    raise RuntimeError(
+                        f"oracle memo for {name or '<unnamed>'} would "
+                        f"duplicate CTE(s) {sorted(clash)}"
+                    )
                 for tbl, csql in creates:
                     if tbl not in made:
                         con.execute(csql)
@@ -195,7 +240,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     if os.environ.get("SPARK_GRAFT_SIM_NO_ORACLE_MEMO"):
-        rewrite = lambda s: s  # noqa: E731 — the pre-memo baseline path
+        rewrite = lambda s, n="": s  # noqa: E731 — the pre-memo baseline path
     else:
         rewrite = _centroid_memo_rewriter(con)
 
@@ -234,7 +279,7 @@ def main() -> int:
                 key=repr,
             )
             t_spark = time.perf_counter() - t_q
-            res = con.execute(rewrite(osql[name]))
+            res = con.execute(rewrite(osql[name], name))
             d_cols = [c[0].lower() for c in res.description]
             d_rows = sorted(
                 (tuple(norm(v) for _, v in sorted(zip(d_cols, r)))

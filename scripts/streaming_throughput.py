@@ -9,6 +9,12 @@ rows/s from the query's own progress metrics.
 
 Run: python scripts/streaming_throughput.py [rows_per_second] [seconds]
 Prints one JSON line: {"metric": "streaming_events_per_sec", ...}
+
+Exits non-zero (with an error JSON) when fewer than MIN_BATCHES
+micro-batches completed inside the window — a cold JVM at high offered
+rate can finish ZERO batches in 60 s, and a 0.0 that looks like a
+measurement is worse than a crash (round-7 verdict). The default window
+is sized so a cold start still produces a valid measurement.
 """
 
 from __future__ import annotations
@@ -32,7 +38,10 @@ from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event
     windowed_counts_scaled,
 )
 
-def main(rate: int = 200_000, run_seconds: int = 30) -> None:
+MIN_BATCHES = 3  # below this the "sustained" average is meaningless
+
+
+def main(rate: int = 200_000, run_seconds: int = 120) -> int:
     spark = build_session(app_name="streaming_throughput")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,7 +66,24 @@ def main(rate: int = 200_000, run_seconds: int = 30) -> None:
         if p.get("numInputRows", 0) > 0
     ]
     rates = rates[max(1, len(rates) // 4):]
-    sustained = sum(rates) / len(rates) if rates else 0.0
+    if len(rates) < MIN_BATCHES:
+        print(
+            json.dumps(
+                {
+                    "error": "insufficient_batches",
+                    "n_batches": len(rates),
+                    "min_batches": MIN_BATCHES,
+                    "offered_rate": rate,
+                    "run_seconds": run_seconds,
+                    "hint": "cold JVM or overloaded host — rerun with a "
+                    "longer window (e.g. 180s) on a quiet machine",
+                }
+            ),
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 1
+    sustained = sum(rates) / len(rates)
     print(
         json.dumps(
             {
@@ -71,9 +97,10 @@ def main(rate: int = 200_000, run_seconds: int = 30) -> None:
         )
     )
     spark.stop()
+    return 0
 
 
 if __name__ == "__main__":
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    secs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    main(rate, secs)
+    secs = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    sys.exit(main(rate, secs))

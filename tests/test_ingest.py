@@ -133,3 +133,34 @@ def test_ingest_stream_decodes_spool_end_to_end(spark, tmp_path):
         assert {r.user_id for r in rows} == {f"user_{i}" for i in range(n)}
     finally:
         q.stop()
+
+
+def test_close_final_drain_spools_unflushed_residue(tmp_path):
+    """The shutdown race (round-8 ADVICE): a handler thread can ACK 200
+    and enqueue after the flusher's stop-check — close() must sweep any
+    residue into one last spool file so no acknowledged message is
+    lost. Deterministic form: with NO flusher running, every accepted
+    message IS residue, and close() alone must land all of them."""
+    gw = IngestGateway(str(tmp_path / "spool")).serve_background(
+        flusher=False
+    )
+    msgs = [
+        {"user_id": f"u{i}", "emoji_type": "fire", "timestamp": "t"}
+        for i in range(7)
+    ]
+    for m in msgs:
+        code, body = _post(gw.url, m)
+        assert code == 200, body
+    assert gw.flushed_count == 0  # nothing drained yet — no flusher
+    gw.close()
+    assert gw.flushed_count == len(msgs)
+    lines = []
+    for p in sorted((tmp_path / "spool").glob("part-*.json")):
+        lines += [
+            json.loads(ln)
+            for ln in p.read_text().splitlines()
+            if ln.strip()
+        ]
+    assert sorted(m["user_id"] for m in lines) == sorted(
+        m["user_id"] for m in msgs
+    )

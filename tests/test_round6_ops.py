@@ -251,32 +251,36 @@ def test_rhp_sketch_stable_across_corpus_sizes(spark, adaptive_rhp_sf_dir):
         clear_rhp_cache()
 
 
-def test_ann_ivf_scaled_floor_parity_and_bounded_probe(
+def test_ann_ivf_scaled_rides_twolevel_and_bounded_probe(
     spark, sf_dir, adaptive_rhp_sf_dir
 ):
-    """The dynamic-nlist IVF (q_ann_ivf_scaled) must (a) agree with the
-    fixed-K form bit-for-bit at fixture scale, where K = max(8, N/64)
-    floors to the same 8, and (b) actually engage the dial at volume:
-    at 8192 vectors the index trains N/64 = 128 clusters and the
-    nprobe=1 probe bucket stays far under the fixed-K probe's N/8
-    scan — the constant-occupancy contract its docstring claims."""
+    """Round 8: the dynamic-nlist IVF rides the TWO-LEVEL sample-trained
+    build — q_ann_ivf_scaled must (a) return exactly
+    q_ann_ivf_twolevel's rows (ONE shared session index, no flat
+    dynamic-K build left in the engine), and (b) actually engage the
+    dial at volume: at 8192 vectors the index trains N/64 = 128 fine
+    centroids and the nprobe=1 probe bucket stays far under the
+    fixed-K probe's N/8 scan — the constant-occupancy contract its
+    docstring claims."""
     from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
-        _semdedup_assignment,
+        _twolevel_assignment,
         clear_ivf_cache,
-        q_ann_ivf,
         q_ann_ivf_scaled,
+        q_ann_ivf_twolevel,
     )
 
-    fixed = sorted(tuple(r) for r in q_ann_ivf(spark, sf_dir).collect())
+    two = sorted(
+        tuple(r) for r in q_ann_ivf_twolevel(spark, sf_dir).collect()
+    )
     scaled = sorted(
         tuple(r) for r in q_ann_ivf_scaled(spark, sf_dir).collect()
     )
-    assert fixed == scaled
+    assert two == scaled
 
     big, _ = adaptive_rhp_sf_dir
     clear_ivf_cache()
     try:
-        a = _semdedup_assignment(spark, big)
+        a = _twolevel_assignment(spark, big)
         k_live = a.select("cent_id").distinct().count()
         # 128 trained centroids; Lloyd may empty a few, never below the
         # point where the dial is clearly engaged

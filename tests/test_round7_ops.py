@@ -93,7 +93,9 @@ def test_sharded_dedup_floor_parity_below_cap(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
-def test_shard_dial_activates_and_coshards_exact_dups(spark, sf_dir):
+def test_shard_dial_activates_and_coshards_exact_dups(
+    spark, sf_dir, tmp_path
+):
     """Past the cap the dial is ACTIVE: >1 shard key materializes, every
     bucket key gains shard equality, and — because shard bits are
     hyperplane SIGNS, not row-id hashes — exact-duplicate vectors always
@@ -136,7 +138,9 @@ def test_shard_dial_activates_and_coshards_exact_dups(spark, sf_dir):
                 "embedding",
             )
         )
-    tmp = "/tmp/rhp_shard_fixture"
+    # pytest-managed dir: unique per run, so concurrent/parallel test
+    # runs never collide on a shared /tmp path (round-8 ADVICE)
+    tmp = str(tmp_path / "rhp_shard_fixture")
     big.coalesce(1).write.mode("overwrite").parquet(tmp + "/w")
     (part,) = glob.glob(tmp + "/w/part-*.parquet")
     os.makedirs(tmp + "/fix", exist_ok=True)

@@ -381,3 +381,81 @@ def test_ws_rejects_plain_get(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{server.url}/ws", timeout=10)
     assert ei.value.code == 400
+
+
+def _masked_frame(payload: bytes, opcode: int) -> bytes:
+    mask = b"\x01\x02\x03\x04"
+    assert len(payload) < 126
+    return bytes([0x80 | opcode, 0x80 | len(payload)]) + mask + bytes(
+        b ^ mask[i % 4] for i, b in enumerate(payload)
+    )
+
+
+def test_ws_coalesced_control_frames_one_segment(server):
+    """Two client frames sent in ONE TCP segment (ping then close) must
+    BOTH be processed promptly: the first frame read pulls the whole
+    segment into the server's rfile buffer, where select() can't see
+    the second frame — the drain loop must also check the buffer
+    (round-8 ADVICE). The pong and the close echo must both arrive
+    well before the idle-ping timeout proves the server only found the
+    buffered CLOSE on a later wakeup."""
+    sock, rfile = _ws_connect(server)
+    try:
+        deadline = time.monotonic() + 10
+        while server.hub.subscriber_count == 0:
+            assert time.monotonic() < deadline
+            time.sleep(0.02)
+        # one segment: ping + close back-to-back
+        sock.sendall(
+            _masked_frame(b"both", 0x9) + _masked_frame(b"", 0x8)
+        )
+        saw_pong = saw_close = False
+        for _ in range(8):
+            op, payload = _ws_read(rfile)
+            if op == 0xA:
+                assert payload == b"both"
+                saw_pong = True
+            elif op == 0x8:
+                saw_close = True
+                break
+        assert saw_pong and saw_close
+    finally:
+        rfile.close()
+        sock.close()
+    deadline = time.monotonic() + 10
+    while server.hub.subscriber_count > 0 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert server.hub.subscriber_count == 0
+
+
+def test_ws_oversized_frame_closes_connection(server):
+    """A client frame declaring a payload beyond _WS_MAX_FRAME must end
+    the connection (reader returns None -> handler exits and
+    unsubscribes) instead of blocking the handler thread in a giant
+    read (round-8 ADVICE)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.serving import (
+        _WS_MAX_FRAME,
+    )
+
+    sock, rfile = _ws_connect(server)
+    try:
+        deadline = time.monotonic() + 10
+        while server.hub.subscriber_count == 0:
+            assert time.monotonic() < deadline
+            time.sleep(0.02)
+        # 127-form header declaring 2 MiB, no payload bytes following
+        n = _WS_MAX_FRAME * 2
+        sock.sendall(
+            bytes([0x80 | 0x1, 0x80 | 127])
+            + n.to_bytes(8, "big")
+            + b"\x01\x02\x03\x04"
+        )
+        deadline = time.monotonic() + 10
+        while server.hub.subscriber_count > 0:
+            assert time.monotonic() < deadline, (
+                "oversized frame did not close the ws connection"
+            )
+            time.sleep(0.05)
+    finally:
+        rfile.close()
+        sock.close()

@@ -63,6 +63,15 @@ class IngestGateway:
     ) -> None:
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
+        # per-instance spool prefix: one gateway is GIL-bound to a few
+        # thousand POSTs/s, so the 100k events/s aggregate target is met
+        # by SHARDING gateways (processes or hosts) over one spool
+        # namespace — distinct prefixes keep their part files from
+        # colliding (scripts/ingest_throughput.py measures the sharded
+        # aggregate; SCALING.md round 8 records it)
+        import uuid
+
+        self._uid = uuid.uuid4().hex[:8]
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._batch_max = batch_max
         self._flush_interval = flush_interval
@@ -74,6 +83,15 @@ class IngestGateway:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: without it every POST pays a fresh
+            # TCP connect + server thread spawn — measured 19 ms/POST
+            # vs ~1 ms with persistent connections (every response
+            # already carries Content-Length, which 1.1 requires).
+            # Nagle off: a 100-byte JSON ACK must not wait on the
+            # client's delayed ACK timer.
+            protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True
+
             def log_message(self, fmt: str, *args: Any) -> None:
                 pass
 
@@ -159,7 +177,7 @@ class IngestGateway:
     def _write_spool(self, batch: list[dict]) -> None:
         """One JSON-lines file per batch, atomically renamed into the
         spool so the streaming file source never lists a partial file."""
-        name = f"part-{self._seq:08d}.json"
+        name = f"part-{self._uid}-{self._seq:08d}.json"
         self._seq += 1
         tmp = os.path.join(self.spool_dir, f".{name}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:

@@ -459,3 +459,49 @@ def test_ws_oversized_frame_closes_connection(server):
     finally:
         rfile.close()
         sock.close()
+
+
+def test_ws_three_listener_cluster_topology(spark):
+    """The reference's pub-sub tier runs THREE ws listeners
+    (pubsub.py:33-41, ports 8765-8767) all broadcasting every consumed
+    message. Engine twin: three StatsHttpServer instances sharing ONE
+    SseHub — a single publish reaches a subscriber on each listener
+    (examples/ws_cluster_demo.py is the runnable form)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.serving import (
+        SseHub,
+        StatsHttpServer,
+    )
+
+    hub = SseHub()
+    servers = [
+        StatsHttpServer(
+            spark, "unused_sink", hub=hub, sse_idle_seconds=0.3
+        ).serve_background()
+        for _ in range(3)
+    ]
+    conns = []
+    try:
+        for s in servers:
+            conns.append(_ws_connect(s))
+        deadline = time.monotonic() + 10
+        while hub.subscriber_count < 3:
+            assert time.monotonic() < deadline
+            time.sleep(0.02)
+        hub.publish({"event_type": "clusterwide", "cnt": 3})
+        for _, rfile in conns:
+            for _ in range(6):
+                op, payload = _ws_read(rfile)
+                if op == 0x1:
+                    assert json.loads(payload) == {
+                        "event_type": "clusterwide",
+                        "cnt": 3,
+                    }
+                    break
+            else:
+                raise AssertionError("listener missed the broadcast")
+    finally:
+        for sock, rfile in conns:
+            rfile.close()
+            sock.close()
+        for s in servers:
+            s.close()

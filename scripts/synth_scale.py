@@ -39,8 +39,11 @@ rebuilt as TIMESTAMP_NTZ) and written back as plain TIMESTAMP_NTZ —
 DuckDB reads both encodings as micros timestamps, and ``catalog.table``
 auto-detects which encoding a fixture carries.
 
-Usage: python scripts/synth_scale.py [out_dir] [copies]
-       (default: /tmp/sf1x 10)
+Usage: python scripts/synth_scale.py [out_dir] [copies] [only_tables]
+       (default: /tmp/sf1x 10; only_tables is a comma list of fact
+       tables to clone at ``copies`` while every other table is
+       byte-copied verbatim — the cheap way to push ONE modality a
+       decade further, e.g. ``/tmp/sfE100 100 embeddings,documents``)
 """
 
 from __future__ import annotations
@@ -171,25 +174,41 @@ def _regroup(path: str) -> None:
     os.replace(tmp, path)
 
 
-def synthesize_full(spark, out: str, copies: int = 10, src: str = SRC) -> str:
+def synthesize_full(
+    spark,
+    out: str,
+    copies: int = 10,
+    src: str = SRC,
+    only: set[str] | None = None,
+) -> str:
+    """``only`` (round-8 stretch): clone just those fact tables at
+    ``copies`` and byte-copy every other table verbatim — e.g. a 100×
+    embeddings+documents fixture engages shard bits ≥ 7 and the
+    dynamic-K cap without paying a 600 M-row lineitem on disk."""
     os.makedirs(out, exist_ok=True)
     for name in _VERBATIM:
         dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
             shutil.copy(f"{src}/{name}.parquet", dst)
     for name in _SHIFTS:
-        if not os.path.exists(f"{out}/{name}.parquet"):
-            _clone(spark, src, out, name, copies)
-            print(f"# cloned {name} x{copies}", file=sys.stderr)
+        if os.path.exists(f"{out}/{name}.parquet"):
+            continue
+        if only is not None and name not in only:
+            shutil.copy(f"{src}/{name}.parquet", f"{out}/{name}.parquet")
+            print(f"# copied {name} verbatim", file=sys.stderr)
+            continue
+        _clone(spark, src, out, name, copies)
+        print(f"# cloned {name} x{copies}", file=sys.stderr)
     return out
 
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = build_session(app_name="synth_scale")
     spark.sparkContext.setLogLevel("ERROR")
-    synthesize_full(spark, out, copies)
+    synthesize_full(spark, out, copies, only=only)
     import duckdb
 
     for name in sorted(_SHIFTS) + list(_VERBATIM):

@@ -2080,8 +2080,16 @@ SEMDEDUP_TARGET_CLUSTER = 64  # production dial: K = max(8, N/64)
 # session-persisted build. The flat assign survives only at FIXED K=8
 # (the pedagogical q_dedup_semdedup / q_ann_ivf family), where N·K is
 # linear by construction.
-IVF2_SAMPLE = 4096  # training sample: vec_id < min(N, 4096)
-IVF2_K_CAP = 1024  # K = max(8, min(N // 64, 1024)) — keeps K ≤ sample/4
+# Dial sizing: the cap is where constant-occupancy ENDS — beyond
+# K_CAP·64 vectors, cluster size (and so pair/probe work per vector)
+# grows again as N/K_CAP. The round-8 100×-embeddings soak measured the
+# old 1024 cap biting at 200k vectors (cluster size 195, semdedup pair
+# stage 5.0× for 3.3× data); 2048 holds occupancy ≤ ~98 there. The cap
+# exists to keep K ≤ sample/4 (first-K init must draw from the sample),
+# so the two dials move together — at real 100 TB scale both keep
+# growing (FAISS guidance trains on 30-256 vectors per centroid).
+IVF2_SAMPLE = 8192  # training sample: vec_id < min(N, 8192)
+IVF2_K_CAP = 2048  # K = max(8, min(N // 64, 2048)) — keeps K ≤ sample/4
 
 
 def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,9 +2170,11 @@ def _twolevel_assign_ctes() -> str:
         f" {IVF2_K_CAP})) FROM embeddings)"
     )
     sn_sql = f"(SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
-    # isqrt in pure integers: largest s with s*s <= k (k <= 1024 -> s <= 32)
+    # isqrt in pure integers: largest s with s*s <= k. The scan bound
+    # must exceed isqrt(IVF2_K_CAP) (2048 -> 45) or the oracle's router
+    # count silently diverges from Python's math.isqrt.
     k2_sql = (
-        f"(SELECT GREATEST(4, MAX(s)) FROM range(1, 40) t(s)"
+        f"(SELECT GREATEST(4, MAX(s)) FROM range(1, 80) t(s)"
         f" WHERE s * s <= {k_sql})"
     )
     ctes = [

@@ -1,0 +1,148 @@
+"""Round-8 pins: the two-level build as the ONLY dynamic-K index path,
+its enlarged cap/sample dials, the oracle's integer isqrt, and the
+shared RHP sign-bit frame."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_twolevel_dials_rule():
+    """Integer dial rules: K tracks N/64 up to the cap; the cap keeps
+    K <= sample/4 (first-K init must draw from the sample); the router
+    count is isqrt(K) floored at 4."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        IVF2_K_CAP,
+        IVF2_SAMPLE,
+        SEMDEDUP_TARGET_CLUSTER,
+    )
+
+    assert IVF2_K_CAP * 4 <= IVF2_SAMPLE
+
+    def k_of(n: int) -> int:
+        return max(8, min(n // SEMDEDUP_TARGET_CLUSTER, IVF2_K_CAP))
+
+    assert k_of(500) == 8
+    assert k_of(20_000) == 312
+    assert k_of(60_000) == 937
+    # the round-8 100x point: the old 1024 cap made cluster size ~195
+    # here (5.0x pair wall for 3.3x data); 2048 holds it at ~98
+    assert k_of(200_000) == 2048
+    assert 200_000 // k_of(200_000) <= 2 * SEMDEDUP_TARGET_CLUSTER
+
+
+def test_oracle_isqrt_matches_python():
+    """The DuckDB replay derives the router count with a bounded integer
+    scan; it must agree with Python's math.isqrt for every K the cap
+    allows (a too-small scan bound silently diverges at large K —
+    k=2048 needs s=45)."""
+    con = duckdb.connect()
+    for k in (8, 31, 312, 937, 1024, 2047, 2048):
+        s = con.execute(
+            f"SELECT GREATEST(4, MAX(s)) FROM range(1, 80) t(s)"
+            f" WHERE s * s <= {k}"
+        ).fetchone()[0]
+        assert s == max(4, math.isqrt(k)), k
+
+
+def test_rhp_families_share_one_bit_frame(spark, sf_dir):
+    """The unsharded sketches and the sharded band rows must both
+    derive from ONE persisted bit frame — the round-8 constant-factor
+    fix (the sharded form used to re-pay the full sign fold: 98 s vs
+    22 s at the 10x soak). Pin: after building both, the cache holds
+    the shared 'bits' entry, and the sharded codes equal an inline
+    recomputation at the per-shard width (packing from materialized
+    ints is exact)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.functions.vectors import (
+        as_double,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        RHP_BANDS,
+        _RHP_CACHE,
+        _rhp_bit_exprs,
+        _rhp_sharded_band_rows,
+        _rhp_sketches,
+        clear_rhp_cache,
+        rhp_band_bits,
+        rhp_shard_bits,
+    )
+
+    clear_rhp_cache()
+    try:
+        _rhp_sketches(spark, sf_dir)
+        _rhp_sharded_band_rows(spark, sf_dir)
+        kinds = {k[-1] for k in _RHP_CACHE}
+        assert "bits" in kinds and "sharded" in kinds
+        # value identity vs the inline fold at the sharded width
+        emb = table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        bb = rhp_band_bits(n, shard_bits=rhp_shard_bits(n))
+        bits = _rhp_bit_exprs(as_double(F.col("embedding")), RHP_BANDS * bb)
+        codes = F.array(
+            *[
+                sum(
+                    (bits[b * bb + r] * F.lit(1 << r) for r in range(1, bb)),
+                    start=bits[b * bb],
+                ).cast("int")
+                for b in range(RHP_BANDS)
+            ]
+        )
+        inline = {
+            (r["vec_id"], r["band"]): r["code"]
+            for r in emb.select(
+                "vec_id", F.posexplode(codes).alias("band", "code")
+            ).collect()
+        }
+        packed = {
+            (r["vec_id"], r["band"]): r["code"]
+            for r in _rhp_sharded_band_rows(spark, sf_dir).collect()
+        }
+        assert packed == inline
+    finally:
+        clear_rhp_cache()
+
+
+def test_semdedup_scaled_probe_bounded_at_cap(spark):
+    """Beyond the cap the index still bounds per-cluster occupancy near
+    2x the target (the cap/sample pair was sized for exactly this —
+    the 100x soak's finding). Synthetic 16k-vector fixture: K = 250,
+    max bucket stays far below the fixed-K N/8 regime."""
+    import random
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _twolevel_assignment,
+        clear_ivf_cache,
+    )
+
+    rng = random.Random(20260815)
+    n, dim = 16_384, 8
+    rows = [
+        (i, [float(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        for i in range(n)
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="twolevel_cap_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(4).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    clear_ivf_cache()
+    try:
+        a = _twolevel_assignment(spark, d)
+        assert a.count() == n
+        max_bucket = (
+            a.groupBy("cent_id").count().agg(F.max("count")).first()[0]
+        )
+        assert max_bucket < n / 8
+    finally:
+        clear_ivf_cache()
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)

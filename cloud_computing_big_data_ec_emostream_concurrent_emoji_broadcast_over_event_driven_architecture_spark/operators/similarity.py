@@ -2813,3 +2813,154 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prefix_recall"),
         )
     )
+
+
+def _ivf_pq_twolevel_oracle() -> str:
+    anchor_cols = ", ".join(
+        f"MAX(CASE WHEN vec_id = {k} THEN embedding END) AS a{k}"
+        for k in range(PQ_K)
+    )
+    dist_cols = ",\n                   ".join(_pq_dist_cols("duck"))
+    return f"""
+        WITH {_twolevel_assign_ctes()},
+        qb AS (
+            SELECT cent_id AS q_cent, v AS qe FROM fa
+            WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        anch AS (
+            SELECT {anchor_cols} FROM embeddings WHERE vec_id < {PQ_K}
+        ),
+        cand AS (
+            SELECT f.vec_id, f.v AS embedding, qb.qe
+            FROM fa f JOIN qb ON f.cent_id = qb.q_cent
+            WHERE f.vec_id <> {QUERY_VEC_ID}
+        ),
+        dists AS (
+            SELECT vec_id,
+                   {dist_cols}
+            FROM cand CROSS JOIN anch
+        )
+        SELECT vec_id,
+               ROUND({_pq_adc_expr()}, 6) AS adc_dist,
+               ROUND(ex, 6) AS exact_dist
+        FROM dists
+        ORDER BY {_pq_adc_expr()}, vec_id
+        LIMIT {PQ_TOP}
+    """
+
+
+@register(
+    "q_ann_ivf_pq_twolevel",
+    tags=("similarity", "ann", "quantization", "scale"),
+    oracle=_ivf_pq_twolevel_oracle(),
+)
+def q_ann_ivf_pq_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL PRODUCTION ANN STACK in one query: the two-level
+    sample-trained constant-occupancy coarse quantizer
+    (:func:`_twolevel_assignment` — K = N/{SEMDEDUP_TARGET_CLUSTER},
+    build ~N·2√K) prunes to the query's bucket, and the survivors are
+    scored by PQ asymmetric distance against the broadcast codebook
+    (the {PQ_M}×{PQ_K} per-query lookup table of ``q_ann_pq_adc``),
+    exact distance alongside as the quantization-error audit.
+
+    ``q_ann_ivf_pq`` pins the same composition over the PEDAGOGICAL
+    fixed-K index whose flat build is linear only because K is
+    constant; THIS is the arrangement a 100 TB corpus actually ships —
+    sub-quadratic index build, constant bucket occupancy (probe cost
+    ~{SEMDEDUP_TARGET_CLUSTER} candidates regardless of N), and
+    {PQ_M}-byte codes instead of {PCA_DIM}-float vectors on the scan
+    (the FAISS IVFPQ layout; codes precompute once at ingest). Every
+    stage is shared session state: the assignment persists across the
+    dynamic-K family, the codebook and query row are one-row
+    broadcasts, so the incremental cost over ``q_ann_ivf_scaled`` is
+    the ADC expression itself. The oracle replays sample training,
+    two-level routing, bucket restriction, and ADC scoring end to end
+    — bucket membership AND code assignment must agree bit-for-bit."""
+    assigned = _twolevel_assignment(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cent_id").alias("q_cent"), F.col("v").alias("qe")
+    )
+    anchors = emb.filter(F.col("vec_id") < PQ_K).groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("vec_id") == k, F.col("embedding"))
+            ).alias(f"a{k}")
+            for k in range(PQ_K)
+        ]
+    )
+    dists = (
+        assigned.join(
+            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", F.col("v").alias("embedding"), "qe")
+        .crossJoin(F.broadcast(anchors))
+        .select("vec_id", *[F.expr(c) for c in _pq_dist_cols("spark")])
+    )
+    adc = F.expr(_pq_adc_expr())
+    return (
+        dists.select("vec_id", adc.alias("adc"), "ex")
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOP)
+        .select(
+            "vec_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.round("ex", 6).alias("exact_dist"),
+        )
+    )
+
+
+@register(
+    "q_ivf_index_stats",
+    tags=("similarity", "ann", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes()},
+        occ AS (
+            SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM fa GROUP BY cent_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(n) AS BIGINT) AS n_vectors,
+               CAST(MIN(n) AS BIGINT) AS min_occ,
+               CAST(MAX(n) AS BIGINT) AS max_occ,
+               ROUND(AVG(n), 4) AS avg_occ,
+               ROUND(MAX(n) * COUNT(*) * 1.0 / SUM(n), 4) AS imbalance
+        FROM occ
+    """,
+)
+def q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INDEX HEALTH AUDIT over the engine's dynamic-K index:
+    cluster count, occupancy extrema/mean, and the FAISS-style
+    imbalance factor (max occupancy / mean occupancy — 1.0 is a
+    perfectly balanced index; probe latency degrades linearly in it
+    because a query landing in the fattest bucket scans imbalance×
+    the expected candidates).
+
+    This measurement is operationally load-bearing: the round-8 100×
+    soak caught the old K cap ({IVF2_K_CAP // 2}) via exactly these
+    numbers — occupancy had grown to ~195 (3× the
+    {SEMDEDUP_TARGET_CLUSTER}-target) and the headline SemDeDup's pair
+    stage went superlinear; raising the cap restored ~2×-target
+    occupancy (SCALING.md round 8). Registering the audit makes the
+    index's health a standing oracle-checked output instead of a
+    soak-time forensic: at 100 TB you run THIS query after every index
+    build, and alert on max_occ/imbalance before letting queries ride
+    the index.
+
+    Plan: one groupBy over the session-persisted assignment (K rows
+    out), then a single-row re-aggregation — strictly cheaper than any
+    rider query. The oracle replays the full two-level build, so the
+    audited occupancies are the real index's, bit-for-bit."""
+    assigned = _twolevel_assignment(spark, sf_dir)
+    occ = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").alias("n_vectors"),
+        F.min("n").alias("min_occ"),
+        F.max("n").alias("max_occ"),
+        F.round(F.avg("n"), 4).alias("avg_occ"),
+        F.round(
+            F.max("n") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("n"), 4
+        ).alias("imbalance"),
+    )

@@ -28,8 +28,14 @@ sink state (never re-aggregating):
   ping-on-idle like the reference client), ``/ws`` (RFC 6455 WebSocket
   — the reference's OTHER live transport, pubsub.py:15-29, ports
   8765-8767 per its README.md:84 — handshake + unmasked text frames +
-  protocol ping/pong/close, fed by the same hub), and a minimal ``/``
-  dashboard page.
+  protocol ping/pong/close, fed by the same hub), a minimal ``/`` index,
+  and ``/dashboard`` — the reference's browser analytics dashboard
+  (analytical_server.py:420-540: stat tiles, two time-series charts,
+  last-10 data table, 10 s auto-refresh) plus its client page's live
+  EventSource feed (templates/index.html:119-135), re-served as ONE
+  self-contained page whose charts are inline canvas instead of the
+  reference's CDN-loaded Chart.js (an engine dashboard must render on
+  an air-gapped cluster).
 
 No Flask/websockets dependency: the transport is ~the stdlib, and the
 analytics underneath is the engine's watermarked windowed aggregation
@@ -263,15 +269,174 @@ def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
 
 # ---------------------------------------------------------------- server
 
-_DASHBOARD_HTML = """<!DOCTYPE html>
+_INDEX_HTML = """<!DOCTYPE html>
 <html><head><title>engine stats</title></head>
 <body>
 <h1>Streaming stats</h1>
+<p><a href="/dashboard">/dashboard</a> (live charts)</p>
 <p>Endpoints: <a href="/api/stats">/api/stats</a>,
 <a href="/api/emoji-data">/api/emoji-data</a>,
 <a href="/api/total-data">/api/total-data</a>,
 <a href="/events">/events</a> (SSE), <code>/ws</code> (WebSocket)</p>
 </body></html>
+"""
+
+# The reference's browser tier, re-served self-contained: its analytics
+# dashboard (analytical_server.py:420-540 — stat tiles for total/unique
+# types/window from /api/stats, two time-series line charts from
+# /api/total-data and /api/emoji-data, a last-10 data table with the
+# per-type breakdown, 10 s auto-refresh) plus the client page's live
+# EventSource feed (templates/index.html:119-135 — /events with 'ping'
+# frames skipped). One deliberate divergence: the reference pulls
+# Chart.js from a CDN at runtime; an engine dashboard must render on an
+# air-gapped cluster, so the two line charts are drawn by a ~40-line
+# inline canvas renderer with no external fetch at all.
+_DASHBOARD_HTML = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="UTF-8">
+<title>Emoji Analytics Dashboard</title>
+<style>
+ body { font-family: Arial, sans-serif; max-width: 960px;
+        margin: 0 auto; padding: 20px; }
+ .tiles { display: flex; gap: 16px; margin-bottom: 20px; }
+ .tile { border: 1px solid #ccc; border-radius: 5px; padding: 12px 20px;
+         text-align: center; flex: 1; }
+ .tile .num { font-size: 28px; font-weight: bold; }
+ .tile .lbl { color: #666; font-size: 12px; }
+ canvas { border: 1px solid #eee; width: 100%; height: 220px; }
+ table { border-collapse: collapse; width: 100%; margin-top: 12px; }
+ th, td { border: 1px solid #ccc; padding: 4px 8px; font-size: 13px; }
+ #live { border: 1px solid #ccc; border-radius: 5px; height: 160px;
+         overflow-y: auto; padding: 8px; background: #f9f9f9;
+         font-size: 12px; }
+ .status { color: #666; font-style: italic; }
+</style>
+</head>
+<body>
+<h1>Emoji Analytics Dashboard</h1>
+<span id="status" class="status">loading…</span>
+<div class="tiles">
+ <div class="tile"><div class="num" id="totalEmojis">-</div>
+  <div class="lbl">total emojis (window)</div></div>
+ <div class="tile"><div class="num" id="uniqueTypes">-</div>
+  <div class="lbl">unique types</div></div>
+ <div class="tile"><div class="num" id="windowSize">-</div>
+  <div class="lbl">window minutes</div></div>
+</div>
+<h3>Total emojis over time</h3>
+<canvas id="totalChart" width="920" height="220"></canvas>
+<h3>Per-type over time</h3>
+<canvas id="emojiChart" width="920" height="220"></canvas>
+<h3>Recent data</h3>
+<table><thead><tr><th>minute</th><th>count</th><th>breakdown</th></tr>
+</thead><tbody id="dataTableBody"></tbody></table>
+<h3>Live feed (SSE)</h3>
+<div id="live"></div>
+<script>
+const COLORS = ['#36a2eb','#ff6384','#4bc0c0','#ff9f40','#9966ff',
+                '#ffcd56','#c9cbcf','#2ecc71','#e74c3c','#34495e'];
+
+// minimal multi-series line chart: series = [{label, points, color}]
+// with points aligned to the shared `labels` x-axis
+function drawChart(canvasId, labels, series) {
+  const c = document.getElementById(canvasId), g = c.getContext('2d');
+  const W = c.width, H = c.height, L = 44, B = 24, T = 10, R = 8;
+  g.clearRect(0, 0, W, H);
+  const ymax = Math.max(1, ...series.flatMap(s => s.points));
+  const nx = Math.max(1, labels.length - 1);
+  const px = i => L + (W - L - R) * i / nx;
+  const py = v => H - B - (H - B - T) * v / ymax;
+  g.strokeStyle = '#999'; g.beginPath();
+  g.moveTo(L, T); g.lineTo(L, H - B); g.lineTo(W - R, H - B); g.stroke();
+  g.fillStyle = '#666'; g.font = '10px sans-serif';
+  g.fillText(String(ymax), 2, py(ymax) + 4);
+  g.fillText('0', 2, py(0) + 4);
+  const step = Math.max(1, Math.ceil(labels.length / 8));
+  labels.forEach((t, i) => {
+    if (i % step === 0) g.fillText(t, px(i) - 14, H - 8);
+  });
+  series.forEach((s, si) => {
+    g.strokeStyle = s.color; g.beginPath();
+    s.points.forEach((v, i) => {
+      if (i === 0) g.moveTo(px(i), py(v)); else g.lineTo(px(i), py(v));
+    });
+    g.stroke();
+    g.fillStyle = s.color;
+    g.fillText(s.label, L + 8 + 90 * si, T + 10);
+  });
+}
+
+function updateDataTable(totalData, emojiData) {
+  const tbody = document.getElementById('dataTableBody');
+  tbody.innerHTML = '';
+  totalData.slice(-10).forEach(item => {
+    const row = tbody.insertRow();
+    row.insertCell(0).textContent =
+      new Date(item.timestamp).toLocaleString();
+    row.insertCell(1).textContent = item.count;
+    const parts = [];
+    for (const [etype, pts] of Object.entries(emojiData)) {
+      const p = pts.find(d => d.timestamp === item.timestamp);
+      if (p && p.count > 0) parts.push(etype + ': ' + p.count);
+    }
+    row.insertCell(2).textContent = parts.join(', ') || 'No data';
+  });
+}
+
+async function refreshData() {
+  const status = document.getElementById('status');
+  try {
+    const stats = await (await fetch('/api/stats')).json();
+    document.getElementById('totalEmojis').textContent =
+      stats.total_emojis;
+    document.getElementById('uniqueTypes').textContent =
+      Object.keys(stats.emoji_breakdown).length;
+    document.getElementById('windowSize').textContent =
+      stats.window_minutes;
+    const totalData = await (await fetch('/api/total-data')).json();
+    const emojiData = await (await fetch('/api/emoji-data')).json();
+    updateDataTable(totalData, emojiData);
+    const fmt = t => new Date(t).toLocaleTimeString();
+    drawChart('totalChart', totalData.map(d => fmt(d.timestamp)),
+      [{label: 'total', color: COLORS[0],
+        points: totalData.map(d => d.count)}]);
+    const stamps = [...new Set(
+      Object.values(emojiData).flat().map(d => d.timestamp))].sort();
+    drawChart('emojiChart', stamps.map(fmt),
+      Object.keys(emojiData).map((etype, i) => ({
+        label: etype, color: COLORS[i % COLORS.length],
+        points: stamps.map(t => {
+          const p = emojiData[etype].find(d => d.timestamp === t);
+          return p ? p.count : 0;
+        }),
+      })));
+    status.textContent = 'updated ' + new Date().toLocaleTimeString();
+  } catch (err) {
+    status.textContent = 'error fetching data: ' + err.message;
+  }
+}
+
+function startLiveFeed() {
+  const live = document.getElementById('live');
+  const es = new EventSource('/events');
+  es.onmessage = ev => {
+    if (ev.data === 'ping') return;  // idle keep-alive, not data
+    const entry = document.createElement('div');
+    entry.textContent =
+      new Date().toLocaleTimeString() + ' - ' + ev.data;
+    live.appendChild(entry);
+    while (live.childNodes.length > 200) live.removeChild(live.firstChild);
+    live.scrollTop = live.scrollHeight;
+  };
+}
+
+refreshData();
+setInterval(refreshData, 10000);
+startLiveFeed();
+</script>
+</body>
+</html>
 """
 
 
@@ -334,8 +499,11 @@ class StatsHttpServer:
                         self._sse()
                     elif path == "/ws":
                         self._ws()
-                    elif path == "/":
-                        body = _DASHBOARD_HTML.encode()
+                    elif path in ("/", "/dashboard"):
+                        body = (
+                            _DASHBOARD_HTML if path == "/dashboard"
+                            else _INDEX_HTML
+                        ).encode()
                         self.send_response(200)
                         self.send_header("Content-Type", "text/html")
                         self.send_header("Content-Length", str(len(body)))

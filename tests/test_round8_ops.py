@@ -146,3 +146,68 @@ def test_semdedup_scaled_probe_bounded_at_cap(spark):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_pq_twolevel_is_bucket_restricted_adc(spark, sf_dir):
+    """The composed production stack: every returned candidate lives in
+    the query's two-level bucket, the query itself is excluded, rows
+    come back ADC-ascending, and — where a vec_id also appears in the
+    UNRESTRICTED PQ scan (q_ann_pq_adc, same query vector) — both forms
+    report the identical (adc_dist, exact_dist): bucket restriction
+    prunes candidates, never changes a surviving score."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        PQ_TOP,
+        QUERY_VEC_ID,
+        _twolevel_assignment,
+        q_ann_ivf_pq_twolevel,
+        q_ann_pq_adc,
+    )
+
+    res = q_ann_ivf_pq_twolevel(spark, sf_dir).collect()
+    assert 0 < len(res) <= PQ_TOP
+    assigned = {
+        r["vec_id"]: r["cent_id"]
+        for r in _twolevel_assignment(spark, sf_dir)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    q_cent = assigned[QUERY_VEC_ID]
+    for r in res:
+        assert r["vec_id"] != QUERY_VEC_ID
+        assert assigned[r["vec_id"]] == q_cent
+    adcs = [r["adc_dist"] for r in res]
+    assert adcs == sorted(adcs)
+    full = {
+        r["vec_id"]: (r["adc_dist"], r["exact_dist"])
+        for r in q_ann_pq_adc(spark, sf_dir).collect()
+    }
+    for r in res:
+        if r["vec_id"] in full:
+            assert (r["adc_dist"], r["exact_dist"]) == full[r["vec_id"]]
+
+
+def test_ivf_index_stats_audits_the_real_index(spark, sf_dir):
+    """The health audit must describe the session's actual two-level
+    assignment: vector total equals the corpus, cluster count obeys the
+    K dial, occupancy extrema bracket the mean, and the imbalance
+    factor is max/mean (>= 1 by construction, 1.0 iff balanced)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        IVF2_K_CAP,
+        SEMDEDUP_TARGET_CLUSTER,
+        q_ivf_index_stats,
+    )
+
+    (row,) = q_ivf_index_stats(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "embeddings").count()
+    assert row["n_vectors"] == n
+    k_dial = max(8, min(n // SEMDEDUP_TARGET_CLUSTER, IVF2_K_CAP))
+    # empty clusters may collapse (groupBy only sees occupied ones)
+    assert 1 <= row["n_clusters"] <= k_dial
+    assert row["min_occ"] <= row["avg_occ"] <= row["max_occ"]
+    assert row["imbalance"] >= 1.0
+    assert row["imbalance"] == pytest.approx(
+        row["max_occ"] / row["avg_occ"], abs=2e-4
+    )

@@ -172,12 +172,42 @@ def test_payload_builders_equal_endpoints(spark, server, served_sink):
 
 def test_dashboard_and_404(server):
     with urllib.request.urlopen(f"{server.url}/", timeout=30) as r:
-        assert b"/api/stats" in r.read()
+        body = r.read()
+        assert b"/api/stats" in body
+        assert b"/dashboard" in body
     try:
         urllib.request.urlopen(f"{server.url}/nope", timeout=30)
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_dashboard_page_is_selfcontained_reference_twin(server):
+    """/dashboard reproduces the reference's browser tier surface
+    (analytical_server.py:420-540 dashboard + templates/index.html:119-135
+    EventSource client) with zero external fetches: stat tiles + data
+    table + both time-series charts polling the three JSON endpoints on
+    the reference's 10 s cadence, and the live SSE feed skipping 'ping'
+    idle frames. The reference loads Chart.js from a CDN; the engine page
+    must render on an air-gapped cluster, so charts are inline canvas."""
+    with urllib.request.urlopen(f"{server.url}/dashboard", timeout=30) as r:
+        assert r.headers["Content-Type"] == "text/html"
+        page = r.read().decode()
+    # the three data endpoints the reference dashboard polls
+    for endpoint in ("/api/stats", "/api/total-data", "/api/emoji-data"):
+        assert endpoint in page
+    # the reference dashboard's element ids (stat tiles + data table)
+    for elem in ("totalEmojis", "uniqueTypes", "windowSize",
+                 "dataTableBody", "totalChart", "emojiChart"):
+        assert elem in page
+    # live feed: EventSource on /events, ping frames skipped
+    assert "EventSource('/events')" in page
+    assert "ping" in page
+    # reference cadence: auto-refresh every 10 s
+    assert "setInterval(refreshData, 10000)" in page
+    # self-contained: no CDN / external URL anywhere in the page
+    assert "http://" not in page and "https://" not in page
+    assert "<canvas" in page
 
 
 # ------------------------------------------------------------------ SSE

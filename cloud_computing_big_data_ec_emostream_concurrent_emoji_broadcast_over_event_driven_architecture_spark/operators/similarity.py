@@ -1585,6 +1585,43 @@ def _pq_dist_cols(dialect: str) -> list[str]:
     return cols
 
 
+def _pq_sq_col(va: str, vb: str, lo: int, hi: int) -> Column:
+    """Squared L2 over dims [lo, hi] as a zip_with/aggregate fold —
+    BIT-EQUAL to :func:`_pq_sq`'s unrolled left-associated sum that the
+    DuckDB oracle evaluates: the fold adds the same squared terms in the
+    same left-to-right order, and its +0.0 seed is exact because a
+    square is never -0.0 (0.0 + t == t for every t ≥ 0 in IEEE 754)."""
+    n = hi - lo + 1
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col(va), lo, n),
+            F.slice(F.col(vb), lo, n),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_dist_cols_spark() -> list[Column]:
+    """The Spark twin of ``_pq_dist_cols`` built as COLUMNS, not parsed
+    SQL strings. The unrolled string form expands to ~2.3k expression
+    nodes across 65 projections — measured ~6.7 s of analysis plus a
+    whole-stage-codegen body big enough to hurt (exec 2.3 s vs 0.3 s on
+    the same 2k-row scan); the fold form is one nested higher-order
+    expression per column, same values bit-for-bit (pinned by
+    tests/test_round8_ops.py::test_pq_fold_equals_unrolled_strings)."""
+    cols = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+        for k in range(PQ_K):
+            cols.append(_pq_sq_col("embedding", f"a{k}", lo, hi).alias(f"d{s}_{k}"))
+            cols.append(_pq_sq_col("qe", f"a{k}", lo, hi).alias(f"g{s}_{k}"))
+    cols.append(_pq_sq_col("embedding", "qe", 1, PCA_DIM).alias("ex"))
+    return cols
+
+
 def _pq_adc_expr() -> str:
     """Per-subspace: pick the ADC table entry of the argmin centroid
     (<= comparisons -> smallest-k tie-break), sum across subspaces.
@@ -1670,7 +1707,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(anchors))
         .crossJoin(F.broadcast(q_row))
         .select(
-            "vec_id", *[F.expr(c) for c in _pq_dist_cols("spark")]
+            "vec_id", *_pq_dist_cols_spark()
         )
     )
     adc = F.expr(_pq_adc_expr())
@@ -1875,7 +1912,7 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(anchors))
         .crossJoin(F.broadcast(qe_row))
-        .select("vec_id", *[F.expr(c) for c in _pq_dist_cols("spark")])
+        .select("vec_id", *_pq_dist_cols_spark())
     )
     adc = F.expr(_pq_adc_expr())
     return (
@@ -2896,7 +2933,7 @@ def q_ann_ivf_pq_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.col("v").alias("embedding"), "qe")
         .crossJoin(F.broadcast(anchors))
-        .select("vec_id", *[F.expr(c) for c in _pq_dist_cols("spark")])
+        .select("vec_id", *_pq_dist_cols_spark())
     )
     adc = F.expr(_pq_adc_expr())
     return (

@@ -3001,3 +3001,187 @@ def q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("n"), 4
         ).alias("imbalance"),
     )
+
+
+# --- incremental index maintenance ------------------------------------------
+# base = the first IVF_APPEND_NUM/IVF_APPEND_DEN of the corpus (by the
+# fixture's dense vec_id — the "yesterday's corpus" stand-in); delta =
+# the rest, assigned through the FROZEN base-trained index.
+IVF_APPEND_NUM = 3
+IVF_APPEND_DEN = 4
+
+
+def _append_assign_ctes() -> str:
+    """Oracle replay of the APPEND path: two-level training on the BASE
+    slice only (dials derived from the base count), then the delta
+    routed and fine-assigned through the frozen router — ends in a
+    ``dfa`` CTE of (vec_id, cent_id, sim). CTE names are disjoint from
+    ``_twolevel_assign_ctes`` so the soak memo never mistakes one chain
+    for the other (this one stays a live replay)."""
+    t_sql = (
+        f"(SELECT ({IVF_APPEND_NUM} * COUNT(*)) // {IVF_APPEND_DEN}"
+        f" FROM embeddings)"
+    )
+    k_sql = (
+        f"(SELECT GREATEST(8, LEAST((({IVF_APPEND_NUM} * COUNT(*))"
+        f" // {IVF_APPEND_DEN}) // {SEMDEDUP_TARGET_CLUSTER},"
+        f" {IVF2_K_CAP})) FROM embeddings)"
+    )
+    sn_sql = (
+        f"(SELECT LEAST(({IVF_APPEND_NUM} * COUNT(*))"
+        f" // {IVF_APPEND_DEN}, {IVF2_SAMPLE}) FROM embeddings)"
+    )
+    k2_sql = (
+        f"(SELECT GREATEST(4, MAX(s)) FROM range(1, 80) t(s)"
+        f" WHERE s * s <= {k_sql})"
+    )
+    ctes = [
+        _EV_CTE,
+        f"bsev AS (SELECT vec_id, v FROM ev WHERE vec_id < {sn_sql})",
+        f"b0 AS (SELECT vec_id AS cent_id, v AS cv FROM ev"
+        f" WHERE vec_id < {k_sql})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(
+            f"bka{i} AS {_kmeans_assign_sql(f'b{i}', src='bsev')}"
+        )
+        ctes.append(f"b{i + 1} AS {_kmeans_recenter_sql(f'bka{i}')}")
+    ctes += [
+        f"btc AS (SELECT cent_id, cv FROM b{KMEANS_ITERS})",
+        f"bcoarse AS (SELECT cent_id AS coarse_id, cv AS ccv FROM btc"
+        f" WHERE cent_id < {k2_sql})",
+        f"""broute AS (
+            SELECT cent_id, cv, coarse_id FROM (
+                SELECT f.cent_id, f.cv, c.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY f.cent_id
+                           ORDER BY {cosine_sql('f.cv', 'c.ccv')} DESC,
+                                    c.coarse_id
+                       ) AS rn
+                FROM btc f, bcoarse c
+            ) WHERE rn = 1
+        )""",
+        f"dev AS (SELECT vec_id, v FROM ev WHERE vec_id >= {t_sql})",
+        f"""dca AS (
+            SELECT vec_id, v, coarse_id FROM (
+                SELECT e.vec_id, e.v, c.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'c.ccv')} DESC,
+                                    c.coarse_id
+                       ) AS rn
+                FROM dev e, bcoarse c
+            ) WHERE rn = 1
+        )""",
+        f"""dfa AS (
+            SELECT vec_id, cent_id, sim FROM (
+                SELECT a.vec_id, r.cent_id,
+                       {cosine_sql('a.v', 'r.cv')} AS sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
+                                    r.cent_id
+                       ) AS rn
+                FROM dca a JOIN broute r ON r.coarse_id = a.coarse_id
+            ) WHERE rn = 1
+        )""",
+    ]
+    return ",\n        ".join(ctes)
+
+
+@register(
+    "q_ivf_index_append",
+    tags=("similarity", "ann", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_append_assign_ctes()}
+        SELECT vec_id, cent_id, ROUND(sim, 6) AS sim
+        FROM dfa
+    """,
+)
+def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX MAINTENANCE — the production ANN ingest path:
+    train the two-level index on the BASE slice (the first
+    {IVF_APPEND_NUM}/{IVF_APPEND_DEN} of the corpus — "yesterday's
+    index"), then assign today's DELTA through the FROZEN router
+    without retraining. Output: every delta vector's (cent_id, cosine
+    to its centroid) — the rows an ingest job appends to the posting
+    lists.
+
+    Why this exists as its own operator: at 100 TB you never retrain
+    the coarse quantizer per ingest batch — FAISS's add() after
+    train(), the standard IVF lifecycle. Training cost is fixed
+    (bounded sample × K on the base), and the append itself is the
+    same two broadcast folds the full build uses — N_delta·(√K + K/√K)
+    work, embarrassingly parallel, no shuffle. Drift is the documented
+    price: a delta vector's best centroid is chosen from yesterday's
+    regions (the audit queries — ``q_ivf_index_stats`` occupancy,
+    ``q_ann_recall_audit`` recall — tell you when accumulated drift
+    says rebuild).
+
+    The oracle replays base-dial derivation, sample training, routing,
+    and the frozen-router delta assignment end to end (CTE names are
+    disjoint from the shared-index chain, so the soak memo never
+    rewrites it — a second live proof alongside ``q_ann_ivf_twolevel``).
+    Assignment AND the per-vector cosine must agree bit-for-bit."""
+    import math
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    n = emb.count()
+    t = (IVF_APPEND_NUM * n) // IVF_APPEND_DEN
+    k = max(8, min(t // SEMDEDUP_TARGET_CLUSTER, IVF2_K_CAP))
+    samp_n = min(t, IVF2_SAMPLE)
+    k2 = max(4, math.isqrt(k))
+    samp = emb.filter(F.col("vec_id") < samp_n)
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _kmeans_recenter(_kmeans_assign(samp, cents))
+    coarse_arr = _cent_array(cents.filter(F.col("cent_id") < k2))
+    routed = (
+        cents.withColumn("ncv", norm(F.col("cv")))
+        .crossJoin(F.broadcast(coarse_arr))
+        .select(
+            "cent_id",
+            "cv",
+            _argmin_cent(
+                F.col("cv"), F.col("ncv"), F.col("cs")
+            ).alias("coarse_id"),
+        )
+    )
+    groups = routed.groupBy("coarse_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+            )
+        ).alias("fs")
+    )
+    delta = emb.filter(F.col("vec_id") >= t)
+    va = (
+        _spread(delta.select("vec_id", "v", norm(F.col("v")).alias("nv")))
+        .crossJoin(F.broadcast(coarse_arr))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            _argmin_cent(
+                F.col("v"), F.col("nv"), F.col("cs")
+            ).alias("coarse_id"),
+        )
+    )
+    assigned = va.join(F.broadcast(groups), "coarse_id").select(
+        "vec_id",
+        "v",
+        _argmin_cent(F.col("v"), F.col("nv"), F.col("fs")).alias(
+            "cent_id"
+        ),
+    )
+    # the chosen centroid's cosine, recomputed via the same dot/norm
+    # expressions the fold ranked with (bit-identical by determinism)
+    return assigned.join(F.broadcast(cents), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )

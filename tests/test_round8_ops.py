@@ -255,3 +255,51 @@ def test_pq_fold_equals_unrolled_strings(spark, sf_dir):
         cond = F2.col(f"u.{c}") != F2.col(f"f.{c}")
         mismatch = cond if mismatch is None else (mismatch | cond)
     assert joined.filter(mismatch).count() == 0
+
+
+def test_index_append_covers_delta_and_coassigns_duplicates(spark, tmp_path):
+    """The append path must (a) assign EVERY delta vector exactly once,
+    (b) choose only centroids that exist in the base-trained index, and
+    (c) be a deterministic function of the vector: two identical delta
+    vectors land in the same cluster with the same cosine — the
+    property that makes frozen-router ingest safe for exact-dup
+    routing."""
+    import random
+
+    from pyspark.sql import functions as F2
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        IVF_APPEND_DEN,
+        IVF_APPEND_NUM,
+        q_ivf_index_append,
+    )
+
+    rng = random.Random(20260816)
+    n, dim = 1200, 8
+    base_rows = [
+        (i, [float(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        for i in range(900)
+    ]
+    # delta: 150 fresh vectors + 150 EXACT copies of the fresh ones
+    fresh = [
+        (900 + i, [float(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        for i in range(150)
+    ]
+    copies = [(1050 + i, vec) for i, (_, vec) in enumerate(fresh)]
+    rows = base_rows + fresh + copies
+    assert len(rows) == n
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(2).write.parquet(d + "/embeddings.parquet")
+
+    out = q_ivf_index_append(spark, d).collect()
+    t = (IVF_APPEND_NUM * n) // IVF_APPEND_DEN
+    assert sorted(r["vec_id"] for r in out) == list(range(t, n))
+    by_id = {r["vec_id"]: (r["cent_id"], r["sim"]) for r in out}
+    # (c): each exact copy matches its twin's (cluster, cosine)
+    for i in range(150):
+        assert by_id[900 + i] == by_id[1050 + i]
+    # (b): all centroids come from the base-trained index (init ids < k)
+    k = max(8, min(t // 64, 2048))
+    assert all(0 <= c < k for c, _ in by_id.values())
+    assert all(-1.0 <= s <= 1.0 for _, s in by_id.values())

@@ -2192,16 +2192,35 @@ def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cent_id"
             ),
         )
+        # stash the trained fine centroids alongside the assignment —
+        # K rows, reused by the drift audit's sim-to-centroid join
+        _IVF_CACHE[key + ("cents",)] = cents.persist()
         _IVF_CACHE[key] = assigned.persist()
     return _IVF_CACHE[key]
 
 
-def _twolevel_assign_ctes() -> str:
+def _twolevel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cent_id, cv) of the session's two-level index (training runs via
+    :func:`_twolevel_assignment` if not already built)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "twolevel", "cents")
+    if key not in _IVF_CACHE:
+        _twolevel_assignment(spark, sf_dir)
+    return _IVF_CACHE[key]
+
+
+def _twolevel_assign_ctes(prefix: str = "") -> str:
     """Oracle replay of the two-level build: integer-exact dials, Lloyd
     on the sample, coarse routing, routed fine assignment — ends in an
     ``fa`` CTE of (vec_id, v, cent_id). Shared verbatim by every
     dynamic-K rider's oracle, so the soak harness can materialize the
-    final assignment once (scripts/driver_sim.py)."""
+    final assignment once (scripts/driver_sim.py).
+
+    ``prefix`` renames every CTE (``fa`` → ``{prefix}fa`` etc.) for
+    oracles that must embed this chain ALONGSIDE another chain or
+    deliberately dodge the soak memo (the drift audit live-replays the
+    full retrain next to the append chain). The default "" output stays
+    byte-identical — the memo needle depends on that."""
+    p = prefix
     k_sql = (
         f"(SELECT GREATEST(8, LEAST(COUNT(*) // {SEMDEDUP_TARGET_CLUSTER},"
         f" {IVF2_K_CAP})) FROM embeddings)"
@@ -2215,21 +2234,24 @@ def _twolevel_assign_ctes() -> str:
         f" WHERE s * s <= {k_sql})"
     )
     ctes = [
-        _EV_CTE,
-        f"sev AS (SELECT vec_id, v FROM ev WHERE vec_id < {sn_sql})",
-        f"t0 AS (SELECT vec_id AS cent_id, v AS cv FROM ev"
+        _EV_CTE if not p else (
+            f"{p}ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
+            " FROM embeddings)"
+        ),
+        f"{p}sev AS (SELECT vec_id, v FROM {p}ev WHERE vec_id < {sn_sql})",
+        f"{p}t0 AS (SELECT vec_id AS cent_id, v AS cv FROM {p}ev"
         f" WHERE vec_id < {k_sql})",
     ]
     for i in range(KMEANS_ITERS):
         ctes.append(
-            f"tka{i} AS {_kmeans_assign_sql(f't{i}', src='sev')}"
+            f"{p}tka{i} AS {_kmeans_assign_sql(f'{p}t{i}', src=f'{p}sev')}"
         )
-        ctes.append(f"t{i + 1} AS {_kmeans_recenter_sql(f'tka{i}')}")
+        ctes.append(f"{p}t{i + 1} AS {_kmeans_recenter_sql(f'{p}tka{i}')}")
     ctes += [
-        f"tcents AS (SELECT cent_id, cv FROM t{KMEANS_ITERS})",
-        f"coarse AS (SELECT cent_id AS coarse_id, cv AS ccv FROM tcents"
+        f"{p}tcents AS (SELECT cent_id, cv FROM {p}t{KMEANS_ITERS})",
+        f"{p}coarse AS (SELECT cent_id AS coarse_id, cv AS ccv FROM {p}tcents"
         f" WHERE cent_id < {k2_sql})",
-        f"""route AS (
+        f"""{p}route AS (
             SELECT cent_id, cv, coarse_id FROM (
                 SELECT f.cent_id, f.cv, c.coarse_id,
                        ROW_NUMBER() OVER (
@@ -2237,10 +2259,10 @@ def _twolevel_assign_ctes() -> str:
                            ORDER BY {cosine_sql('f.cv', 'c.ccv')} DESC,
                                     c.coarse_id
                        ) AS rn
-                FROM tcents f, coarse c
+                FROM {p}tcents f, {p}coarse c
             ) WHERE rn = 1
         )""",
-        f"""vca AS (
+        f"""{p}vca AS (
             SELECT vec_id, v, coarse_id FROM (
                 SELECT e.vec_id, e.v, c.coarse_id,
                        ROW_NUMBER() OVER (
@@ -2248,10 +2270,10 @@ def _twolevel_assign_ctes() -> str:
                            ORDER BY {cosine_sql('e.v', 'c.ccv')} DESC,
                                     c.coarse_id
                        ) AS rn
-                FROM ev e, coarse c
+                FROM {p}ev e, {p}coarse c
             ) WHERE rn = 1
         )""",
-        f"""fa AS (
+        f"""{p}fa AS (
             SELECT vec_id, v, cent_id FROM (
                 SELECT a.vec_id, a.v, r.cent_id,
                        ROW_NUMBER() OVER (
@@ -2259,7 +2281,7 @@ def _twolevel_assign_ctes() -> str:
                            ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
                                     r.cent_id
                        ) AS rn
-                FROM vca a JOIN route r ON r.coarse_id = a.coarse_id
+                FROM {p}vca a JOIN {p}route r ON r.coarse_id = a.coarse_id
             ) WHERE rn = 1
         )""",
     ]
@@ -3123,6 +3145,17 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint from the shared-index chain, so the soak memo never
     rewrites it — a second live proof alongside ``q_ann_ivf_twolevel``).
     Assignment AND the per-vector cosine must agree bit-for-bit."""
+    return _append_assignment(spark, sf_dir).select(
+        "vec_id",
+        "cent_id",
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cent_id, sim) of the delta slice under the FROZEN
+    base-trained two-level index (see :func:`q_ivf_index_append`) —
+    ``sim`` is the RAW cosine to the chosen centroid (riders round)."""
     import math
 
     emb = table(spark, sf_dir, "embeddings").select(
@@ -3182,6 +3215,88 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions the fold ranked with (bit-identical by determinism)
     return assigned.join(F.broadcast(cents), "cent_id").select(
         "vec_id",
+        "v",
         "cent_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+
+
+DRIFT_EPS = 0.01  # a delta vector "drifted" if retrain fits it this much better
+
+
+@register(
+    "q_ivf_drift_audit",
+    tags=("similarity", "ann", "diagnostics", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_append_assign_ctes()},
+        {_twolevel_assign_ctes(prefix='z')},
+        fsim AS (
+            SELECT f.vec_id, {cosine_sql('f.v', 'c.cv')} AS sim_full
+            FROM zfa f JOIN ztcents c ON f.cent_id = c.cent_id
+        ),
+        g AS (
+            SELECT d.sim AS sim_frozen, fs.sim_full
+            FROM dfa d JOIN fsim fs ON d.vec_id = fs.vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_delta,
+               ROUND(CAST(SUM(CAST(sim_frozen AS DECIMAL(28,10)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_sim_frozen,
+               ROUND(CAST(SUM(CAST(sim_full AS DECIMAL(28,10)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_sim_full,
+               ROUND(CAST(SUM(CAST(sim_full AS DECIMAL(28,10)))
+                          - SUM(CAST(sim_frozen AS DECIMAL(28,10)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_fit_gap,
+               CAST(SUM(CASE WHEN sim_full - sim_frozen > {DRIFT_EPS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted
+        FROM g
+    """,
+)
+def q_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX DRIFT AUDIT — the "when to rebuild" measurement that
+    closes the append lifecycle: for every delta vector, compare how
+    well the FROZEN base-trained index fits it (cosine to the centroid
+    ``q_ivf_index_append`` chose) against how well a FULL RETRAIN
+    would (cosine to its centroid under the session's two-level index
+    over the whole corpus). Reports the corpus-level fit averages, the
+    mean fit gap, and how many vectors a retrain would materially
+    re-home (gap > {DRIFT_EPS}) — the number an index operator alerts
+    on to schedule rebuilds instead of guessing.
+
+    Plan: both assignments are the engine's existing broadcast-fold
+    paths (the retrained one is the session-shared index every scaled
+    rider uses; the frozen one is the append fold), each sim is a
+    K-row broadcast join, and the final aggregate uses decimal-exact
+    sums so the averages are summation-order-independent across
+    engines. The oracle live-replays BOTH training chains side by side
+    (the append chain plus a z-prefixed copy of the two-level chain —
+    prefixed exactly so the soak memo cannot rewrite it), making this
+    the strictest cross-engine proof in the registry: two trainings,
+    two routings, two assignments, one hash."""
+    frozen = _append_assignment(spark, sf_dir).select(
+        "vec_id", F.col("sim").alias("sim_frozen")
+    )
+    full = _twolevel_assignment(spark, sf_dir)
+    fcents = _twolevel_centroids(spark, sf_dir)
+    full_sim = full.join(F.broadcast(fcents), "cent_id").select(
+        "vec_id", cosine(F.col("v"), F.col("cv")).alias("sim_full")
+    )
+    g = frozen.join(full_sim, "vec_id")
+    cnt = F.count(F.lit(1))
+    dsum = lambda c: F.sum(F.col(c).cast("decimal(28,10)"))  # noqa: E731
+    return g.agg(
+        cnt.cast("bigint").alias("n_delta"),
+        F.round(dsum("sim_frozen").cast("double") / cnt, 6).alias(
+            "avg_sim_frozen"
+        ),
+        F.round(dsum("sim_full").cast("double") / cnt, 6).alias(
+            "avg_sim_full"
+        ),
+        F.round(
+            (dsum("sim_full") - dsum("sim_frozen")).cast("double") / cnt, 6
+        ).alias("avg_fit_gap"),
+        F.sum(
+            F.when(
+                F.col("sim_full") - F.col("sim_frozen") > DRIFT_EPS, 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_drifted"),
     )

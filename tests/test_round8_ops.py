@@ -303,3 +303,38 @@ def test_index_append_covers_delta_and_coassigns_duplicates(spark, tmp_path):
     k = max(8, min(t // 64, 2048))
     assert all(0 <= c < k for c, _ in by_id.values())
     assert all(-1.0 <= s <= 1.0 for _, s in by_id.values())
+
+
+def test_drift_audit_invariants_and_prefix_chain(spark, sf_dir):
+    """Drift audit: one row covering exactly the delta slice, drift
+    count bounded by it, averages inside cosine range. Plus the
+    prefix-chain contract the oracle relies on: the z-prefixed
+    two-level CTE chain must share NO CTE name with the default chain
+    (so both can live in one WITH clause) and the default chain must be
+    byte-identical to the pre-prefix form (the soak memo needle)."""
+    import re
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        IVF_APPEND_DEN,
+        IVF_APPEND_NUM,
+        _twolevel_assign_ctes,
+        q_ivf_drift_audit,
+    )
+
+    (row,) = q_ivf_drift_audit(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "embeddings").count()
+    t = (IVF_APPEND_NUM * n) // IVF_APPEND_DEN
+    assert row["n_delta"] == n - t
+    assert 0 <= row["n_drifted"] <= row["n_delta"]
+    assert -1.0 <= row["avg_sim_frozen"] <= 1.0
+    assert -1.0 <= row["avg_sim_full"] <= 1.0
+
+    names = lambda sql: set(  # noqa: E731
+        re.findall(r"(\w+) AS \(", sql)
+    )
+    plain, prefixed = _twolevel_assign_ctes(), _twolevel_assign_ctes("z")
+    assert _twolevel_assign_ctes(prefix="") == plain
+    assert not (names(plain) & names(prefixed))

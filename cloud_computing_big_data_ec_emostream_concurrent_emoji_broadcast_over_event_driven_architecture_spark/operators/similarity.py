@@ -3300,3 +3300,148 @@ def q_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("n_drifted"),
     )
+
+
+IVF2_PROBES = 4  # recall dial at constant occupancy: ~4×64 candidates
+
+
+@register(
+    "q_ann_ivf_multiprobe_twolevel",
+    tags=("similarity", "ann", "vector", "scale"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes(prefix='m')},
+        mq AS (
+            SELECT v AS qvv FROM mfa WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        mprobes AS (
+            SELECT cent_id FROM (
+                SELECT c.cent_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY {cosine_sql('c.cv', 'mq.qvv')} DESC,
+                                    c.cent_id
+                       ) AS rn
+                FROM mtcents c, mq
+            ) WHERE rn <= {IVF2_PROBES}
+        )
+        SELECT a.vec_id,
+               ROUND({cosine_sql('a.v', 'mq.qvv')}, 6) AS sim
+        FROM mfa a JOIN mprobes p ON a.cent_id = p.cent_id, mq
+        WHERE a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_sql('a.v', 'mq.qvv')} DESC, a.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def q_ann_ivf_multiprobe_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE over the PRODUCTION index: the query searches its
+    {IVF2_PROBES} nearest fine-centroid buckets of the two-level
+    dynamic-K index — the recall dial a 100 TB serving deployment
+    actually turns.  ``q_ann_ivf_multiprobe`` demonstrates the dial on
+    the fixed-K=8 pedagogical index where each probe is N/8 vectors;
+    HERE occupancy is constant (~{SEMDEDUP_TARGET_CLUSTER}), so nprobe
+    is a direct candidate budget: ~{IVF2_PROBES}·{SEMDEDUP_TARGET_CLUSTER}
+    candidates regardless of corpus size, and recall-vs-latency is
+    tuned without touching the index.
+
+    Plan: the probe ranking is a K-row broadcast window, the bucket
+    restriction a broadcast semi-join on cent_id over the
+    session-shared assignment, top-k via TakeOrderedAndProject. The
+    oracle live-replays the whole chain under an ``m`` CTE prefix —
+    deliberately dodging the soak memo (the probe list needs the
+    trained centroids, which the memoized form does not carry), making
+    this the centroid-carrying twin of ``q_ann_ivf_twolevel``'s live
+    proof."""
+    assigned = _twolevel_assignment(spark, sf_dir)
+    cents = _twolevel_centroids(spark, sf_dir)
+    from pyspark.sql import Window
+
+    qv = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qvv")
+    )
+    qw = Window.orderBy(F.desc("q_sim"), F.asc("cent_id"))
+    probes = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cent_id", cosine(F.col("cv"), F.col("qvv")).alias("q_sim"))
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= IVF2_PROBES)
+        .select("cent_id")
+    )
+    sim_to_q = cosine(F.col("v"), F.col("qvv"))
+    return (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", sim_to_q.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "q_ann_filtered",
+    tags=("similarity", "ann", "vector", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes()},
+        lab AS (SELECT vec_id, label FROM embeddings),
+        fqb AS (
+            SELECT f.cent_id AS q_cent, f.v AS qv, l.label AS q_label
+            FROM fa f JOIN lab l ON l.vec_id = f.vec_id
+            WHERE f.vec_id = {QUERY_VEC_ID}
+        )
+        SELECT a.vec_id,
+               CAST(la.label AS BIGINT) AS label,
+               ROUND({cosine_sql('a.v', 'fqb.qv')}, 6) AS sim
+        FROM fa a JOIN lab la ON la.vec_id = a.vec_id, fqb
+        WHERE a.cent_id = fqb.q_cent
+          AND la.label = fqb.q_label
+          AND a.vec_id <> {QUERY_VEC_ID}
+        ORDER BY {cosine_sql('a.v', 'fqb.qv')} DESC, a.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED VECTOR SEARCH — top-k restricted by a metadata
+    predicate (same ``label`` as the query), the operation every
+    production vector store actually serves ("nearest neighbors WHERE
+    tenant/language/source = X"). Implemented as PRE-FILTERING inside
+    the bucket scan: the label predicate lands next to the cent_id
+    equi-join, so candidates are pruned before any distance math —
+    never the post-filter-then-hope-k-survive shape, which silently
+    returns fewer than k under selective predicates.
+
+    Plan/scale story: at 100 TB the label column lives WITH the posting
+    lists (both are per-vector metadata), so the filter is a scan-level
+    predicate (parquet dictionary/zone-map prunable) and the probe cost
+    is occupancy × selectivity — strictly cheaper than unfiltered. The
+    join back to `embeddings` for the label here stands in for that
+    co-located metadata; the session index carries only (vec_id, v,
+    cent_id). Oracle rides the memoizable shared chain (fa only)."""
+    assigned = _twolevel_assignment(spark, sf_dir)
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    qrow = (
+        assigned.join(lab, "vec_id")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("cent_id").alias("q_cent"),
+            F.col("v").alias("qv"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    sim_to_q = cosine(F.col("v"), F.col("qv"))
+    return (
+        assigned.join(lab, "vec_id")
+        .join(
+            F.broadcast(qrow),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("label") == F.col("q_label")),
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            sim_to_q.alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("sim", 6).alias("sim"))
+    )

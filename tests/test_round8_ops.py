@@ -338,3 +338,58 @@ def test_drift_audit_invariants_and_prefix_chain(spark, sf_dir):
     plain, prefixed = _twolevel_assign_ctes(), _twolevel_assign_ctes("z")
     assert _twolevel_assign_ctes(prefix="") == plain
     assert not (names(plain) & names(prefixed))
+
+
+def test_multiprobe_twolevel_dominates_single_probe(spark, sf_dir):
+    """More probes can only improve the top-k: the multiprobe candidate
+    pool contains the single-probe bucket, so at every rank the
+    multiprobe similarity must be >= the single-probe one (rounded
+    values; both queries share the session index and tie-breaks)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        q_ann_ivf_multiprobe_twolevel,
+        q_ann_ivf_scaled,
+    )
+
+    multi = [r["sim"] for r in q_ann_ivf_multiprobe_twolevel(spark, sf_dir).collect()]
+    single = [r["sim"] for r in q_ann_ivf_scaled(spark, sf_dir).collect()]
+    assert multi == sorted(multi, reverse=True)
+    assert len(multi) >= len(single)
+    for m, s in zip(multi, single):
+        assert m >= s
+
+
+def test_filtered_search_prefilters_inside_bucket(spark, sf_dir):
+    """Filtered vector search: every hit carries the query's label AND
+    lives in the query's bucket (pre-filtering, not post-filter-and-
+    truncate), similarities descending."""
+    from pyspark.sql import functions as F2
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _twolevel_assignment,
+        q_ann_filtered,
+    )
+
+    res = q_ann_filtered(spark, sf_dir).collect()
+    assert res, "label+bucket intersection should be non-empty at sf0.001"
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assigned = {
+        r["vec_id"]: r["cent_id"]
+        for r in _twolevel_assignment(spark, sf_dir)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+    q_label, q_cent = labels[QUERY_VEC_ID], assigned[QUERY_VEC_ID]
+    for r in res:
+        assert r["label"] == q_label
+        assert assigned[r["vec_id"]] == q_cent
+        assert r["vec_id"] != QUERY_VEC_ID
+    sims = [r["sim"] for r in res]
+    assert sims == sorted(sims, reverse=True)

@@ -3445,3 +3445,122 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", F.round("sim", 6).alias("sim"))
     )
+
+
+@register(
+    "q_ann_recall_twolevel",
+    tags=("similarity", "vector", "ann", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes()},
+        rq AS (
+            SELECT vec_id AS q_id, cent_id AS q_cent, v AS qv
+            FROM fa WHERE vec_id < {ANN_BATCH_Q}
+        ),
+        rexact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, a.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {cosine_sql('a.v', 'q.qv')} DESC,
+                                    a.vec_id
+                       ) AS rnk
+                FROM fa a JOIN rq q ON a.vec_id <> q.q_id
+            ) WHERE rnk <= {ANN_BATCH_K}
+        ),
+        rapprox AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q.q_id, a.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {cosine_sql('a.v', 'q.qv')} DESC,
+                                    a.vec_id
+                       ) AS rnk
+                FROM fa a JOIN rq q
+                  ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+            ) WHERE rnk <= {ANN_BATCH_K}
+        ),
+        rhits AS (
+            SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM rexact e JOIN rapprox x
+              ON e.q_id = x.q_id AND e.vec_id = x.vec_id
+            GROUP BY 1
+        )
+        SELECT q.q_id, {ANN_BATCH_K} AS k,
+               COALESCE(h.n_hit, 0) AS n_hit,
+               ROUND(COALESCE(h.n_hit, 0) * 1.0 / {ANN_BATCH_K}, 4)
+                   AS recall
+        FROM rq q LEFT JOIN rhits h ON h.q_id = q.q_id
+    """,
+)
+def q_ann_recall_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@k of the PRODUCTION index: exact brute-force
+    top-{ANN_BATCH_K} vs single-probe top-{ANN_BATCH_K} over the
+    two-level dynamic-K assignment, per query in the
+    {ANN_BATCH_Q}-vector batch. ``q_ann_recall_audit`` measures the
+    pedagogical fixed-K=8 index (each bucket N/8 — fat buckets flatter
+    recall); THIS is the number that governs the real serving index,
+    where constant-occupancy buckets make single-probe recall the
+    honest lower bound the nprobe dial
+    (``q_ann_ivf_multiprobe_twolevel``) then buys back. Together with
+    ``q_ivf_index_stats`` (occupancy) and ``q_ivf_drift_audit``
+    (staleness) it completes the production index's standing audit
+    set: health, drift, recall — each oracle-checked.
+
+    Plan: identical shape to ``q_ann_recall_audit`` — the broadcast
+    query batch scores once against the full assignment (the exact
+    side, the deliberate audit cost) and once against the probed
+    buckets; per-query rank windows, |q|×k intersection, broadcast
+    rollup. The oracle rides the memoizable shared chain (it needs
+    only ``fa``), so soaks pay the training once across every rider."""
+    from pyspark.sql import Window
+
+    sides = _twolevel_assignment(spark, sf_dir)
+    queries = sides.filter(F.col("vec_id") < ANN_BATCH_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cent_id").alias("q_cent"),
+        F.col("v").alias("qv"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+
+    def topk(joined) -> DataFrame:
+        return (
+            joined.select(
+                "q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= ANN_BATCH_K)
+            .select("q_id", "vec_id")
+        )
+
+    exact = topk(
+        sides.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+    )
+    approx = topk(
+        sides.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+    )
+    hits = (
+        exact.join(F.broadcast(approx), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        queries.select("q_id")
+        .join(F.broadcast(hits), "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(ANN_BATCH_K).alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint"))
+                * F.lit(1.0)
+                / ANN_BATCH_K,
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -393,3 +393,19 @@ def test_filtered_search_prefilters_inside_bucket(spark, sf_dir):
         assert r["vec_id"] != QUERY_VEC_ID
     sims = [r["sim"] for r in res]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_recall_twolevel_invariants(spark, sf_dir):
+    """Production-index recall audit: one row per query in the batch,
+    hits bounded by k, recall = n_hit/k in [0, 1]."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        ANN_BATCH_K,
+        ANN_BATCH_Q,
+        q_ann_recall_twolevel,
+    )
+
+    rows = q_ann_recall_twolevel(spark, sf_dir).collect()
+    assert len(rows) == ANN_BATCH_Q
+    for r in rows:
+        assert 0 <= r["n_hit"] <= ANN_BATCH_K
+        assert r["recall"] == pytest.approx(r["n_hit"] / ANN_BATCH_K)

@@ -3564,3 +3564,78 @@ def q_ann_recall_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "q_ann_batch_twolevel",
+    tags=("similarity", "vector", "ann", "scale"),
+    oracle=f"""
+        WITH {_twolevel_assign_ctes()},
+        bq AS (
+            SELECT vec_id AS q_id, cent_id AS q_cent, v AS qv
+            FROM fa WHERE vec_id < {ANN_BATCH_Q}
+        ),
+        bscored AS (
+            SELECT q.q_id, a.vec_id,
+                   {cosine_sql('a.v', 'q.qv')} AS sim
+            FROM fa a JOIN bq q
+              ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+        ),
+        branked AS (
+            SELECT q_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id
+                   ) AS rnk
+            FROM bscored
+        )
+        SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
+               ROUND(sim, 6) AS sim
+        FROM branked WHERE rnk <= {ANN_BATCH_K}
+    """,
+)
+def q_ann_batch_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED ANN serving on the PRODUCTION index:
+    ``q_ann_batch_queries``'s one-join query-batch shape moved onto the
+    two-level dynamic-K assignment — the throughput regime that
+    matters at 100 TB, because constant bucket occupancy makes the
+    batch's total probe cost |q|×{SEMDEDUP_TARGET_CLUSTER} candidates
+    regardless of corpus size (the fixed-K=8 form scans |q|×N/8 — fine
+    on a fixture, linear-in-N in production). Completes the
+    production-index serving family: single query
+    (``q_ann_ivf_scaled``), nprobe dial
+    (``q_ann_ivf_multiprobe_twolevel``), filter (``q_ann_filtered``),
+    PQ codes (``q_ann_ivf_pq_twolevel``), batch (this).
+
+    Plan: the session-shared assignment supplies both sides; the query
+    batch broadcasts onto the bucket equi-join; per-query rank windows
+    over bucket-sized input, vec_id tie-break. The oracle needs only
+    ``fa``, so it rides the soak memo."""
+    from pyspark.sql import Window
+
+    sides = _twolevel_assignment(spark, sf_dir)
+    queries = sides.filter(F.col("vec_id") < ANN_BATCH_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cent_id").alias("q_cent"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        sides.join(
+            F.broadcast(queries),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_BATCH_K)
+        .select(
+            "q_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+            F.round("sim", 6).alias("sim"),
+        )
+    )

@@ -409,3 +409,28 @@ def test_recall_twolevel_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hit"] <= ANN_BATCH_K
         assert r["recall"] == pytest.approx(r["n_hit"] / ANN_BATCH_K)
+
+
+def test_batch_twolevel_matches_per_query_form(spark, sf_dir):
+    """The batch form must return, for the query the single-query form
+    serves (vec_id 0), exactly the single-query top-k prefix: same
+    vec_ids in the same rank order with the same rounded sims."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        ANN_BATCH_K,
+        QUERY_VEC_ID,
+        q_ann_batch_twolevel,
+        q_ann_ivf_scaled,
+    )
+
+    batch = sorted(
+        (
+            r
+            for r in q_ann_batch_twolevel(spark, sf_dir).collect()
+            if r["q_id"] == QUERY_VEC_ID
+        ),
+        key=lambda r: r["rnk"],
+    )
+    single = q_ann_ivf_scaled(spark, sf_dir).collect()[:ANN_BATCH_K]
+    assert [(r["vec_id"], r["sim"]) for r in batch] == [
+        (r["vec_id"], r["sim"]) for r in single
+    ]

@@ -3036,10 +3036,12 @@ IVF_APPEND_DEN = 4
 def _append_assign_ctes() -> str:
     """Oracle replay of the APPEND path: two-level training on the BASE
     slice only (dials derived from the base count), then the delta
-    routed and fine-assigned through the frozen router — ends in a
-    ``dfa`` CTE of (vec_id, cent_id, sim). CTE names are disjoint from
-    ``_twolevel_assign_ctes`` so the soak memo never mistakes one chain
-    for the other (this one stays a live replay)."""
+    routed and fine-assigned through the frozen router — a ``dfa`` CTE
+    of (vec_id, v, cent_id, sim), plus ``bfa``: the base slice assigned
+    through the SAME frozen router (how its posting lists were stored
+    at ingest time; the dedup-at-ingest rider joins the two). CTE names
+    are disjoint from ``_twolevel_assign_ctes`` so the soak memo never
+    mistakes one chain for the other (this one stays a live replay)."""
     t_sql = (
         f"(SELECT ({IVF_APPEND_NUM} * COUNT(*)) // {IVF_APPEND_DEN}"
         f" FROM embeddings)"
@@ -3096,8 +3098,8 @@ def _append_assign_ctes() -> str:
             ) WHERE rn = 1
         )""",
         f"""dfa AS (
-            SELECT vec_id, cent_id, sim FROM (
-                SELECT a.vec_id, r.cent_id,
+            SELECT vec_id, v, cent_id, sim FROM (
+                SELECT a.vec_id, a.v, r.cent_id,
                        {cosine_sql('a.v', 'r.cv')} AS sim,
                        ROW_NUMBER() OVER (
                            PARTITION BY a.vec_id
@@ -3105,6 +3107,32 @@ def _append_assign_ctes() -> str:
                                     r.cent_id
                        ) AS rn
                 FROM dca a JOIN broute r ON r.coarse_id = a.coarse_id
+            ) WHERE rn = 1
+        )""",
+        # base slice assigned through the SAME frozen router (posting
+        # lists as stored at ingest time) — referenced by the
+        # dedup-at-ingest rider; unreferenced CTEs prune away elsewhere
+        f"baev AS (SELECT vec_id, v FROM ev WHERE vec_id < {t_sql})",
+        f"""bca AS (
+            SELECT vec_id, v, coarse_id FROM (
+                SELECT e.vec_id, e.v, c.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'c.ccv')} DESC,
+                                    c.coarse_id
+                       ) AS rn
+                FROM baev e, bcoarse c
+            ) WHERE rn = 1
+        )""",
+        f"""bfa AS (
+            SELECT vec_id, v, cent_id FROM (
+                SELECT a.vec_id, a.v, r.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
+                                    r.cent_id
+                       ) AS rn
+                FROM bca a JOIN broute r ON r.coarse_id = a.coarse_id
             ) WHERE rn = 1
         )""",
     ]
@@ -3152,10 +3180,13 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cent_id, sim) of the delta slice under the FROZEN
-    base-trained two-level index (see :func:`q_ivf_index_append`) —
-    ``sim`` is the RAW cosine to the chosen centroid (riders round)."""
+def _append_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, DataFrame, DataFrame, DataFrame]:
+    """The FROZEN base-trained index parts shared by the append-path
+    riders: (emb, t, cents, coarse_arr, groups) — emb the double-cast
+    corpus, t the base/delta split point, cents the base-trained fine
+    centroids, coarse_arr/groups the router broadcast payloads."""
     import math
 
     emb = table(spark, sf_dir, "embeddings").select(
@@ -3191,9 +3222,18 @@ def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fs")
     )
-    delta = emb.filter(F.col("vec_id") >= t)
+    return emb, t, cents, coarse_arr, groups
+
+
+def _route_assign(
+    df: DataFrame, coarse_arr: DataFrame, groups: DataFrame
+) -> DataFrame:
+    """Assign (vec_id, v) rows through a frozen two-level router:
+    coarse broadcast fold, then the fine fold within the routed group —
+    the exact rule both the oracle's window replay and the full build
+    use."""
     va = (
-        _spread(delta.select("vec_id", "v", norm(F.col("v")).alias("nv")))
+        _spread(df.select("vec_id", "v", norm(F.col("v")).alias("nv")))
         .crossJoin(F.broadcast(coarse_arr))
         .select(
             "vec_id",
@@ -3204,12 +3244,22 @@ def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coarse_id"),
         )
     )
-    assigned = va.join(F.broadcast(groups), "coarse_id").select(
+    return va.join(F.broadcast(groups), "coarse_id").select(
         "vec_id",
         "v",
         _argmin_cent(F.col("v"), F.col("nv"), F.col("fs")).alias(
             "cent_id"
         ),
+    )
+
+
+def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cent_id, sim) of the delta slice under the FROZEN
+    base-trained two-level index (see :func:`q_ivf_index_append`) —
+    ``sim`` is the RAW cosine to the chosen centroid (riders round)."""
+    emb, t, cents, coarse_arr, groups = _append_index(spark, sf_dir)
+    assigned = _route_assign(
+        emb.filter(F.col("vec_id") >= t), coarse_arr, groups
     )
     # the chosen centroid's cosine, recomputed via the same dot/norm
     # expressions the fold ranked with (bit-identical by determinism)
@@ -3638,4 +3688,80 @@ def q_ann_batch_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round("sim", 6).alias("sim"),
         )
+    )
+
+
+@register(
+    "q_dedup_ingest_incremental",
+    tags=("dedup", "similarity", "vector", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_append_assign_ctes()},
+        ipairs AS (
+            SELECT b.cent_id, b.vec_id AS keep_cand, d.vec_id AS new_id,
+                   {cosine_sql('b.v', 'd.v')} AS sim
+            FROM bfa b JOIN dfa d ON b.cent_id = d.cent_id
+            WHERE {cosine_sql('b.v', 'd.v')} >= {NEAR_DUP_COS}
+        )
+        SELECT new_id AS doc_id,
+               MIN(cent_id) AS cent_id,
+               MIN(keep_cand) AS matched_doc_id,
+               ROUND(MAX(sim), 6) AS max_sim
+        FROM ipairs GROUP BY new_id
+    """,
+)
+def q_dedup_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP AT INGEST — semantic near-dup detection of TODAY'S batch
+    against the STANDING corpus, without retraining or re-pairing the
+    corpus with itself: delta vectors route through the frozen
+    base-trained index (``q_ivf_index_append``'s rule) and compare ONLY
+    against base members of their own cluster (SemDeDup's bucketing,
+    ``q_dedup_semdedup_scaled``'s threshold {NEAR_DUP_COS} and
+    keep/drop convention). Output: one row per incoming near-dup — the
+    base doc it matched and the max similarity — the reject/merge list
+    an ingest job acts on before admitting the batch.
+
+    Why this shape at 100 TB: batch-vs-corpus dedup is the DAILY
+    operation (corpus-vs-corpus is the rare rebuild), and its cost here
+    is N_delta routing folds plus per-cluster (delta × base-occupancy)
+    comparisons — linear in the batch, independent of corpus size at
+    constant occupancy. The base side compares as STORED (assigned
+    through the same frozen router, exactly how its posting lists were
+    written at its own ingest), so the join is a cent_id equi-join of
+    two already-materialized relations — no corpus-side recompute.
+
+    The oracle replays training, both frozen-router assignments, and
+    the thresholded in-cluster pair scan end to end (live chain — the
+    third append-path proof). Pair membership AND similarities must
+    agree bit-for-bit."""
+    emb, t, cents, coarse_arr, groups = _append_index(spark, sf_dir)
+    base_a = _route_assign(
+        emb.filter(F.col("vec_id") < t), coarse_arr, groups
+    ).withColumn("nv", norm(F.col("v")))
+    delta_a = _route_assign(
+        emb.filter(F.col("vec_id") >= t), coarse_arr, groups
+    ).withColumn("nv", norm(F.col("v")))
+    b = base_a.select(
+        "cent_id",
+        F.col("vec_id").alias("keep_cand"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    d = delta_a.select(
+        "cent_id",
+        F.col("vec_id").alias("new_id"),
+        F.col("v").alias("vd"),
+        F.col("nv").alias("nd"),
+    )
+    pairs = (
+        b.join(d, "cent_id")
+        .withColumn(
+            "sim",
+            dot(F.col("vb"), F.col("vd")) / (F.col("nb") * F.col("nd")),
+        )
+        .filter(F.col("sim") >= NEAR_DUP_COS)
+    )
+    return pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+        F.min("cent_id").alias("cent_id"),
+        F.min("keep_cand").alias("matched_doc_id"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
     )

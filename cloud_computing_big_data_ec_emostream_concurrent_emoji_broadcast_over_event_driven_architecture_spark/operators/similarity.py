@@ -40,6 +40,9 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 NEAR_DUP_COS = 0.35
 IVF_K = 8  # pseudo-centroids: vec_id < 8
+SEMDEDUP_TARGET_CLUSTER = 64  # production dial: K = max(8, N/64)
+IVF2_SAMPLE = 8192  # two-level training sample: vec_id < min(N, 8192)
+IVF2_K_CAP = 2048  # K = max(8, min(N // 64, 2048)) — keeps K ≤ sample/4
 
 # --- random-hyperplane LSH parameters --------------------------------------
 # Band-collision probability for a pair at cosine s is 1-(1-p^b)^8 with
@@ -488,6 +491,7 @@ def clear_ivf_cache() -> None:
         except Exception:
             pass
     _IVF_CACHE.clear()
+    _APPEND_META.clear()
 
 
 KMEANS_ITERS = 2
@@ -1640,21 +1644,268 @@ def _pq_adc_expr() -> str:
     return " + ".join(parts)
 
 
-def _pq_oracle() -> str:
-    anchor_cols = ", ".join(
-        f"MAX(CASE WHEN vec_id = {k} THEN embedding END) AS a{k}"
+# --- trained PQ codebooks (round 9) -----------------------------------------
+# The PQ family's codewords used to be the subvectors of the first PQ_K
+# corpus vectors — deterministic ANCHORS, correct by construction but
+# untrained, so reconstruction error (and therefore ADC ranking quality)
+# was whatever the first 4 rows happened to give. The production rule
+# (Jégou et al.; FAISS ProductQuantizer.train) is per-subspace k-means:
+# each of the PQ_M subspaces trains its own PQ_K-entry codebook on a
+# bounded sample. Here that is the SAME sampled-Lloyd machinery the
+# two-level IVF uses — first-K init from the sample, unrolled
+# iterations, decimal-exact recentering — run on (vec_id, subspace,
+# subvector) rows so all PQ_M trainings ride ONE chain, and replayed
+# end to end by the oracle. q_pq_train_audit measures what training
+# buys (recall@k and reconstruction MSE, trained vs anchor).
+
+
+def _pq_subvector_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): each sample vector exploded into its PQ_M
+    subvectors — one relation so every subspace trains in one pass."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.slice("v", s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+
+
+def _pq_sub_argmin(sv: Column, cs: Column) -> Column:
+    """Nearest-codeword id for subvector ``sv`` against the k-ASCENDING
+    codeword-struct array ``cs``: fold keeping (best squared-L2, its k),
+    strict ``<`` so the first (smallest k) wins ties — exactly
+    ROW_NUMBER() OVER (ORDER BY dist ASC, k ASC). The per-codeword
+    distance is the same left-to-right fold of squared terms the scoring
+    columns use, so assignment is bit-identical across engines."""
+    dists = F.transform(
+        cs,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(sv, c["cw"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("d"),
+            c["k"].alias("k"),
+        ),
+    )
+    best = F.aggregate(
+        dists,
+        F.struct(
+            F.lit(float("inf")).cast("double").alias("d"),
+            F.lit(-1).cast("int").alias("k"),
+        ),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+    )
+    return best["k"]
+
+
+def _pq_cb_assign(sv_rows: DataFrame, cb: DataFrame) -> DataFrame:
+    """One Lloyd assignment over every subspace at once: codebooks
+    broadcast per-s as sorted struct arrays, argmin fold per row."""
+    cba = cb.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("k", "cw"))).alias("cs")
+    )
+    return sv_rows.join(F.broadcast(cba), "s").select(
+        "vec_id",
+        "s",
+        "sv",
+        _pq_sub_argmin(F.col("sv"), F.col("cs")).alias("k"),
+    )
+
+
+def _pq_cb_recenter(assigned: DataFrame) -> DataFrame:
+    """Re-estimate codewords: decimal-exact per-(s, k, dim) means,
+    rebuilt into ordered arrays (the ``_kmeans_recenter`` rule)."""
+    cx = (
+        assigned.select("s", "k", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("s", "k", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+                / F.count("*")
+            ).alias("cx")
+        )
+    )
+    return cx.groupBy("s", "k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+            lambda st: st["cx"],
+        ).alias("cw")
+    )
+
+
+def _pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row frame of the trained codebook, pivoted to columns
+    ``c{s}_{k}`` (each a PQ_SUB-dim array<double>) — the broadcast
+    payload the scoring queries cross-join, exactly like the old anchor
+    row. Trained on the same bounded sample as the two-level IVF
+    (vec_id < min(N, IVF2_SAMPLE)), {KMEANS_ITERS} Lloyd iterations,
+    session-persisted."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pqcb")
+    if key not in _IVF_CACHE:
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        n = emb.count()
+        samp = emb.filter(F.col("vec_id") < min(n, IVF2_SAMPLE))
+        sv_rows = _spread(_pq_subvector_rows(samp))
+        cb = sv_rows.filter(F.col("vec_id") < PQ_K).select(
+            "s", F.col("vec_id").cast("int").alias("k"), F.col("sv").alias("cw")
+        )
+        for _ in range(KMEANS_ITERS):
+            cb = _pq_cb_recenter(_pq_cb_assign(sv_rows, cb))
+        piv = cb.groupBy().agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("s") == s) & (F.col("k") == k), F.col("cw")
+                    )
+                ).alias(f"c{s}_{k}")
+                for s in range(PQ_M)
+                for k in range(PQ_K)
+            ]
+        )
+        _IVF_CACHE[key] = piv.persist()
+    return _IVF_CACHE[key]
+
+
+def _pq_sub_dist_sql(a_sv: str, b_cw: str) -> str:
+    """Unrolled squared-L2 between two PQ_SUB-dim lists — the oracle
+    twin of the assignment fold (same left-associated term order)."""
+    terms = [
+        f"({a_sv}[{i}] - {b_cw}[{i}]) * ({a_sv}[{i}] - {b_cw}[{i}])"
+        for i in range(1, PQ_SUB + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pqt_ctes() -> str:
+    """Oracle replay of the per-subspace codebook training, ending in
+    ``pqcbp`` — the one-row pivoted codebook (c{s}_{k} list columns).
+    CTE names are pq-prefixed, disjoint from the two-level chain so the
+    IVFPQ oracle embeds both side by side."""
+    sn_sql = f"(SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
+    ctes = [
+        f"""pqsv AS (
+            SELECT vec_id, t.s,
+                   v[t.s * {PQ_SUB} + 1 : t.s * {PQ_SUB} + {PQ_SUB}] AS sv
+            FROM (SELECT vec_id, {as_double_sql('embedding')} AS v
+                  FROM embeddings WHERE vec_id < {sn_sql})
+            CROSS JOIN range(0, {PQ_M}) t(s)
+        )""",
+        f"pqc0 AS (SELECT s, CAST(vec_id AS INT) AS k, sv AS cw"
+        f" FROM pqsv WHERE vec_id < {PQ_K})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(
+            f"""pqa{i} AS (
+            SELECT vec_id, s, sv, k FROM (
+                SELECT a.vec_id, a.s, a.sv, c.k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY {_pq_sub_dist_sql('a.sv', 'c.cw')} ASC,
+                                    c.k
+                       ) AS rn
+                FROM pqsv a JOIN pqc{i} c ON c.s = a.s
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""pqc{i + 1} AS (
+            SELECT s, k, list(cx ORDER BY pos) AS cw FROM (
+                SELECT s, k, pos,
+                       CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(*) AS cx
+                FROM (SELECT s, k, generate_subscripts(sv, 1) AS pos,
+                             unnest(sv) AS x
+                      FROM pqa{i})
+                GROUP BY s, k, pos
+            ) GROUP BY s, k
+        )"""
+        )
+    piv = ", ".join(
+        f"MAX(CASE WHEN s = {s} AND k = {k} THEN cw END) AS c{s}_{k}"
+        for s in range(PQ_M)
         for k in range(PQ_K)
     )
-    dist_cols = ",\n                   ".join(_pq_dist_cols("duck"))
+    ctes.append(
+        f"pqcbp AS (SELECT {piv} FROM pqc{KMEANS_ITERS})"
+    )
+    return ",\n        ".join(ctes)
+
+
+def _pqt_sq(dialect: str, vec: str, cw: str, lo: int) -> str:
+    """Squared L2 between ``vec`` dims [lo, lo+PQ_SUB-1] and the
+    PQ_SUB-dim codeword list ``cw`` — identical term order in both
+    dialects (the trained twin of :func:`_pq_sq`)."""
+    terms = [
+        f"({_pq_elem(dialect, vec, lo + i)} - {cw}[{i + 1}])"
+        f" * ({_pq_elem(dialect, vec, lo + i)} - {cw}[{i + 1}])"
+        for i in range(PQ_SUB)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pqt_sq_col(vec: str, cw: str, lo: int) -> Column:
+    """Spark fold twin of :func:`_pqt_sq` — bit-equal by the +0.0-seed
+    square-terms argument (see :func:`_pq_sq_col`)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec), lo, PQ_SUB),
+            F.col(cw),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pqt_dist_cols(dialect: str) -> list[str]:
+    """Trained-codebook scoring columns: same d/g/ex names as the anchor
+    family, so ``_pq_adc_expr`` applies unchanged."""
+    cols = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        for k in range(PQ_K):
+            cols.append(
+                f"{_pqt_sq(dialect, 'embedding', f'c{s}_{k}', lo)} AS d{s}_{k}"
+            )
+            cols.append(
+                f"{_pqt_sq(dialect, 'qe', f'c{s}_{k}', lo)} AS g{s}_{k}"
+            )
+    cols.append(f"{_pq_sq(dialect, 'embedding', 'qe', 1, PCA_DIM)} AS ex")
+    return cols
+
+
+def _pqt_dist_cols_spark() -> list[Column]:
+    cols = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        for k in range(PQ_K):
+            cols.append(_pqt_sq_col("embedding", f"c{s}_{k}", lo).alias(f"d{s}_{k}"))
+            cols.append(_pqt_sq_col("qe", f"c{s}_{k}", lo).alias(f"g{s}_{k}"))
+    cols.append(_pq_sq_col("embedding", "qe", 1, PCA_DIM).alias("ex"))
+    return cols
+
+
+def _pq_oracle() -> str:
+    dist_cols = ",\n                   ".join(_pqt_dist_cols("duck"))
     return f"""
-        WITH a AS (
-            SELECT {anchor_cols} FROM embeddings WHERE vec_id < {PQ_K}
-        ), q AS (
+        WITH {_pqt_ctes()},
+        q AS (
             SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
         ), dists AS (
             SELECT vec_id,
                    {dist_cols}
-            FROM embeddings CROSS JOIN a CROSS JOIN q
+            FROM embeddings CROSS JOIN pqcbp CROSS JOIN q
         )
         SELECT vec_id,
                ROUND({_pq_adc_expr()}, 6) AS adc_dist,
@@ -1673,13 +1924,16 @@ def _pq_oracle() -> str:
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZATION top-k (Jégou et al., asymmetric distance
     computation): vectors are encoded per {PQ_M}-subspace against a
-    {PQ_K}-entry codebook (here the subvectors of {PQ_K} deterministic
-    anchor vectors, so both engines derive identical codebooks without a
-    training loop); the query is NOT quantized — its distance to every
-    codebook entry forms the {PQ_M}×{PQ_K} ADC lookup table, and a
-    vector's estimated distance is the sum of the table entries its code
-    selects.  Output: ADC top-{PQ_TOP} with exact distances alongside —
-    the quantization-error audit.
+    {PQ_K}-entry TRAINED codebook — since round 9 each subspace runs its
+    own sampled Lloyd (first-{PQ_K} init, {KMEANS_ITERS} iterations,
+    decimal-exact recentering, the FAISS ProductQuantizer.train rule;
+    the oracle replays the training end to end, and
+    ``q_pq_train_audit`` measures the recall/MSE gain over the old
+    deterministic-anchor codewords); the query is NOT quantized — its
+    distance to every codebook entry forms the {PQ_M}×{PQ_K} ADC lookup
+    table, and a vector's estimated distance is the sum of the table
+    entries its code selects.  Output: ADC top-{PQ_TOP} with exact
+    distances alongside — the quantization-error audit.
 
     Plan/scale story: encoding is pure per-row arithmetic against the
     BROADCAST codebook (at 100 TB codes are precomputed once into a
@@ -1692,22 +1946,15 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the full scoring pipeline including argmin code
     assignment."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    anchors = emb.filter(F.col("vec_id") < PQ_K).groupBy().agg(
-        *[
-            F.max(
-                F.when(F.col("vec_id") == k, F.col("embedding"))
-            ).alias(f"a{k}")
-            for k in range(PQ_K)
-        ]
-    )
+    cbp = _pq_trained_codebook(spark, sf_dir)
     q_row = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
     dists = (
-        emb.crossJoin(F.broadcast(anchors))
+        emb.crossJoin(F.broadcast(cbp))
         .crossJoin(F.broadcast(q_row))
         .select(
-            "vec_id", *_pq_dist_cols_spark()
+            "vec_id", *_pqt_dist_cols_spark()
         )
     )
     adc = F.expr(_pq_adc_expr())
@@ -1720,6 +1967,144 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adc", 6).alias("adc_dist"),
             F.round("ex", 6).alias("exact_dist"),
         )
+    )
+
+
+def _pq_rec_sql() -> str:
+    """Per-vector PQ reconstruction error: sum over subspaces of the
+    min codeword distance — ||x - q(x)||² for the code the encoder
+    would pick (dialect-neutral: references the named d columns)."""
+    return " + ".join(
+        "LEAST(" + ", ".join(f"d{s}_{k}" for k in range(PQ_K)) + ")"
+        for s in range(PQ_M)
+    )
+
+
+def _pq_variant_sql(name: str, dists: str) -> str:
+    """One audit row for codebook variant ``name`` scored in relation
+    ``dists``: recall@{PQ_TOP} of ADC-ranked vs exact-ranked top lists
+    (query vector {QUERY_VEC_ID}) and per-dimension reconstruction
+    MSE."""
+    top = (
+        f"(SELECT vec_id FROM {dists} WHERE vec_id <> {QUERY_VEC_ID}"
+        f" ORDER BY {{rank}}, vec_id LIMIT {PQ_TOP})"
+    )
+    return f"""
+        SELECT '{name}' AS variant,
+               (SELECT ROUND(COUNT(*) * 1.0 / {PQ_TOP}, 4)
+                FROM {top.format(rank=_pq_adc_expr())} x
+                JOIN {top.format(rank='ex')} y USING (vec_id))
+                   AS recall_at_k,
+               (SELECT ROUND(CAST(SUM(CAST({_pq_rec_sql()}
+                          AS DECIMAL(28,10))) AS DOUBLE)
+                      / COUNT(*) / {PCA_DIM}, 6)
+                FROM {dists}) AS mse
+    """
+
+
+@register(
+    "q_pq_train_audit",
+    tags=("similarity", "ann", "quantization", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {{PQT}},
+        aanch AS (
+            SELECT {{ANCH}} FROM embeddings WHERE vec_id < {PQ_K}
+        ),
+        aq AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        adists AS (
+            SELECT vec_id, {{ACOLS}}
+            FROM embeddings CROSS JOIN aanch CROSS JOIN aq
+        ),
+        tdists AS (
+            SELECT vec_id, {{TCOLS}}
+            FROM embeddings CROSS JOIN pqcbp CROSS JOIN aq
+        )
+        {{AROW}}
+        UNION ALL
+        {{TROW}}
+    """.replace("{PQT}", _pqt_ctes())
+    .replace("{ANCH}", ", ".join(
+        f"MAX(CASE WHEN vec_id = {k} THEN embedding END) AS a{k}"
+        for k in range(PQ_K)
+    ))
+    .replace("{ACOLS}", ",\n                   ".join(_pq_dist_cols("duck")))
+    .replace("{TCOLS}", ",\n                   ".join(_pqt_dist_cols("duck")))
+    .replace("{AROW}", _pq_variant_sql("anchor", "adists"))
+    .replace("{TROW}", _pq_variant_sql("trained", "tdists")),
+)
+def q_pq_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ CODEBOOK TRAINING AUDIT — does the trained codebook actually
+    dominate the old anchor codewords? For BOTH codebooks it scores the
+    full corpus and reports (a) recall@{PQ_TOP}: how much of the exact
+    top-{PQ_TOP} survives ADC ranking, and (b) per-dimension
+    reconstruction MSE: mean ||x − q(x)||²/{PCA_DIM} over the corpus
+    for the code the encoder picks — the two numbers that decide
+    whether an IVFPQ deployment's codebook is good enough to serve
+    (round-8 verdict: "quantization error vs a trained codebook is
+    unmeasured"; now it is a standing oracle-checked output, like the
+    recall and drift audits).
+
+    Plan: each variant is one corpus scan against its one-row broadcast
+    codebook (the exact shape the serving queries use), a rank-window
+    pair over the scored relation, and decimal-exact MSE folds so the
+    corpus mean is summation-order-independent. The oracle replays
+    codebook training AND both scoring pipelines end to end."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbp = _pq_trained_codebook(spark, sf_dir)
+    aq = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    anchors = emb.filter(F.col("vec_id") < PQ_K).groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("vec_id") == k, F.col("embedding"))
+            ).alias(f"a{k}")
+            for k in range(PQ_K)
+        ]
+    )
+    adists = (
+        emb.crossJoin(F.broadcast(anchors))
+        .crossJoin(F.broadcast(aq))
+        .select("vec_id", *_pq_dist_cols_spark())
+    )
+    tdists = (
+        emb.crossJoin(F.broadcast(cbp))
+        .crossJoin(F.broadcast(aq))
+        .select("vec_id", *_pqt_dist_cols_spark())
+    )
+
+    def variant(dists: DataFrame, name: str) -> DataFrame:
+        rec = F.least(*[F.col(f"d0_{k}") for k in range(PQ_K)])
+        for s in range(1, PQ_M):
+            rec = rec + F.least(*[F.col(f"d{s}_{k}") for k in range(PQ_K)])
+        mse = dists.agg(
+            F.round(
+                F.sum(rec.cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(PCA_DIM),
+                6,
+            ).alias("mse")
+        )
+        sel = dists.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+            "vec_id", F.expr(_pq_adc_expr()).alias("adc"), "ex"
+        )
+        ta = sel.orderBy("adc", "vec_id").limit(PQ_TOP).select("vec_id")
+        te = sel.orderBy("ex", "vec_id").limit(PQ_TOP).select("vec_id")
+        nh = ta.join(te, "vec_id").agg(
+            F.count(F.lit(1)).alias("nh")
+        )
+        return nh.crossJoin(mse).select(
+            F.lit(name).alias("variant"),
+            F.round(F.col("nh") * F.lit(1.0) / PQ_TOP, 4).alias(
+                "recall_at_k"
+            ),
+            "mse",
+        )
+
+    return variant(adists, "anchor").unionByName(
+        variant(tdists, "trained")
     )
 
 
@@ -2093,7 +2478,7 @@ def q_ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_TARGET_CLUSTER = 64  # production dial: K = max(8, N/64)
+# (SEMDEDUP_TARGET_CLUSTER is defined with the module constants at the top.)
 
 
 # --- two-level IVF: the sub-quadratic index BUILD ---------------------------
@@ -2117,21 +2502,135 @@ SEMDEDUP_TARGET_CLUSTER = 64  # production dial: K = max(8, N/64)
 # session-persisted build. The flat assign survives only at FIXED K=8
 # (the pedagogical q_dedup_semdedup / q_ann_ivf family), where N·K is
 # linear by construction.
-# Dial sizing: the cap is where constant-occupancy ENDS — beyond
-# K_CAP·64 vectors, cluster size (and so pair/probe work per vector)
-# grows again as N/K_CAP. The round-8 100×-embeddings soak measured the
-# old 1024 cap biting at 200k vectors (cluster size 195, semdedup pair
-# stage 5.0× for 3.3× data); 2048 holds occupancy ≤ ~98 there. The cap
-# exists to keep K ≤ sample/4 (first-K init must draw from the sample),
-# so the two dials move together — at real 100 TB scale both keep
-# growing (FAISS guidance trains on 30-256 vectors per centroid).
-IVF2_SAMPLE = 8192  # training sample: vec_id < min(N, 8192)
-IVF2_K_CAP = 2048  # K = max(8, min(N // 64, 2048)) — keeps K ≤ sample/4
+# Dial sizing: K grows with the corpus up to the cap; the cap keeps
+# K ≤ sample/4 (first-K init must draw from the sample) and bounds the
+# Lloyd training cost at sample·K — the sample-bounded training is a
+# FEATURE (FAISS trains on 30-256 vectors per centroid and never lets
+# train() cost track the full corpus). Past the cap the index does NOT
+# go superlinear anymore: the round-9 re-shard tier below extends the
+# bucket key to (cent_id, shard) with content-derived hash-plane sign
+# bits, so EFFECTIVE bucket count keeps scaling as N/target while the
+# trained centroid count — and training cost — stays bounded. (The
+# round-8 100×-embeddings soak measured the pre-shard ceiling: at the
+# old 1024 cap cluster size reached 195 and the headline SemDeDup pair
+# stage went 5.0× for 3.3× data; the cap bump bought one decade, the
+# shard tier removes the ceiling entirely.)
+# (IVF2_SAMPLE / IVF2_K_CAP are defined with the module constants at
+# the top — the PQ training chain shares the sample dial at import
+# time.)
+
+# --- intra-cluster re-shard tier (the path PAST the K cap) ------------------
+# Constant occupancy via trained centroids ends at K_CAP·target ≈ 131k
+# vectors. Beyond that, each fine cluster is split into 2^p
+# content-derived shards: shard bits are hyperplane sign bits from
+# DEDICATED planes (disjoint from every RHP band/shard plane — base 256
+# vs the text-tier's 0..128 band and 128..136 shard ranges), exactly the
+# q_dedup_embedding_sharded rule lifted onto the IVF index. Exact
+# duplicates always co-shard; near-dups co-shard with the standard
+# per-bit sign-agreement probability (the recall dial the nprobe family
+# already prices). p is derived from COUNT(*) alone in BOTH engines —
+# pure integers, no float-log boundary — and stays 0 on every fixture
+# below the cap, so the tier is provably inert until it is needed.
+IVF2_SHARD_PLANE_BASE = 256
+IVF2_SHARD_BITS_MAX = 20  # 131k·2^20 ≈ 137 G vectors before saturation
+
+
+def ivf2_shard_bits(n: int) -> int:
+    """Smallest p in [0, IVF2_SHARD_BITS_MAX] with
+    (IVF2_K_CAP · SEMDEDUP_TARGET_CLUSTER) · 2^p ≥ n — i.e. expected
+    (cent, shard)-bucket occupancy ≤ target once K has saturated at the
+    cap; 0 while K itself can still grow. Integer-exact,
+    oracle-replayable (:data:`_IVF2_SB_SQL`)."""
+    cap = IVF2_K_CAP * SEMDEDUP_TARGET_CLUSTER
+    for p in range(IVF2_SHARD_BITS_MAX + 1):
+        if cap << p >= n:
+            return p
+    return IVF2_SHARD_BITS_MAX
+
+
+def _ivf2_shard_col(v: Column, sb: int) -> Column:
+    """Packed shard code (int) for an array<double> vector: ``sb`` sign
+    bits from the dedicated IVF shard planes, bit r ← plane
+    IVF2_SHARD_PLANE_BASE + r. sb = 0 packs to the constant 0 — the
+    below-cap degenerate bucket key."""
+    if sb == 0:
+        return F.lit(0).cast("int")
+    bits = _rhp_bit_exprs(v, sb, start=IVF2_SHARD_PLANE_BASE)
+    code = bits[0]
+    for r in range(1, sb):
+        code = code + bits[r] * F.lit(1 << r)
+    return code.cast("int")
+
+
+def _ivf2_sb_sql(count_src: str = "(SELECT COUNT(*) FROM embeddings)") -> str:
+    """Oracle twin of :func:`ivf2_shard_bits` over ``count_src`` (a
+    scalar-subquery SQL string — the append path derives its frozen
+    shard width from the BASE count)."""
+    cap = IVF2_K_CAP * SEMDEDUP_TARGET_CLUSTER
+    return (
+        f"(SELECT COALESCE((SELECT MIN(pp)"
+        f" FROM range(0, {IVF2_SHARD_BITS_MAX} + 1) t(pp)"
+        f" WHERE (CAST({cap} AS BIGINT) << pp) >= {count_src}),"
+        f" {IVF2_SHARD_BITS_MAX}))"
+    )
+
+
+def _ivf2_shard_ctes(p: str, sb_sql: str, src: str | None = None) -> str:
+    """CTE fragment computing ``{p}shards`` (vec_id, shard) from
+    ``src`` (default ``{p}ev``) — the DuckDB replay of
+    :func:`_ivf2_shard_col`: same dedicated planes, same exact-decimal
+    sign sums, same packing. With sb = 0 the contrib relation is empty
+    and every vector COALESCEs to shard 0, matching the Spark
+    constant."""
+    base = IVF2_SHARD_PLANE_BASE
+    src = src or f"{p}ev"
+    return f"""{p}sdial AS (SELECT {sb_sql} AS sb),
+        {p}sx AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+                         unnest(v) AS x
+                  FROM {src}),
+        {p}sc AS (
+            SELECT vec_id, j,
+                   CAST(x * {_RHP_PLANE_SQL} AS DECIMAL(18,10)) AS c
+            FROM {p}sx
+            CROSS JOIN range({base}, {base} + {IVF2_SHARD_BITS_MAX}) t(j)
+            CROSS JOIN {p}sdial
+            WHERE j < {base} + sb
+        ),
+        {p}sbit AS (
+            SELECT vec_id, j, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
+            FROM {p}sc GROUP BY vec_id, j
+        ),
+        {p}shards AS (
+            SELECT e.vec_id, CAST(COALESCE(s.sh, 0) AS INT) AS shard
+            FROM {src} e LEFT JOIN (
+                SELECT vec_id,
+                       SUM(bit << (j - {base})) AS sh
+                FROM {p}sbit GROUP BY vec_id
+            ) s ON s.vec_id = e.vec_id
+        )"""
+
+
+def _isqrt4_sql(k_sql: str) -> str:
+    """GREATEST(4, isqrt(k)) as exact SQL, derived from the dial: float
+    sqrt lands within ±1 of the true integer sqrt for any k < 2^52 and
+    two integer comparisons pick the exact floor — so the router count
+    can never diverge from Python's ``math.isqrt`` at ANY cap (the old
+    form scanned ``range(1, 80)``, a bound hand-tied to the 2048 cap)."""
+    return (
+        f"(SELECT GREATEST(4, CASE"
+        f" WHEN (f + 1) * (f + 1) <= kk THEN f + 1"
+        f" WHEN f * f <= kk THEN f ELSE f - 1 END)"
+        f" FROM (SELECT CAST(FLOOR(SQRT(CAST({k_sql} AS DOUBLE)))"
+        f" AS BIGINT) AS f, {k_sql} AS kk))"
+    )
 
 
 def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cent_id) under the two-level sample-trained build,
-    session-persisted — THE dynamic-K index every scaled rider shares."""
+    """(vec_id, v, cent_id, shard) under the two-level sample-trained
+    build, session-persisted — THE dynamic-K index every scaled rider
+    shares. ``shard`` is the re-shard tier's hash-plane bucket split
+    (:func:`ivf2_shard_bits` — constant 0 below the K cap); riders whose
+    cost is bucket-bound join on BOTH (cent_id, shard)."""
     import math
 
     key = (spark.sparkContext.applicationId, sf_dir, "twolevel")
@@ -2143,6 +2642,7 @@ def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = max(8, min(n // SEMDEDUP_TARGET_CLUSTER, IVF2_K_CAP))
         samp_n = min(n, IVF2_SAMPLE)
         k2 = max(4, math.isqrt(k))
+        sb = ivf2_shard_bits(n)
         samp = emb.filter(F.col("vec_id") < samp_n)
         cents = samp.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
@@ -2191,6 +2691,7 @@ def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             _argmin_cent(F.col("v"), F.col("nv"), F.col("fs")).alias(
                 "cent_id"
             ),
+            _ivf2_shard_col(F.col("v"), sb).alias("shard"),
         )
         # stash the trained fine centroids alongside the assignment —
         # K rows, reused by the drift audit's sim-to-centroid join
@@ -2226,13 +2727,7 @@ def _twolevel_assign_ctes(prefix: str = "") -> str:
         f" {IVF2_K_CAP})) FROM embeddings)"
     )
     sn_sql = f"(SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
-    # isqrt in pure integers: largest s with s*s <= k. The scan bound
-    # must exceed isqrt(IVF2_K_CAP) (2048 -> 45) or the oracle's router
-    # count silently diverges from Python's math.isqrt.
-    k2_sql = (
-        f"(SELECT GREATEST(4, MAX(s)) FROM range(1, 80) t(s)"
-        f" WHERE s * s <= {k_sql})"
-    )
+    k2_sql = _isqrt4_sql(k_sql)
     ctes = [
         _EV_CTE if not p else (
             f"{p}ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
@@ -2273,15 +2768,17 @@ def _twolevel_assign_ctes(prefix: str = "") -> str:
                 FROM {p}ev e, {p}coarse c
             ) WHERE rn = 1
         )""",
+        _ivf2_shard_ctes(p, _ivf2_sb_sql()),
         f"""{p}fa AS (
-            SELECT vec_id, v, cent_id FROM (
-                SELECT a.vec_id, a.v, r.cent_id,
+            SELECT vec_id, v, cent_id, shard FROM (
+                SELECT a.vec_id, a.v, r.cent_id, s.shard,
                        ROW_NUMBER() OVER (
                            PARTITION BY a.vec_id
                            ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
                                     r.cent_id
                        ) AS rn
                 FROM {p}vca a JOIN {p}route r ON r.coarse_id = a.coarse_id
+                JOIN {p}shards s ON s.vec_id = a.vec_id
             ) WHERE rn = 1
         )""",
     ]
@@ -2298,7 +2795,8 @@ def _twolevel_assign_ctes(prefix: str = "") -> str:
             SELECT a.cent_id, a.vec_id AS keep_cand, b.vec_id AS drop_id,
                    {cosine_sql('a.v', 'b.v')} AS sim
             FROM fa a JOIN fa b
-              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              ON a.cent_id = b.cent_id AND a.shard = b.shard
+             AND a.vec_id < b.vec_id
             WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
         )
         SELECT drop_id AS doc_id,
@@ -2335,18 +2833,20 @@ def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = assigned.select(
         F.col("cent_id"),
+        F.col("shard"),
         F.col("vec_id").alias("keep_cand"),
         F.col("v").alias("va"),
         F.col("nv").alias("na"),
     )
     b = assigned.select(
         F.col("cent_id"),
+        F.col("shard"),
         F.col("vec_id").alias("drop_id"),
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
     pairs = (
-        a.join(b, "cent_id")
+        a.join(b, ["cent_id", "shard"])
         .filter(F.col("keep_cand") < F.col("drop_id"))
         .withColumn(
             "sim",
@@ -2367,12 +2867,13 @@ def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_twolevel_assign_ctes()},
         qb AS (
-            SELECT cent_id, v AS qv FROM fa
+            SELECT cent_id, shard, v AS qv FROM fa
             WHERE vec_id = {QUERY_VEC_ID}
         )
         SELECT a.vec_id, ROUND({cosine_sql('a.v', 'qb.qv')}, 6) AS sim
         FROM fa a, qb
-        WHERE a.cent_id = qb.cent_id AND a.vec_id <> {QUERY_VEC_ID}
+        WHERE a.cent_id = qb.cent_id AND a.shard = qb.shard
+          AND a.vec_id <> {QUERY_VEC_ID}
         ORDER BY {cosine_sql('a.v', 'qb.qv')} DESC, a.vec_id
         LIMIT {TOP_K}
     """,
@@ -2399,12 +2900,16 @@ def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree across engines."""
     assigned = _twolevel_assignment(spark, sf_dir)
     qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("cent_id").alias("q_cent"), F.col("v").alias("qv")
+        F.col("cent_id").alias("q_cent"),
+        F.col("shard").alias("q_shard"),
+        F.col("v").alias("qv"),
     )
     sim_to_q = cosine(F.col("v"), F.col("qv"))
     return (
         assigned.join(
-            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
+            F.broadcast(qrow),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("shard") == F.col("q_shard")),
         )
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", sim_to_q.alias("sim"))
@@ -2420,12 +2925,13 @@ def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_twolevel_assign_ctes()},
         qb AS (
-            SELECT cent_id, v AS qv FROM fa
+            SELECT cent_id, shard, v AS qv FROM fa
             WHERE vec_id = {QUERY_VEC_ID}
         )
         SELECT a.vec_id, ROUND({cosine_sql('a.v', 'qb.qv')}, 6) AS sim
         FROM fa a, qb
-        WHERE a.cent_id = qb.cent_id AND a.vec_id <> {QUERY_VEC_ID}
+        WHERE a.cent_id = qb.cent_id AND a.shard = qb.shard
+          AND a.vec_id <> {QUERY_VEC_ID}
         ORDER BY {cosine_sql('a.v', 'qb.qv')} DESC, a.vec_id
         LIMIT {TOP_K}
     """,
@@ -2451,12 +2957,16 @@ def q_ann_ivf_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end, so bucket membership must agree bit-for-bit."""
     assigned = _twolevel_assignment(spark, sf_dir)
     qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("cent_id").alias("q_cent"), F.col("v").alias("qv")
+        F.col("cent_id").alias("q_cent"),
+        F.col("shard").alias("q_shard"),
+        F.col("v").alias("qv"),
     )
     sim_to_q = cosine(F.col("v"), F.col("qv"))
     return (
         assigned.join(
-            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
+            F.broadcast(qrow),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("shard") == F.col("q_shard")),
         )
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", sim_to_q.alias("sim"))
@@ -2685,7 +3195,8 @@ SEMDEDUP_SWEEP_THRESHOLDS = (0.20, 0.25, 0.30, 0.35, 0.40, 0.50)
             SELECT a.vec_id AS keep_cand, b.vec_id AS drop_id,
                    ROUND({cosine_sql('a.v', 'b.v')}, 6) AS sim
             FROM fa a JOIN fa b
-              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+              ON a.cent_id = b.cent_id AND a.shard = b.shard
+             AND a.vec_id < b.vec_id
         ),
         th AS (
             SELECT CAST(UNNEST(
@@ -2723,13 +3234,19 @@ def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _twolevel_assignment(spark, sf_dir)
     n_tot = assigned.agg(F.count("*").alias("n"))
     a = assigned.select(
-        "cent_id", F.col("vec_id").alias("keep_cand"), F.col("v").alias("va")
+        "cent_id",
+        "shard",
+        F.col("vec_id").alias("keep_cand"),
+        F.col("v").alias("va"),
     )
     b = assigned.select(
-        "cent_id", F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+        "cent_id",
+        "shard",
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vb"),
     )
     pairs = (
-        a.join(b, "cent_id")
+        a.join(b, ["cent_id", "shard"])
         .filter(F.col("keep_cand") < F.col("drop_id"))
         .select(
             "drop_id",
@@ -2875,29 +3392,24 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_twolevel_oracle() -> str:
-    anchor_cols = ", ".join(
-        f"MAX(CASE WHEN vec_id = {k} THEN embedding END) AS a{k}"
-        for k in range(PQ_K)
-    )
-    dist_cols = ",\n                   ".join(_pq_dist_cols("duck"))
+    dist_cols = ",\n                   ".join(_pqt_dist_cols("duck"))
     return f"""
         WITH {_twolevel_assign_ctes()},
+        {_pqt_ctes()},
         qb AS (
-            SELECT cent_id AS q_cent, v AS qe FROM fa
+            SELECT cent_id AS q_cent, shard AS q_sh, v AS qe FROM fa
             WHERE vec_id = {QUERY_VEC_ID}
-        ),
-        anch AS (
-            SELECT {anchor_cols} FROM embeddings WHERE vec_id < {PQ_K}
         ),
         cand AS (
             SELECT f.vec_id, f.v AS embedding, qb.qe
             FROM fa f JOIN qb ON f.cent_id = qb.q_cent
+                              AND f.shard = qb.q_sh
             WHERE f.vec_id <> {QUERY_VEC_ID}
         ),
         dists AS (
             SELECT vec_id,
                    {dist_cols}
-            FROM cand CROSS JOIN anch
+            FROM cand CROSS JOIN pqcbp
         )
         SELECT vec_id,
                ROUND({_pq_adc_expr()}, 6) AS adc_dist,
@@ -2936,26 +3448,22 @@ def q_ann_ivf_pq_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level routing, bucket restriction, and ADC scoring end to end
     — bucket membership AND code assignment must agree bit-for-bit."""
     assigned = _twolevel_assignment(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbp = _pq_trained_codebook(spark, sf_dir)
     qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("cent_id").alias("q_cent"), F.col("v").alias("qe")
-    )
-    anchors = emb.filter(F.col("vec_id") < PQ_K).groupBy().agg(
-        *[
-            F.max(
-                F.when(F.col("vec_id") == k, F.col("embedding"))
-            ).alias(f"a{k}")
-            for k in range(PQ_K)
-        ]
+        F.col("cent_id").alias("q_cent"),
+        F.col("shard").alias("q_shard"),
+        F.col("v").alias("qe"),
     )
     dists = (
         assigned.join(
-            F.broadcast(qrow), F.col("cent_id") == F.col("q_cent")
+            F.broadcast(qrow),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("shard") == F.col("q_shard")),
         )
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.col("v").alias("embedding"), "qe")
-        .crossJoin(F.broadcast(anchors))
-        .select("vec_id", *_pq_dist_cols_spark())
+        .crossJoin(F.broadcast(cbp))
+        .select("vec_id", *_pqt_dist_cols_spark())
     )
     adc = F.expr(_pq_adc_expr())
     return (
@@ -2976,8 +3484,8 @@ def q_ann_ivf_pq_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_twolevel_assign_ctes()},
         occ AS (
-            SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n
-            FROM fa GROUP BY cent_id
+            SELECT cent_id, shard, CAST(COUNT(*) AS BIGINT) AS n
+            FROM fa GROUP BY cent_id, shard
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
                CAST(SUM(n) AS BIGINT) AS n_vectors,
@@ -3012,7 +3520,9 @@ def q_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rider query. The oracle replays the full two-level build, so the
     audited occupancies are the real index's, bit-for-bit."""
     assigned = _twolevel_assignment(spark, sf_dir)
-    occ = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    occ = assigned.groupBy("cent_id", "shard").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     return occ.agg(
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("n").alias("n_vectors"),
@@ -3055,10 +3565,11 @@ def _append_assign_ctes() -> str:
         f"(SELECT LEAST(({IVF_APPEND_NUM} * COUNT(*))"
         f" // {IVF_APPEND_DEN}, {IVF2_SAMPLE}) FROM embeddings)"
     )
-    k2_sql = (
-        f"(SELECT GREATEST(4, MAX(s)) FROM range(1, 80) t(s)"
-        f" WHERE s * s <= {k_sql})"
-    )
+    k2_sql = _isqrt4_sql(k_sql)
+    # frozen shard width: derived from the BASE count (like every other
+    # base dial), applied to base and delta alike — the planes are
+    # data-independent, so append-time shard codes never drift
+    sb_sql = _ivf2_sb_sql(t_sql)
     ctes = [
         _EV_CTE,
         f"bsev AS (SELECT vec_id, v FROM ev WHERE vec_id < {sn_sql})",
@@ -3085,6 +3596,7 @@ def _append_assign_ctes() -> str:
                 FROM btc f, bcoarse c
             ) WHERE rn = 1
         )""",
+        _ivf2_shard_ctes("b", sb_sql, src="ev"),
         f"dev AS (SELECT vec_id, v FROM ev WHERE vec_id >= {t_sql})",
         f"""dca AS (
             SELECT vec_id, v, coarse_id FROM (
@@ -3098,8 +3610,8 @@ def _append_assign_ctes() -> str:
             ) WHERE rn = 1
         )""",
         f"""dfa AS (
-            SELECT vec_id, v, cent_id, sim FROM (
-                SELECT a.vec_id, a.v, r.cent_id,
+            SELECT vec_id, v, cent_id, shard, sim FROM (
+                SELECT a.vec_id, a.v, r.cent_id, s.shard,
                        {cosine_sql('a.v', 'r.cv')} AS sim,
                        ROW_NUMBER() OVER (
                            PARTITION BY a.vec_id
@@ -3107,6 +3619,7 @@ def _append_assign_ctes() -> str:
                                     r.cent_id
                        ) AS rn
                 FROM dca a JOIN broute r ON r.coarse_id = a.coarse_id
+                JOIN bshards s ON s.vec_id = a.vec_id
             ) WHERE rn = 1
         )""",
         # base slice assigned through the SAME frozen router (posting
@@ -3125,14 +3638,15 @@ def _append_assign_ctes() -> str:
             ) WHERE rn = 1
         )""",
         f"""bfa AS (
-            SELECT vec_id, v, cent_id FROM (
-                SELECT a.vec_id, a.v, r.cent_id,
+            SELECT vec_id, v, cent_id, shard FROM (
+                SELECT a.vec_id, a.v, r.cent_id, s.shard,
                        ROW_NUMBER() OVER (
                            PARTITION BY a.vec_id
                            ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
                                     r.cent_id
                        ) AS rn
                 FROM bca a JOIN broute r ON r.coarse_id = a.coarse_id
+                JOIN bshards s ON s.vec_id = a.vec_id
             ) WHERE rn = 1
         )""",
     ]
@@ -3144,7 +3658,7 @@ def _append_assign_ctes() -> str:
     tags=("similarity", "ann", "scale", "llm-pipeline"),
     oracle=f"""
         WITH {_append_assign_ctes()}
-        SELECT vec_id, cent_id, ROUND(sim, 6) AS sim
+        SELECT vec_id, cent_id, shard, ROUND(sim, 6) AS sim
         FROM dfa
     """,
 )
@@ -3176,62 +3690,87 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _append_assignment(spark, sf_dir).select(
         "vec_id",
         "cent_id",
+        "shard",
         F.round("sim", 6).alias("sim"),
     )
 
 
+_APPEND_META: dict[tuple[str, ...], tuple[int, int]] = {}
+
+
 def _append_index(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, int, DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, int, int, DataFrame, DataFrame, DataFrame]:
     """The FROZEN base-trained index parts shared by the append-path
-    riders: (emb, t, cents, coarse_arr, groups) — emb the double-cast
-    corpus, t the base/delta split point, cents the base-trained fine
-    centroids, coarse_arr/groups the router broadcast payloads."""
+    riders: (emb, t, sb, cents, coarse_arr, groups) — emb the
+    double-cast corpus, t the base/delta split point, sb the frozen
+    shard width (:func:`ivf2_shard_bits` of the BASE count), cents the
+    base-trained fine centroids, coarse_arr/groups the router broadcast
+    payloads. Trained parts persist per (session, sf_dir) in
+    ``_IVF_CACHE`` (round-8 ADVICE: ``q_ivf_index_append``,
+    ``q_ivf_drift_audit`` and ``q_dedup_ingest_incremental`` used to
+    each retrain the same frozen index in one session — now they share
+    one training, mirroring :func:`_twolevel_assignment`)."""
     import math
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    n = emb.count()
-    t = (IVF_APPEND_NUM * n) // IVF_APPEND_DEN
-    k = max(8, min(t // SEMDEDUP_TARGET_CLUSTER, IVF2_K_CAP))
-    samp_n = min(t, IVF2_SAMPLE)
-    k2 = max(4, math.isqrt(k))
-    samp = emb.filter(F.col("vec_id") < samp_n)
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _kmeans_recenter(_kmeans_assign(samp, cents))
-    coarse_arr = _cent_array(cents.filter(F.col("cent_id") < k2))
-    routed = (
-        cents.withColumn("ncv", norm(F.col("cv")))
-        .crossJoin(F.broadcast(coarse_arr))
-        .select(
-            "cent_id",
-            "cv",
-            _argmin_cent(
-                F.col("cv"), F.col("ncv"), F.col("cs")
-            ).alias("coarse_id"),
+    key = (spark.sparkContext.applicationId, sf_dir, "append")
+    if key + ("cents",) not in _IVF_CACHE:
+        n = emb.count()
+        t = (IVF_APPEND_NUM * n) // IVF_APPEND_DEN
+        k = max(8, min(t // SEMDEDUP_TARGET_CLUSTER, IVF2_K_CAP))
+        samp_n = min(t, IVF2_SAMPLE)
+        k2 = max(4, math.isqrt(k))
+        samp = emb.filter(F.col("vec_id") < samp_n)
+        cents = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
         )
-    )
-    groups = routed.groupBy("coarse_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+        for _ in range(KMEANS_ITERS):
+            cents = _kmeans_recenter(_kmeans_assign(samp, cents))
+        coarse_arr = _cent_array(cents.filter(F.col("cent_id") < k2))
+        routed = (
+            cents.withColumn("ncv", norm(F.col("cv")))
+            .crossJoin(F.broadcast(coarse_arr))
+            .select(
+                "cent_id",
+                "cv",
+                _argmin_cent(
+                    F.col("cv"), F.col("ncv"), F.col("cs")
+                ).alias("coarse_id"),
             )
-        ).alias("fs")
+        )
+        groups = routed.groupBy("coarse_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+                )
+            ).alias("fs")
+        )
+        _IVF_CACHE[key + ("cents",)] = cents.persist()
+        _IVF_CACHE[key + ("coarse",)] = coarse_arr.persist()
+        _IVF_CACHE[key + ("groups",)] = groups.persist()
+        _APPEND_META[key] = (t, ivf2_shard_bits(t))
+    t, sb = _APPEND_META[key]
+    return (
+        emb,
+        t,
+        sb,
+        _IVF_CACHE[key + ("cents",)],
+        _IVF_CACHE[key + ("coarse",)],
+        _IVF_CACHE[key + ("groups",)],
     )
-    return emb, t, cents, coarse_arr, groups
 
 
 def _route_assign(
-    df: DataFrame, coarse_arr: DataFrame, groups: DataFrame
+    df: DataFrame, coarse_arr: DataFrame, groups: DataFrame, sb: int = 0
 ) -> DataFrame:
     """Assign (vec_id, v) rows through a frozen two-level router:
     coarse broadcast fold, then the fine fold within the routed group —
     the exact rule both the oracle's window replay and the full build
-    use."""
+    use. ``sb`` adds the frozen-width shard code (the re-shard tier;
+    plane-hash derived, so it needs no router state at all)."""
     va = (
         _spread(df.select("vec_id", "v", norm(F.col("v")).alias("nv")))
         .crossJoin(F.broadcast(coarse_arr))
@@ -3250,25 +3789,45 @@ def _route_assign(
         _argmin_cent(F.col("v"), F.col("nv"), F.col("fs")).alias(
             "cent_id"
         ),
+        _ivf2_shard_col(F.col("v"), sb).alias("shard"),
     )
 
 
 def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cent_id, sim) of the delta slice under the FROZEN
-    base-trained two-level index (see :func:`q_ivf_index_append`) —
-    ``sim`` is the RAW cosine to the chosen centroid (riders round)."""
-    emb, t, cents, coarse_arr, groups = _append_index(spark, sf_dir)
-    assigned = _route_assign(
-        emb.filter(F.col("vec_id") >= t), coarse_arr, groups
-    )
-    # the chosen centroid's cosine, recomputed via the same dot/norm
-    # expressions the fold ranked with (bit-identical by determinism)
-    return assigned.join(F.broadcast(cents), "cent_id").select(
-        "vec_id",
-        "v",
-        "cent_id",
-        cosine(F.col("v"), F.col("cv")).alias("sim"),
-    )
+    """(vec_id, v, cent_id, shard, sim) of the delta slice under the
+    FROZEN base-trained two-level index (see :func:`q_ivf_index_append`)
+    — ``sim`` is the RAW cosine to the chosen centroid (riders round).
+    Persisted per (session, sf_dir): the append riders (index append,
+    drift audit, dedup-at-ingest) share one routing pass."""
+    key = (spark.sparkContext.applicationId, sf_dir, "append", "delta")
+    if key not in _IVF_CACHE:
+        emb, t, sb, cents, coarse_arr, groups = _append_index(spark, sf_dir)
+        assigned = _route_assign(
+            emb.filter(F.col("vec_id") >= t), coarse_arr, groups, sb
+        )
+        # the chosen centroid's cosine, recomputed via the same dot/norm
+        # expressions the fold ranked with (bit-identical by determinism)
+        _IVF_CACHE[key] = assigned.join(F.broadcast(cents), "cent_id").select(
+            "vec_id",
+            "v",
+            "cent_id",
+            "shard",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        ).persist()
+    return _IVF_CACHE[key]
+
+
+def _append_base_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cent_id, shard) of the BASE slice through the same
+    frozen router — how its posting lists were stored at its own ingest
+    time; persisted alongside the delta assignment."""
+    key = (spark.sparkContext.applicationId, sf_dir, "append", "base")
+    if key not in _IVF_CACHE:
+        emb, t, sb, cents, coarse_arr, groups = _append_index(spark, sf_dir)
+        _IVF_CACHE[key] = _route_assign(
+            emb.filter(F.col("vec_id") < t), coarse_arr, groups, sb
+        ).persist()
+    return _IVF_CACHE[key]
 
 
 DRIFT_EPS = 0.01  # a delta vector "drifted" if retrain fits it this much better
@@ -3361,7 +3920,8 @@ IVF2_PROBES = 4  # recall dial at constant occupancy: ~4×64 candidates
     oracle=f"""
         WITH {_twolevel_assign_ctes(prefix='m')},
         mq AS (
-            SELECT v AS qvv FROM mfa WHERE vec_id = {QUERY_VEC_ID}
+            SELECT v AS qvv, shard AS qsh FROM mfa
+            WHERE vec_id = {QUERY_VEC_ID}
         ),
         mprobes AS (
             SELECT cent_id FROM (
@@ -3376,7 +3936,7 @@ IVF2_PROBES = 4  # recall dial at constant occupancy: ~4×64 candidates
         SELECT a.vec_id,
                ROUND({cosine_sql('a.v', 'mq.qvv')}, 6) AS sim
         FROM mfa a JOIN mprobes p ON a.cent_id = p.cent_id, mq
-        WHERE a.vec_id <> {QUERY_VEC_ID}
+        WHERE a.shard = mq.qsh AND a.vec_id <> {QUERY_VEC_ID}
         ORDER BY {cosine_sql('a.v', 'mq.qvv')} DESC, a.vec_id
         LIMIT {TOP_K}
     """,
@@ -3405,7 +3965,7 @@ def q_ann_ivf_multiprobe_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     qv = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qvv")
+        F.col("v").alias("qvv"), F.col("shard").alias("qsh")
     )
     qw = Window.orderBy(F.desc("q_sim"), F.asc("cent_id"))
     probes = (
@@ -3420,6 +3980,7 @@ def q_ann_ivf_multiprobe_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
         assigned.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qv))
+        .filter(F.col("shard") == F.col("qsh"))
         .select("vec_id", sim_to_q.alias("sim"))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -3434,7 +3995,8 @@ def q_ann_ivf_multiprobe_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH {_twolevel_assign_ctes()},
         lab AS (SELECT vec_id, label FROM embeddings),
         fqb AS (
-            SELECT f.cent_id AS q_cent, f.v AS qv, l.label AS q_label
+            SELECT f.cent_id AS q_cent, f.shard AS q_sh, f.v AS qv,
+                   l.label AS q_label
             FROM fa f JOIN lab l ON l.vec_id = f.vec_id
             WHERE f.vec_id = {QUERY_VEC_ID}
         )
@@ -3443,6 +4005,7 @@ def q_ann_ivf_multiprobe_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
                ROUND({cosine_sql('a.v', 'fqb.qv')}, 6) AS sim
         FROM fa a JOIN lab la ON la.vec_id = a.vec_id, fqb
         WHERE a.cent_id = fqb.q_cent
+          AND a.shard = fqb.q_sh
           AND la.label = fqb.q_label
           AND a.vec_id <> {QUERY_VEC_ID}
         ORDER BY {cosine_sql('a.v', 'fqb.qv')} DESC, a.vec_id
@@ -3473,6 +4036,7 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(
             F.col("cent_id").alias("q_cent"),
+            F.col("shard").alias("q_shard"),
             F.col("v").alias("qv"),
             F.col("label").alias("q_label"),
         )
@@ -3483,6 +4047,7 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(qrow),
             (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("shard") == F.col("q_shard"))
             & (F.col("label") == F.col("q_label")),
         )
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -3503,7 +4068,8 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_twolevel_assign_ctes()},
         rq AS (
-            SELECT vec_id AS q_id, cent_id AS q_cent, v AS qv
+            SELECT vec_id AS q_id, cent_id AS q_cent, shard AS q_sh,
+                   v AS qv
             FROM fa WHERE vec_id < {ANN_BATCH_Q}
         ),
         rexact AS (
@@ -3526,7 +4092,8 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     a.vec_id
                        ) AS rnk
                 FROM fa a JOIN rq q
-                  ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+                  ON a.cent_id = q.q_cent AND a.shard = q.q_sh
+                 AND a.vec_id <> q.q_id
             ) WHERE rnk <= {ANN_BATCH_K}
         ),
         rhits AS (
@@ -3568,6 +4135,7 @@ def q_ann_recall_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = sides.filter(F.col("vec_id") < ANN_BATCH_Q).select(
         F.col("vec_id").alias("q_id"),
         F.col("cent_id").alias("q_cent"),
+        F.col("shard").alias("q_sh"),
         F.col("v").alias("qv"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -3589,6 +4157,7 @@ def q_ann_recall_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sides.join(
             F.broadcast(queries),
             (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("shard") == F.col("q_sh"))
             & (F.col("vec_id") != F.col("q_id")),
         )
     )
@@ -3622,14 +4191,16 @@ def q_ann_recall_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_twolevel_assign_ctes()},
         bq AS (
-            SELECT vec_id AS q_id, cent_id AS q_cent, v AS qv
+            SELECT vec_id AS q_id, cent_id AS q_cent, shard AS q_sh,
+                   v AS qv
             FROM fa WHERE vec_id < {ANN_BATCH_Q}
         ),
         bscored AS (
             SELECT q.q_id, a.vec_id,
                    {cosine_sql('a.v', 'q.qv')} AS sim
             FROM fa a JOIN bq q
-              ON a.cent_id = q.q_cent AND a.vec_id <> q.q_id
+              ON a.cent_id = q.q_cent AND a.shard = q.q_sh
+             AND a.vec_id <> q.q_id
         ),
         branked AS (
             SELECT q_id, vec_id, sim,
@@ -3666,12 +4237,14 @@ def q_ann_batch_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = sides.filter(F.col("vec_id") < ANN_BATCH_Q).select(
         F.col("vec_id").alias("q_id"),
         F.col("cent_id").alias("q_cent"),
+        F.col("shard").alias("q_sh"),
         F.col("v").alias("qv"),
     )
     scored = (
         sides.join(
             F.broadcast(queries),
             (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("shard") == F.col("q_sh"))
             & (F.col("vec_id") != F.col("q_id")),
         )
         .select("q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim"))
@@ -3700,13 +4273,19 @@ def q_ann_batch_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT b.cent_id, b.vec_id AS keep_cand, d.vec_id AS new_id,
                    {cosine_sql('b.v', 'd.v')} AS sim
             FROM bfa b JOIN dfa d ON b.cent_id = d.cent_id
+                                 AND b.shard = d.shard
             WHERE {cosine_sql('b.v', 'd.v')} >= {NEAR_DUP_COS}
         )
-        SELECT new_id AS doc_id,
-               MIN(cent_id) AS cent_id,
-               MIN(keep_cand) AS matched_doc_id,
-               ROUND(MAX(sim), 6) AS max_sim
-        FROM ipairs GROUP BY new_id
+        SELECT new_id AS doc_id, cent_id, matched_doc_id,
+               ROUND(sim, 6) AS max_sim
+        FROM (
+            SELECT new_id, cent_id, keep_cand AS matched_doc_id, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY new_id
+                       ORDER BY sim DESC, keep_cand
+                   ) AS rn
+            FROM ipairs
+        ) WHERE rn = 1
     """,
 )
 def q_dedup_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3714,11 +4293,15 @@ def q_dedup_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the STANDING corpus, without retraining or re-pairing the
     corpus with itself: delta vectors route through the frozen
     base-trained index (``q_ivf_index_append``'s rule) and compare ONLY
-    against base members of their own cluster (SemDeDup's bucketing,
+    against base members of their own (cluster, shard) bucket
+    (SemDeDup's bucketing plus the re-shard tier,
     ``q_dedup_semdedup_scaled``'s threshold {NEAR_DUP_COS} and
     keep/drop convention). Output: one row per incoming near-dup — the
-    base doc it matched and the max similarity — the reject/merge list
-    an ingest job acts on before admitting the batch.
+    ARGMAX-similarity base doc (ties break to the smaller id; round-8
+    ADVICE — the old MIN(keep_cand) next to MAX(sim) reported a doc
+    that generally wasn't the best match) and that max similarity —
+    the reject/merge list an ingest job acts on before admitting the
+    batch.
 
     Why this shape at 100 TB: batch-vs-corpus dedup is the DAILY
     operation (corpus-vs-corpus is the rare rebuild), and its cost here
@@ -3733,35 +4316,71 @@ def q_dedup_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the thresholded in-cluster pair scan end to end (live chain — the
     third append-path proof). Pair membership AND similarities must
     agree bit-for-bit."""
-    emb, t, cents, coarse_arr, groups = _append_index(spark, sf_dir)
-    base_a = _route_assign(
-        emb.filter(F.col("vec_id") < t), coarse_arr, groups
-    ).withColumn("nv", norm(F.col("v")))
-    delta_a = _route_assign(
-        emb.filter(F.col("vec_id") >= t), coarse_arr, groups
-    ).withColumn("nv", norm(F.col("v")))
-    b = base_a.select(
+    return ingest_dedup_rows(
+        _append_base_assignment(spark, sf_dir),
+        _append_assignment(spark, sf_dir),
+    )
+
+
+def ingest_dedup_rows(base_a: DataFrame, delta_a: DataFrame) -> DataFrame:
+    """(doc_id, cent_id, matched_doc_id, max_sim) for every delta row
+    near-dup to a base row in its (cent_id, shard) bucket — the shared
+    core of batch ``q_dedup_ingest_incremental`` AND the streaming twin
+    (``streaming/core.semantic_dedup_stream`` routes each micro-batch
+    through the same frozen router and calls THIS on it), so
+    stream == batch holds by construction. Inputs are
+    (vec_id, v, cent_id, shard[, ...]) frames from the frozen-router
+    assignment paths."""
+    from pyspark.sql import Window
+
+    b = base_a.withColumn("nv", norm(F.col("v"))).select(
         "cent_id",
+        "shard",
         F.col("vec_id").alias("keep_cand"),
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
-    d = delta_a.select(
+    d = delta_a.withColumn("nv", norm(F.col("v"))).select(
         "cent_id",
+        "shard",
         F.col("vec_id").alias("new_id"),
         F.col("v").alias("vd"),
         F.col("nv").alias("nd"),
     )
     pairs = (
-        b.join(d, "cent_id")
+        b.join(d, ["cent_id", "shard"])
         .withColumn(
             "sim",
             dot(F.col("vb"), F.col("vd")) / (F.col("nb") * F.col("nd")),
         )
         .filter(F.col("sim") >= NEAR_DUP_COS)
     )
-    return pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
-        F.min("cent_id").alias("cent_id"),
-        F.min("keep_cand").alias("matched_doc_id"),
-        F.round(F.max("sim"), 6).alias("max_sim"),
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("sim"), F.asc("keep_cand")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            "cent_id",
+            F.col("keep_cand").alias("matched_doc_id"),
+            F.round("sim", 6).alias("max_sim"),
+        )
+    )
+
+
+def frozen_router_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """(base_assignment, coarse_arr, groups, sb) — everything a
+    streaming ingest job needs to near-dup-check arriving vectors
+    against the standing corpus through the frozen index (the public
+    face of the session-persisted append-index parts)."""
+    _, _, sb, _, coarse_arr, groups = _append_index(spark, sf_dir)
+    return (
+        _append_base_assignment(spark, sf_dir),
+        coarse_arr,
+        groups,
+        sb,
     )

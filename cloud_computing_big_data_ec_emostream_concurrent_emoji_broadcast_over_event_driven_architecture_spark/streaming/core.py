@@ -375,6 +375,81 @@ def bloom_probe_stream(
     )
 
 
+def semantic_dedup_stream(
+    vec_stream: DataFrame,
+    sf_dir: str,
+    name: str = "semantic_dedup",
+):
+    """STREAMING SEMANTIC DEDUP-AT-INGEST — the streaming twin of the
+    batch ``q_dedup_ingest_incremental`` (round-9 item: the reference's
+    whole posture is streaming; the daily batch-vs-corpus dedup should
+    run continuously, not nightly). Incoming (vec_id, embedding) rows
+    are routed per micro-batch through the FROZEN base-trained
+    two-level router (coarse fold → fine fold → hash-plane shard — all
+    broadcast state, no retraining, no shuffle), compared ONLY against
+    standing-corpus members of their own (cent_id, shard) bucket, and
+    every near-dup (cosine ≥ threshold) lands in the global temp view
+    ``name`` as (doc_id, cent_id, matched_doc_id, max_sim) — the
+    continuously-maintained reject/merge list.
+
+    stream == batch by construction: each micro-batch runs EXACTLY the
+    batch operator's pair stage (``operators/similarity
+    .ingest_dedup_rows``) against the same session-persisted base
+    assignment, and a vector's verdict depends only on its own content
+    + the frozen index — no cross-batch state. That also makes the sink
+    REDELIVERY-TOLERANT: a re-delivered vector reproduces its identical
+    row, and the accumulating view anti-joins on doc_id so replays
+    cannot duplicate entries (the at-least-once posture
+    ``dedup_stream`` handles for the exact tier).
+
+    Cost shape at 100 TB: per batch, |batch| routing folds + per-bucket
+    (batch × base-occupancy) comparisons — linear in the batch,
+    corpus-size-independent at constant occupancy; the broadcasted
+    router is K+√K rows and the base side is read from its persisted
+    posting-list form, never recomputed. Returns the started query."""
+    from ..functions.vectors import as_double
+    from ..operators.similarity import (
+        frozen_router_parts,
+        ingest_dedup_rows,
+        _route_assign,
+    )
+
+    spark = vec_stream.sparkSession
+    base_a, coarse_arr, groups, sb = frozen_router_parts(spark, sf_dir)
+
+    def _dedup(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bv = batch.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        routed = _route_assign(bv, coarse_arr, groups, sb)
+        out = ingest_dedup_rows(base_a, routed)
+        existing = [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name == name
+        ]
+        if existing:
+            prev = spark.table(f"global_temp.{name}")
+            out = prev.unionByName(
+                out.join(
+                    prev.select("doc_id"), "doc_id", "left_anti"
+                )
+            )
+        from ..caches import swap_view_checkpoint
+
+        ck = out.localCheckpoint(eager=True)
+        ck.createOrReplaceGlobalTempView(name)
+        swap_view_checkpoint(ck, name)
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(_dedup)
+        .start()
+    )
+
+
 def funnel_stream(
     events: DataFrame,
     step_types: tuple[str, str, str] = ("view", "click", "purchase"),

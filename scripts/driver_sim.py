@@ -146,11 +146,11 @@ def _centroid_memo_rewriter(con):
         # q_ann_ivf_twolevel (_LIVE_PROOFS) replays the chain live.
         (
             tl,
-            "fa AS (SELECT vec_id, v, cent_id FROM mat_fa)",
+            "fa AS (SELECT vec_id, v, cent_id, shard FROM mat_fa)",
             [(
                 "mat_fa",
                 f"CREATE TEMP TABLE mat_fa AS WITH {tl} "
-                "SELECT vec_id, v, cent_id FROM fa",
+                "SELECT vec_id, v, cent_id, shard FROM fa",
             )],
         ),
     ]

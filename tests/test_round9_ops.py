@@ -1,0 +1,309 @@
+"""Round-9 pins: the intra-cluster re-shard tier (the path past the K
+cap), the dial-derived oracle isqrt, trained PQ codebooks, the append
+index session cache, and the ingest-dedup argmax fix."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ivf2_shard_bits_rule():
+    """The shard width engages only PAST the K cap (below it, K itself
+    still grows and every existing fixture/soak stays bit-identical),
+    then doubles buckets per decade-ish so (cent, shard) occupancy is
+    bounded by 2x target forever."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        IVF2_K_CAP,
+        SEMDEDUP_TARGET_CLUSTER,
+        ivf2_shard_bits,
+    )
+
+    cap = IVF2_K_CAP * SEMDEDUP_TARGET_CLUSTER  # 131072
+    assert ivf2_shard_bits(500) == 0
+    assert ivf2_shard_bits(20_000) == 0  # 10x soak: unchanged
+    assert ivf2_shard_bits(60_000) == 0  # 30x soak: unchanged
+    assert ivf2_shard_bits(cap) == 0
+    assert ivf2_shard_bits(cap + 1) == 1
+    assert ivf2_shard_bits(200_000) == 1  # the 100x point
+    assert ivf2_shard_bits(600_000) == 3  # the 300x point
+    # bounded occupancy invariant: n / (cap * 2^sb) <= 2 (never more
+    # than 2x target per effective bucket, at any corpus size)
+    for n in (cap + 1, 200_000, 600_000, 5_000_000, 10**9):
+        sb = ivf2_shard_bits(n)
+        assert n <= (cap << sb), n
+        assert sb == 0 or n > (cap << (sb - 1)), n
+
+
+def test_ivf2_shard_bits_sql_twin():
+    """The oracle derives the same width from COUNT(*) in pure integer
+    SQL — no float-log boundary can split the engines."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _ivf2_sb_sql,
+        ivf2_shard_bits,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 500, 131072, 131073, 200_000, 600_000, 5_000_000):
+        got = con.execute("SELECT " + _ivf2_sb_sql(str(n))).fetchone()[0]
+        assert got == ivf2_shard_bits(n), n
+
+
+def test_oracle_isqrt_derived_from_dial():
+    """Round-9 item: the router-count sqrt is exact closed-form SQL
+    derived from the dial, not a scan bounded by a hand-tied constant —
+    it must agree with math.isqrt at ANY k, including far past the
+    current cap."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _isqrt4_sql,
+    )
+
+    con = duckdb.connect()
+    for k in (8, 31, 312, 937, 2047, 2048, 2049, 123_456, 10**10 + 9):
+        got = con.execute("SELECT " + _isqrt4_sql(str(k))).fetchone()[0]
+        assert got == max(4, math.isqrt(k)), k
+
+
+def test_shard_tier_inert_on_fixture(spark, sf_dir):
+    """Below the cap the assignment's shard column is constant 0 — the
+    tier provably changes nothing on the shipped fixtures (floor
+    parity, the q_dedup_embedding_sharded precedent)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _twolevel_assignment,
+    )
+
+    a = _twolevel_assignment(spark, sf_dir)
+    assert "shard" in a.columns
+    assert a.filter(F.col("shard") != 0).count() == 0
+
+
+def test_shard_col_matches_oracle_replay(spark, sf_dir):
+    """Bit-parity of the shard code itself at a FORCED nonzero width
+    (the fixtures are all below the cap, so the 300x soak would be the
+    only coverage otherwise): Spark's decimal-fold sign bits over the
+    dedicated planes == the DuckDB CTE replay, vector by vector."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.functions.vectors import (
+        as_double,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.functions.vectors import (
+        as_double_sql,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _ivf2_shard_col,
+        _ivf2_shard_ctes,
+    )
+
+    sb = 3
+    got = {
+        r.vec_id: r.shard
+        for r in table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 32)
+        .select(
+            "vec_id",
+            _ivf2_shard_col(as_double(F.col("embedding")), sb).alias(
+                "shard"
+            ),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id < 32"
+    )
+    sql = (
+        f"WITH ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
+        f" FROM embeddings),\n"
+        + _ivf2_shard_ctes("", f"(SELECT {sb})")
+        + "\nSELECT vec_id, shard FROM shards"
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+    assert len(set(got.values())) > 1  # the planes actually split
+
+
+def test_pq_trained_codebook_complete_and_dominates(spark, sf_dir, duck):
+    """All PQ_M x PQ_K codewords survive training (no empty cells — the
+    pivoted broadcast row would carry NULLs into the CASE ladder), and
+    the trained codebook dominates the old anchors on reconstruction
+    MSE with no recall loss (the point of training)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _pq_trained_codebook,
+        q_pq_train_audit,
+    )
+
+    row = _pq_trained_codebook(spark, sf_dir).collect()[0]
+    for s in range(PQ_M):
+        for k in range(PQ_K):
+            cw = row[f"c{s}_{k}"]
+            assert cw is not None and len(cw) == PQ_SUB, (s, k)
+
+    stats = {
+        r.variant: r for r in q_pq_train_audit(spark, sf_dir).collect()
+    }
+    assert stats["trained"].mse < stats["anchor"].mse
+    assert stats["trained"].recall_at_k >= stats["anchor"].recall_at_k
+
+
+def test_pq_trained_oracle_parity(spark, sf_dir, duck):
+    """The trained-codebook scoring queries hash-match their oracles
+    (training replayed end to end)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.plans.registry import (
+        all_specs,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    for name in ("q_ann_pq_adc", "q_pq_train_audit"):
+        spec = all_specs()[name]
+        assert_matches_oracle(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_append_index_trains_once(spark, sf_dir):
+    """Round-8 ADVICE: the three append-path riders share ONE
+    session-persisted training (like _twolevel_assignment) instead of
+    each retraining the frozen base index."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+        similarity as S,
+    )
+
+    S._append_index(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, "append")
+    assert key + ("cents",) in S._IVF_CACHE
+    assert key + ("coarse",) in S._IVF_CACHE
+    assert key + ("groups",) in S._IVF_CACHE
+    before = S._IVF_CACHE[key + ("cents",)]
+    S.q_ivf_index_append(spark, sf_dir).count()
+    S.q_dedup_ingest_incremental(spark, sf_dir).count()
+    # same persisted objects — no rider rebuilt the training
+    assert S._IVF_CACHE[key + ("cents",)] is before
+    assert key + ("delta",) in S._IVF_CACHE
+    assert key + ("base",) in S._IVF_CACHE
+
+
+def test_ingest_dedup_reports_argmax_match(spark, sf_dir):
+    """Round-8 ADVICE: matched_doc_id must be the base doc that
+    PRODUCED max_sim (the old MIN(keep_cand) next to MAX(sim) paired a
+    doc with a similarity it didn't have). Pin: recomputing the cosine
+    between each output row's pair reproduces max_sim exactly."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        q_dedup_ingest_incremental,
+    )
+
+    out = q_dedup_ingest_incremental(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("doc_id"), F.col("v").alias("va"))
+    b = emb.select(
+        F.col("vec_id").alias("matched_doc_id"), F.col("v").alias("vb")
+    )
+    joined = (
+        out.join(a, "doc_id")
+        .join(b, "matched_doc_id")
+        .select(
+            "doc_id",
+            "max_sim",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("re_sim"),
+        )
+    )
+    rows = joined.collect()
+    assert rows, "fixture must produce ingest near-dups"
+    bad = [r for r in rows if r.max_sim != r.re_sim]
+    assert not bad, bad[:5]
+
+
+def test_semantic_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Round-9 item 3: the streaming dedup-at-ingest converges to the
+    batch q_dedup_ingest_incremental result exactly (same planted
+    fixture slice replayed as a 3-file stream through the same frozen
+    router), and REDELIVERY of a whole slice changes nothing."""
+    import uuid
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        IVF_APPEND_DEN,
+        IVF_APPEND_NUM,
+        q_dedup_ingest_incremental,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        semantic_dedup_stream,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    t = (IVF_APPEND_NUM * n) // IVF_APPEND_DEN
+    delta = emb.filter(F.col("vec_id") >= t)
+
+    directory = str(tmp_path / "vec_replay")
+    rows = delta.collect()
+    schema = delta.schema
+    per = max(1, len(rows) // 3)
+    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(directory)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    name = f"semdd_{uuid.uuid4().hex[:8]}"
+    q = semantic_dedup_stream(stream, sf_dir, name)
+    q.processAllAvailable()
+
+    def view_rows():
+        return {
+            r.doc_id: (r.cent_id, r.matched_doc_id, r.max_sim)
+            for r in spark.sql(
+                f"SELECT * FROM global_temp.{name}"
+            ).collect()
+        }
+
+    expected = {
+        r.doc_id: (r.cent_id, r.matched_doc_id, r.max_sim)
+        for r in q_dedup_ingest_incremental(spark, sf_dir).collect()
+    }
+    assert expected, "fixture must produce ingest near-dups"
+    assert view_rows() == expected
+
+    # redeliver the first chunk (at-least-once source): nothing changes
+    spark.createDataFrame(chunks[0], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(directory)
+    q.processAllAvailable()
+    q.stop()
+    assert view_rows() == expected
+
+
+def test_index_stats_buckets_are_cent_shard(spark, sf_dir, duck):
+    """q_ivf_index_stats now audits EFFECTIVE buckets (cent, shard);
+    below the cap that equals the per-cent stats (shard == 0
+    everywhere), so the fixture output is unchanged vs round 8 and
+    still oracle-checked."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.plans.registry import (
+        all_specs,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    spec = all_specs()["q_ivf_index_stats"]
+    assert_matches_oracle(spec.fn(spark, sf_dir), duck, spec.oracle)

@@ -96,14 +96,36 @@ def _clone(spark, src: str, out: str, name: str, copies: int) -> None:
                 (F.col(col) + F.col("copy") * F.lit(shifts[col])).alias(col)
             )
         elif name == "embeddings" and col == "embedding":
-            # per-copy rotation (orthogonal): intra-copy cosines exact,
-            # cross-copy cosines decorrelated — answers scale ~N x
-            n = F.size("embedding")
-            r = (F.col("copy") * F.lit(7)) % n
+            # per-copy rotation + deterministic sign flips (both
+            # orthogonal/diagonal, so intra-copy cosines stay exact
+            # while cross-copy cosines decorrelate — answers scale
+            # ~N x). The rotation alone has PERIOD d/gcd(7,d): at
+            # d=64, copies c and c+64 got IDENTICAL vectors, so any
+            # clone count >= 64 planted exact-duplicate cliques and
+            # re-created the round-1 density caveat at the 100x/300x
+            # points. The sign mask (an LCG of the copy index; copy 0
+            # maps to mask 0, keeping originals verbatim) breaks the
+            # period: same-rotation copies now differ by a random
+            # diagonal, so their cross sims are noise like every other
+            # pair.
+            # SQL form because shiftright's numBits must be a column
+            # here (the DataFrame API only takes a literal int).
             cols.append(
-                F.concat(
-                    F.slice(F.col("embedding"), r + F.lit(1), n - r),
-                    F.slice(F.col("embedding"), F.lit(1), r),
+                F.expr(
+                    "transform("
+                    "  concat("
+                    "    slice(embedding,"
+                    "          pmod(copy * 7, size(embedding)) + 1,"
+                    "          size(embedding)"
+                    "            - pmod(copy * 7, size(embedding))),"
+                    "    slice(embedding, 1,"
+                    "          pmod(copy * 7, size(embedding)))),"
+                    "  (x, i) -> if("
+                    "    (shiftright(pmod(copy * 2654435761,"
+                    "                     2147483648),"
+                    "                pmod(i, 31)) & 1) = 1,"
+                    "    -x, x)"
+                    ")"
                 ).alias("embedding")
             )
         elif name == "documents" and col == "text":

@@ -249,6 +249,23 @@ def _rhp_bits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     many cores; persisted, so the exchange is paid once."""
     key = (spark.sparkContext.applicationId, sf_dir, "bits")
     if key not in _RHP_CACHE:
+        import os
+
+        store_root = os.environ.get("SPARK_GRAFT_RHP_FRAME_DIR")
+        if store_root:
+            # round-9 incremental path: maintain the per-fixture on-disk
+            # store (folds run only on vectors it doesn't hold yet) and
+            # serve the session from its dial-sliced prefix — bit-equal
+            # to the from-scratch fold below (pinned).
+            store = os.path.join(
+                store_root,
+                sf_dir.strip("/").replace("/", "__") + "_rhp_frame",
+            )
+            rhp_frame_update(spark, sf_dir, store)
+            _RHP_CACHE[key] = rhp_frame_load(
+                spark, sf_dir, store
+            ).persist()
+            return _RHP_CACHE[key]
         emb = table(spark, sf_dir, "embeddings")
         n = emb.count()
         bb = rhp_band_bits(n)
@@ -266,6 +283,89 @@ def _rhp_bits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", bits.alias("bits"), sbits.alias("sbits")
         ).persist()
     return _RHP_CACHE[key]
+
+
+# --- incremental bit-frame maintenance (round 9) ----------------------------
+# The in-session frame above rebuilds from scratch per (session, fixture)
+# — ∝ N × plane count, ~150 s at the 100× soak point and growing linearly
+# with the corpus. But the planes are FIXED by hash (the LCG is a pure
+# function of (j, d)), so a vector's sign bits never change once
+# computed: the frame is append-only by construction, exactly like the
+# frozen-router index append. These helpers give it the same treatment —
+# an on-disk store holding the frame at FULL dial-independent width
+# (every band plane up to RHP_BAND_BITS_MAX and every shard plane up to
+# RHP_SHARD_BITS_MAX), so the expensive decimal folds are paid once per
+# vector EVER: growth only changes which PREFIX of the stored arrays the
+# dials read, never the stored bits themselves.
+
+RHP_FRAME_BITS = RHP_BANDS * RHP_BAND_BITS_MAX  # 128 — full store width
+
+
+def rhp_frame_update(spark: SparkSession, sf_dir: str, store: str) -> dict:
+    """Create or incrementally extend the on-disk sign-bit frame at
+    ``store`` (a parquet directory) for the corpus at ``sf_dir``.
+
+    Cost model (the point of the exercise): the decimal sign folds — the
+    heaviest per-row expression in the engine — run ONLY on vectors not
+    yet in the store (one left-anti join on vec_id finds them); standing
+    rows are carried by a column-pruned parquet scan. A delta batch of b
+    rows therefore costs ∝ b × planes + scan(N), vs the full rebuild's
+    ∝ N × planes fold. The rewrite is atomic (write-new-then-rename), so
+    a crashed update never corrupts the standing store. Returns
+    ``{"appended": b, "total": N}``."""
+    import os
+    import shutil
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = spark.read.parquet(store) if os.path.exists(store) else None
+    delta = (
+        emb.join(old.select("vec_id"), "vec_id", "left_anti")
+        if old is not None
+        else emb
+    )
+    v = as_double(F.col("embedding"))
+    new_rows = _spread(delta).select(
+        "vec_id",
+        F.array(*_rhp_bit_exprs(v, RHP_FRAME_BITS)).alias("bits"),
+        F.array(
+            *_rhp_bit_exprs(
+                v, RHP_SHARD_BITS_MAX, start=RHP_SHARD_PLANE_BASE
+            )
+        ).alias("sbits"),
+    )
+    out = old.unionByName(new_rows) if old is not None else new_rows
+    tmp = store.rstrip("/") + ".tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    appended = delta.count()
+    total = spark.read.parquet(tmp).count()
+    if os.path.exists(store):
+        shutil.rmtree(store)
+    os.replace(tmp, store)
+    return {"appended": appended, "total": total}
+
+
+def rhp_frame_load(
+    spark: SparkSession, sf_dir: str, store: str
+) -> DataFrame:
+    """The stored frame sliced to the CURRENT dials of the corpus at
+    ``sf_dir`` — drop-in equal (bit-identical, pinned in
+    tests/test_round9_ops.py) to what :func:`_rhp_bits_frame` computes
+    from scratch, because both read sign bits of the same fixed planes
+    and a dial change only moves the prefix boundary."""
+    n = table(spark, sf_dir, "embeddings").count()
+    bb = rhp_band_bits(n)
+    ss = rhp_shard_bits(n)
+    nbits = max(RHP_BITS, RHP_BANDS * bb)
+    sbits = (
+        F.slice("sbits", 1, ss)
+        if ss
+        else F.array().cast("array<int>")
+    )
+    return spark.read.parquet(store).select(
+        "vec_id",
+        F.slice("bits", 1, nbits).alias("bits"),
+        sbits.alias("sbits"),
+    )
 
 
 def _pack_codes(bb: int) -> Column:
@@ -1204,6 +1304,54 @@ def q_dedup_embedding_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dropped.join(docs, "doc_id").select(
         "doc_id", "lang", "kept_doc_id", "max_sim"
     )
+
+
+@register(
+    "q_dedup_embedding_auto",
+    tags=("dedup", "similarity", "vector", "lsh", "scale"),
+    oracle=f"""
+        WITH {_RHP_SHARDED_CTE},
+        pairs AS (
+            SELECT c.vec_id_a AS keep_cand, c.vec_id_b AS drop_id,
+                   {cosine_sql('a.v', 'b.v')} AS sim
+            FROM cand c
+            JOIN ev a ON a.vec_id = c.vec_id_a
+            JOIN ev b ON b.vec_id = c.vec_id_b
+            WHERE {cosine_sql('a.v', 'b.v')} >= {NEAR_DUP_COS}
+        ),
+        dropped AS (
+            SELECT drop_id AS doc_id,
+                   MIN(keep_cand) AS kept_doc_id,
+                   ROUND(MAX(sim), 6) AS max_sim
+            FROM pairs GROUP BY drop_id
+        )
+        SELECT d.doc_id, d.lang, dr.kept_doc_id, dr.max_sim
+        FROM dropped dr JOIN documents d ON d.doc_id = dr.doc_id
+    """,
+)
+def q_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup removal list with ENGINE-SELECTED shape — the
+    round-8 verdict's 'a production engine should pick the form itself'
+    item. The unsharded band form (:func:`q_dedup_embedding`) is the
+    low-constant plan while expected bucket occupancy holds at target,
+    but past the occupancy knee its pair mass grows ∝ n·occupancy (the
+    30× soak measured 2.3× wall per 3× data); the re-shard dial
+    (:func:`q_dedup_embedding_sharded`) keeps occupancy flat for any n
+    at the cost of one extra join key and the shard-plane folds. This
+    entry derives shard bits from the corpus count with the SAME rule
+    the sharded path uses (:func:`rhp_shard_bits`: smallest s with
+    2^s·{RHP_SHARD_CAP} ≥ n) and dispatches: s = 0 → the unsharded
+    plan verbatim (no shard column anywhere — the two extremes stay
+    pinned as explicit keys), s ≥ 1 → the sharded plan verbatim. Both
+    branches share the session bit-frame/band-row caches with their
+    explicit twins, so the auto entry never re-folds. The oracle is the
+    sharded pipeline, which replays the same dial in integer SQL and
+    degenerates to the unsharded pipeline at ss = 0 (same planes, same
+    width, shard key constant 0) — so ONE oracle covers both regimes."""
+    n = table(spark, sf_dir, "embeddings").count()
+    if rhp_shard_bits(n) == 0:
+        return q_dedup_embedding(spark, sf_dir)
+    return q_dedup_embedding_sharded(spark, sf_dir)
 
 
 QUANT_LEVELS = 255  # int8 code range 0..255

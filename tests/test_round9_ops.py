@@ -307,3 +307,112 @@ def test_index_stats_buckets_are_cent_shard(spark, sf_dir, duck):
 
     spec = all_specs()["q_ivf_index_stats"]
     assert_matches_oracle(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+def test_dedup_embedding_auto_picks_the_extreme(spark, sf_dir, duck):
+    """Round-9 item 4: one entry selects the dedup shape from n via the
+    SAME dial the sharded path derives (rhp_shard_bits). At the small
+    fixture (n <= RHP_SHARD_CAP -> s=0) the auto plan IS the unsharded
+    plan (no shard key anywhere); at sf0.1 (n=2000 -> s=1) it IS the
+    sharded plan (shard equi-join key present). Rows match the chosen
+    extreme exactly in both regimes, and the (dial-aware) oracle
+    matches at the fixture."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        RHP_SHARD_CAP,
+        q_dedup_embedding,
+        q_dedup_embedding_auto,
+        q_dedup_embedding_sharded,
+        rhp_shard_bits,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.plans.registry import (
+        all_specs,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    n = table(spark, sf_dir, "embeddings").count()
+    assert n <= RHP_SHARD_CAP and rhp_shard_bits(n) == 0
+    auto = q_dedup_embedding_auto(spark, sf_dir)
+    assert "shard" not in auto._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, q_dedup_embedding(spark, sf_dir).collect())
+    )
+    assert_matches_oracle(auto, duck, all_specs()["q_dedup_embedding_auto"].oracle)
+
+    big = "/root/testdata/sf0.1"
+    n_big = table(spark, big, "embeddings").count()
+    assert rhp_shard_bits(n_big) >= 1
+    auto_big = q_dedup_embedding_auto(spark, big)
+    assert "shard" in auto_big._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(map(tuple, auto_big.collect())) == sorted(
+        map(tuple, q_dedup_embedding_sharded(spark, big).collect())
+    )
+
+
+def _frame_rows(df):
+    return sorted(
+        (r.vec_id, tuple(r.bits), tuple(r.sbits)) for r in df.collect()
+    )
+
+
+def test_rhp_frame_incremental_parity(spark, sf_dir, tmp_path):
+    """Round-9 item 5: the on-disk bit frame built incrementally (half
+    the corpus first, then an update against the grown corpus) is
+    bit-identical to the from-scratch in-session fold, the second
+    update folds ONLY the delta (appended == n - n//2), and a no-op
+    update appends nothing."""
+    import pyarrow.parquet as pq
+
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+        similarity as S,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    half_dir = tmp_path / "half"
+    half_dir.mkdir()
+    for name in ("documents",):  # not needed by the frame; skip others
+        pass
+    pq.write_table(t.slice(0, t.num_rows // 2), half_dir / "embeddings.parquet")
+    store = str(tmp_path / "frame_store")
+
+    r1 = S.rhp_frame_update(spark, str(half_dir), store)
+    assert r1 == {"appended": t.num_rows // 2, "total": t.num_rows // 2}
+    r2 = S.rhp_frame_update(spark, sf_dir, store)
+    assert r2 == {
+        "appended": t.num_rows - t.num_rows // 2,
+        "total": t.num_rows,
+    }
+    r3 = S.rhp_frame_update(spark, sf_dir, store)
+    assert r3 == {"appended": 0, "total": t.num_rows}
+
+    got = _frame_rows(S.rhp_frame_load(spark, sf_dir, store))
+    want = _frame_rows(S._rhp_bits_frame(spark, sf_dir))
+    assert got == want
+
+
+def test_rhp_frame_env_gated_serving(spark, sf_dir, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_RHP_FRAME_DIR set, _rhp_bits_frame serves the
+    session from the incremental store — bit-identical to the scratch
+    fold, and downstream sketches are unchanged."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+        similarity as S,
+    )
+
+    want = _frame_rows(S._rhp_bits_frame(spark, sf_dir))
+    sk_want = sorted(
+        tuple(r) for r in S.q_embedding_lsh_sketch(spark, sf_dir).collect()
+    )
+    S.clear_rhp_cache()
+    monkeypatch.setenv("SPARK_GRAFT_RHP_FRAME_DIR", str(tmp_path))
+    try:
+        got = _frame_rows(S._rhp_bits_frame(spark, sf_dir))
+        sk_got = sorted(
+            tuple(r)
+            for r in S.q_embedding_lsh_sketch(spark, sf_dir).collect()
+        )
+    finally:
+        S.clear_rhp_cache()
+    assert got == want
+    assert sk_got == sk_want

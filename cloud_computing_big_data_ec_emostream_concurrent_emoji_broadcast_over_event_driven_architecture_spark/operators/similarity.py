@@ -2669,16 +2669,20 @@ def q_ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- intra-cluster re-shard tier (the path PAST the K cap) ------------------
 # Constant occupancy via trained centroids ends at K_CAP·target ≈ 131k
-# vectors. Beyond that, each fine cluster is split into 2^p
-# content-derived shards: shard bits are hyperplane sign bits from
-# DEDICATED planes (disjoint from every RHP band/shard plane — base 256
-# vs the text-tier's 0..128 band and 128..136 shard ranges), exactly the
+# vectors. Beyond that, HOT fine clusters are split into content-derived
+# shards: shard bits are hyperplane sign bits from DEDICATED planes
+# (disjoint from every RHP band/shard plane — base 256 vs the
+# text-tier's 0..128 band and 128..136 shard ranges), the
 # q_dedup_embedding_sharded rule lifted onto the IVF index. Exact
 # duplicates always co-shard; near-dups co-shard with the standard
 # per-bit sign-agreement probability (the recall dial the nprobe family
-# already prices). p is derived from COUNT(*) alone in BOTH engines —
-# pure integers, no float-log boundary — and stays 0 on every fixture
-# below the cap, so the tier is provably inert until it is needed.
+# already prices). The split is PER CELL (round-9 second cut — see
+# _ivf2_pc_col): cell c splits into 2^pc_c shards where pc_c is the
+# smallest width putting its own occupancy at target, so the maximum —
+# not just the average — is bounded under any skew, and cells already
+# at target never split. ivf2_shard_bits(COUNT(*)) below remains as the
+# ENGAGEMENT GATE: it stays 0 on every fixture below the cap, forcing
+# every pc to 0 — the tier is provably inert until it is needed.
 IVF2_SHARD_PLANE_BASE = 256
 IVF2_SHARD_BITS_MAX = 20  # 131k·2^20 ≈ 137 G vectors before saturation
 
@@ -2723,17 +2727,93 @@ def _ivf2_sb_sql(count_src: str = "(SELECT COUNT(*) FROM embeddings)") -> str:
     )
 
 
-def _ivf2_shard_ctes(p: str, sb_sql: str, src: str | None = None) -> str:
-    """CTE fragment computing ``{p}shards`` (vec_id, shard) from
-    ``src`` (default ``{p}ev``) — the DuckDB replay of
-    :func:`_ivf2_shard_col`: same dedicated planes, same exact-decimal
-    sign sums, same packing. With sb = 0 the contrib relation is empty
-    and every vector COALESCEs to shard 0, matching the Spark
-    constant."""
+# --- occupancy-adaptive split width (round 9, second cut) -------------------
+# The first cut split EVERY cell by the same global width 2^sb — which
+# bounds AVERAGE occupancy but not the maximum: k-means cells are never
+# uniform (training is sample-bounded, data has hot regions), and the
+# 300× soak's index audit measured max_occ = 1021 vs target 64 while
+# min_occ cratered to 1 (cold cells over-split 8×, the hot cell still
+# 16× over). The production rule — FAISS's hot-inverted-list splitting —
+# is PER-CELL: cell c with occupancy occ_c splits into 2^pc_c shards
+# where pc_c is the smallest p with target·2^p ≥ occ_c. Cold cells keep
+# pc = 0 (no split, occupancy already at target), hot cells split until
+# bounded, and the bound holds for ANY skew. The shard code is a PREFIX
+# MASK of one full-width sign code (bit r ← plane base+r), so a cell's
+# width change never re-keys other cells. The global dial
+# (:func:`ivf2_shard_bits`) remains as the ENGAGEMENT GATE ONLY: below
+# the K cap every pc is forced 0, keeping all shipped fixtures
+# bit-identical.
+
+
+def _ivf2_pc_col(occ: Column) -> Column:
+    """Smallest p in [0, IVF2_SHARD_BITS_MAX] with
+    (SEMDEDUP_TARGET_CLUSTER << p) ≥ occ — the per-cell split width, as
+    a Column over an occupancy count. Chained integer comparisons, no
+    float log."""
+    out = F.lit(IVF2_SHARD_BITS_MAX)
+    for p in range(IVF2_SHARD_BITS_MAX, -1, -1):
+        out = F.when(
+            F.lit(SEMDEDUP_TARGET_CLUSTER << p) >= occ, F.lit(p)
+        ).otherwise(out)
+    return out.cast("int")
+
+
+def _ivf2_masked_shard_col(v: Column, pc: Column, wmax: int) -> Column:
+    """The occupancy-adaptive shard code as ONE conditional fold: bit r
+    of the cell-width prefix, each wrapped in WHEN r < pc — CaseWhen
+    branches evaluate lazily per row, so vectors in cells that never
+    split (pc = 0, the overwhelmingly common case) skip the decimal
+    sign folds entirely and only hot-cell members pay ∝ their own
+    width. Value-equal to sfull % 2^pc (the oracle's mask form): both
+    are the low-pc bits of the same plane codes."""
+    if wmax == 0:
+        return F.lit(0).cast("int")
+    bits = _rhp_bit_exprs(v, wmax, start=IVF2_SHARD_PLANE_BASE)
+    code: Column = F.lit(0)
+    for r in range(wmax):
+        code = code + F.when(
+            F.lit(r) < pc, bits[r] * F.lit(1 << r)
+        ).otherwise(F.lit(0))
+    return code.cast("int")
+
+
+def _ivf2_pc_ctes(p: str, pre_cte: str, gate_sql: str) -> str:
+    """CTE fragment deriving the per-cell split widths from a
+    preliminary assignment ``pre_cte`` (vec_id, cent_id, ...):
+    ``{p}pocc`` occupancies → ``{p}ppc`` (cent_id, pc) with the
+    :func:`_ivf2_pc_col` integer rule, forced 0 while the engagement
+    gate ``gate_sql`` (the global dial) is 0 → ``{p}swidth`` the fold
+    width (max pc)."""
+    t = SEMDEDUP_TARGET_CLUSTER
+    mx = IVF2_SHARD_BITS_MAX
+    return f"""{p}pocc AS MATERIALIZED (
+            SELECT cent_id, COUNT(*) AS occ FROM {pre_cte} GROUP BY cent_id
+        ),
+        {p}ppc AS MATERIALIZED (
+            SELECT o.cent_id,
+                   CASE WHEN {gate_sql} = 0 THEN 0
+                        ELSE COALESCE(m.mp, {mx}) END AS pc
+            FROM {p}pocc o LEFT JOIN (
+                SELECT cent_id, MIN(pp) AS mp
+                FROM {p}pocc, range(0, {mx} + 1) t(pp)
+                WHERE (CAST({t} AS BIGINT) << pp) >= occ
+                GROUP BY cent_id
+            ) m ON m.cent_id = o.cent_id
+        ),
+        {p}swidth AS (SELECT COALESCE(MAX(pc), 0) AS wmax FROM {p}ppc)"""
+
+
+def _ivf2_shard_ctes(p: str, width_sql: str, src: str | None = None) -> str:
+    """CTE fragment computing ``{p}sfull`` (vec_id, sfull) from ``src``
+    (default ``{p}ev``) — the DuckDB replay of :func:`_ivf2_shard_col`
+    at fold width ``width_sql``: same dedicated planes, same
+    exact-decimal sign sums, same packing. Width 0 leaves the contrib
+    relation empty and every vector COALESCEs to code 0. The final
+    per-cell shard is a prefix mask of this full code (``sfull %
+    (1 << pc)``), applied at the assignment join."""
     base = IVF2_SHARD_PLANE_BASE
     src = src or f"{p}ev"
-    return f"""{p}sdial AS (SELECT {sb_sql} AS sb),
-        {p}sx AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+    return f"""{p}sx AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
                          unnest(v) AS x
                   FROM {src}),
         {p}sc AS (
@@ -2741,15 +2821,14 @@ def _ivf2_shard_ctes(p: str, sb_sql: str, src: str | None = None) -> str:
                    CAST(x * {_RHP_PLANE_SQL} AS DECIMAL(18,10)) AS c
             FROM {p}sx
             CROSS JOIN range({base}, {base} + {IVF2_SHARD_BITS_MAX}) t(j)
-            CROSS JOIN {p}sdial
-            WHERE j < {base} + sb
+            WHERE j < {base} + {width_sql}
         ),
         {p}sbit AS (
             SELECT vec_id, j, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
             FROM {p}sc GROUP BY vec_id, j
         ),
-        {p}shards AS (
-            SELECT e.vec_id, CAST(COALESCE(s.sh, 0) AS INT) AS shard
+        {p}sfull AS MATERIALIZED (
+            SELECT e.vec_id, CAST(COALESCE(s.sh, 0) AS BIGINT) AS sfull
             FROM {src} e LEFT JOIN (
                 SELECT vec_id,
                        SUM(bit << (j - {base})) AS sh
@@ -2776,9 +2855,12 @@ def _isqrt4_sql(k_sql: str) -> str:
 def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cent_id, shard) under the two-level sample-trained
     build, session-persisted — THE dynamic-K index every scaled rider
-    shares. ``shard`` is the re-shard tier's hash-plane bucket split
-    (:func:`ivf2_shard_bits` — constant 0 below the K cap); riders whose
-    cost is bucket-bound join on BOTH (cent_id, shard)."""
+    shares. ``shard`` is the re-shard tier's OCCUPANCY-ADAPTIVE
+    hash-plane split: each cell's own width (:func:`_ivf2_pc_col` over
+    its pre-split occupancy, gated inert below the K cap by
+    :func:`ivf2_shard_bits`), prefix-masked from one full-width sign
+    code; riders whose cost is bucket-bound join on BOTH
+    (cent_id, shard)."""
     import math
 
     key = (spark.sparkContext.applicationId, sf_dir, "twolevel")
@@ -2833,14 +2915,41 @@ def _twolevel_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("coarse_id"),
             )
         )
-        assigned = va.join(F.broadcast(groups), "coarse_id").select(
+        pre = va.join(F.broadcast(groups), "coarse_id").select(
             "vec_id",
             "v",
             _argmin_cent(F.col("v"), F.col("nv"), F.col("fs")).alias(
                 "cent_id"
             ),
-            _ivf2_shard_col(F.col("v"), sb).alias("shard"),
         )
+        if sb == 0:
+            # below the engagement gate: no cell splits, shard constant
+            # 0 — bit-identical to every pre-round-9 fixture result
+            assigned = pre.withColumn("shard", F.lit(0).cast("int"))
+        else:
+            # occupancy-adaptive per-cell split: occupancies of the
+            # preliminary assignment pick each cell's width, one
+            # full-width sign code per vector is prefix-masked to its
+            # cell's width. pcm is K rows (broadcast); the wmax action
+            # is a K-row aggregate.
+            pre = pre.persist()
+            _IVF_CACHE[key + ("pre",)] = pre
+            pcm = (
+                pre.groupBy("cent_id")
+                .agg(F.count("*").alias("occ"))
+                .select("cent_id", _ivf2_pc_col(F.col("occ")).alias("pc"))
+                .persist()
+            )
+            _IVF_CACHE[key + ("pcm",)] = pcm
+            wmax = pcm.agg(F.max("pc")).first()[0]
+            assigned = pre.join(F.broadcast(pcm), "cent_id").select(
+                "vec_id",
+                "v",
+                "cent_id",
+                _ivf2_masked_shard_col(
+                    F.col("v"), F.col("pc"), wmax
+                ).alias("shard"),
+            )
         # stash the trained fine centroids alongside the assignment —
         # K rows, reused by the drift audit's sim-to-centroid join
         _IVF_CACHE[key + ("cents",)] = cents.persist()
@@ -2916,18 +3025,27 @@ def _twolevel_assign_ctes(prefix: str = "") -> str:
                 FROM {p}ev e, {p}coarse c
             ) WHERE rn = 1
         )""",
-        _ivf2_shard_ctes(p, _ivf2_sb_sql()),
-        f"""{p}fa AS (
-            SELECT vec_id, v, cent_id, shard FROM (
-                SELECT a.vec_id, a.v, r.cent_id, s.shard,
+        f"""{p}pfa AS MATERIALIZED (
+            SELECT vec_id, v, cent_id FROM (
+                SELECT a.vec_id, a.v, r.cent_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY a.vec_id
                            ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
                                     r.cent_id
                        ) AS rn
                 FROM {p}vca a JOIN {p}route r ON r.coarse_id = a.coarse_id
-                JOIN {p}shards s ON s.vec_id = a.vec_id
             ) WHERE rn = 1
+        )""",
+        f"{p}sdial AS (SELECT {_ivf2_sb_sql()} AS sb)",
+        _ivf2_pc_ctes(p, f"{p}pfa", f"(SELECT sb FROM {p}sdial)"),
+        _ivf2_shard_ctes(p, f"(SELECT wmax FROM {p}swidth)"),
+        f"""{p}fa AS (
+            SELECT a.vec_id, a.v, a.cent_id,
+                   CAST(s.sfull % (CAST(1 AS BIGINT) << c.pc) AS INT)
+                       AS shard
+            FROM {p}pfa a
+            JOIN {p}sfull s ON s.vec_id = a.vec_id
+            JOIN {p}ppc c ON c.cent_id = a.cent_id
         )""",
     ]
     return ",\n        ".join(ctes)
@@ -3744,35 +3862,12 @@ def _append_assign_ctes() -> str:
                 FROM btc f, bcoarse c
             ) WHERE rn = 1
         )""",
-        _ivf2_shard_ctes("b", sb_sql, src="ev"),
-        f"dev AS (SELECT vec_id, v FROM ev WHERE vec_id >= {t_sql})",
-        f"""dca AS (
-            SELECT vec_id, v, coarse_id FROM (
-                SELECT e.vec_id, e.v, c.coarse_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {cosine_sql('e.v', 'c.ccv')} DESC,
-                                    c.coarse_id
-                       ) AS rn
-                FROM dev e, bcoarse c
-            ) WHERE rn = 1
-        )""",
-        f"""dfa AS (
-            SELECT vec_id, v, cent_id, shard, sim FROM (
-                SELECT a.vec_id, a.v, r.cent_id, s.shard,
-                       {cosine_sql('a.v', 'r.cv')} AS sim,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY a.vec_id
-                           ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
-                                    r.cent_id
-                       ) AS rn
-                FROM dca a JOIN broute r ON r.coarse_id = a.coarse_id
-                JOIN bshards s ON s.vec_id = a.vec_id
-            ) WHERE rn = 1
-        )""",
         # base slice assigned through the SAME frozen router (posting
-        # lists as stored at ingest time) — referenced by the
-        # dedup-at-ingest rider; unreferenced CTEs prune away elsewhere
+        # lists as stored at ingest time) — ALSO the occupancy source
+        # for the FROZEN per-cell split widths: the index's cells were
+        # split when their posting lists were stored, so the delta
+        # reuses yesterday's widths (train-then-add, never re-split on
+        # append — the drift/stats audits say when to rebuild).
         f"baev AS (SELECT vec_id, v FROM ev WHERE vec_id < {t_sql})",
         f"""bca AS (
             SELECT vec_id, v, coarse_id FROM (
@@ -3785,17 +3880,62 @@ def _append_assign_ctes() -> str:
                 FROM baev e, bcoarse c
             ) WHERE rn = 1
         )""",
-        f"""bfa AS (
-            SELECT vec_id, v, cent_id, shard FROM (
-                SELECT a.vec_id, a.v, r.cent_id, s.shard,
+        f"""bpb AS MATERIALIZED (
+            SELECT vec_id, v, cent_id FROM (
+                SELECT a.vec_id, a.v, r.cent_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY a.vec_id
                            ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
                                     r.cent_id
                        ) AS rn
                 FROM bca a JOIN broute r ON r.coarse_id = a.coarse_id
-                JOIN bshards s ON s.vec_id = a.vec_id
             ) WHERE rn = 1
+        )""",
+        f"bsdial AS (SELECT {sb_sql} AS sb)",
+        _ivf2_pc_ctes("b", "bpb", "(SELECT sb FROM bsdial)"),
+        _ivf2_shard_ctes("b", "(SELECT wmax FROM bswidth)", src="ev"),
+        f"dev AS (SELECT vec_id, v FROM ev WHERE vec_id >= {t_sql})",
+        f"""dca AS (
+            SELECT vec_id, v, coarse_id FROM (
+                SELECT e.vec_id, e.v, c.coarse_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cosine_sql('e.v', 'c.ccv')} DESC,
+                                    c.coarse_id
+                       ) AS rn
+                FROM dev e, bcoarse c
+            ) WHERE rn = 1
+        )""",
+        # a delta vector routed to a cell with an EMPTY base posting
+        # list takes width 0 (nothing there to split) — the LEFT JOIN
+        # COALESCE below
+        f"""dfa AS (
+            SELECT a.vec_id, a.v, a.cent_id,
+                   CAST(s.sfull % (CAST(1 AS BIGINT)
+                        << COALESCE(c.pc, 0)) AS INT) AS shard,
+                   a.sim
+            FROM (
+                SELECT vec_id, v, cent_id, sim FROM (
+                    SELECT a.vec_id, a.v, r.cent_id,
+                           {cosine_sql('a.v', 'r.cv')} AS sim,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY {cosine_sql('a.v', 'r.cv')} DESC,
+                                        r.cent_id
+                           ) AS rn
+                    FROM dca a JOIN broute r ON r.coarse_id = a.coarse_id
+                ) WHERE rn = 1
+            ) a
+            JOIN bsfull s ON s.vec_id = a.vec_id
+            LEFT JOIN bppc c ON c.cent_id = a.cent_id
+        )""",
+        f"""bfa AS (
+            SELECT a.vec_id, a.v, a.cent_id,
+                   CAST(s.sfull % (CAST(1 AS BIGINT) << c.pc) AS INT)
+                       AS shard
+            FROM bpb a
+            JOIN bsfull s ON s.vec_id = a.vec_id
+            JOIN bppc c ON c.cent_id = a.cent_id
         )""",
     ]
     return ",\n        ".join(ctes)
@@ -3850,11 +3990,13 @@ def _append_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, int, int, DataFrame, DataFrame, DataFrame]:
     """The FROZEN base-trained index parts shared by the append-path
-    riders: (emb, t, sb, cents, coarse_arr, groups) — emb the
-    double-cast corpus, t the base/delta split point, sb the frozen
-    shard width (:func:`ivf2_shard_bits` of the BASE count), cents the
-    base-trained fine centroids, coarse_arr/groups the router broadcast
-    payloads. Trained parts persist per (session, sf_dir) in
+    riders: (emb, t, wmax, cents, coarse_arr, groups, pcm) — emb the
+    double-cast corpus, t the base/delta split point, wmax/pcm the
+    frozen occupancy-adaptive split widths (fold width + per-cell map,
+    derived from the BASE slice's routed occupancies when the global
+    gate :func:`ivf2_shard_bits` of the base count is ≥ 1; 0/None
+    below it), cents the base-trained fine centroids,
+    coarse_arr/groups the router broadcast payloads. Trained parts persist per (session, sf_dir) in
     ``_IVF_CACHE`` (round-8 ADVICE: ``q_ivf_index_append``,
     ``q_ivf_drift_audit`` and ``q_dedup_ingest_incremental`` used to
     each retrain the same frozen index in one session — now they share
@@ -3899,26 +4041,54 @@ def _append_index(
         _IVF_CACHE[key + ("cents",)] = cents.persist()
         _IVF_CACHE[key + ("coarse",)] = coarse_arr.persist()
         _IVF_CACHE[key + ("groups",)] = groups.persist()
-        _APPEND_META[key] = (t, ivf2_shard_bits(t))
-    t, sb = _APPEND_META[key]
+        sb = ivf2_shard_bits(t)
+        # FROZEN per-cell split widths (round 9, second cut): the base
+        # slice routes through the frozen router once; its per-cell
+        # occupancies pick each cell's split width — stored with the
+        # index like FAISS's inverted-list layout, and NEVER re-derived
+        # on append (the delta reuses yesterday's widths; drift/stats
+        # audits say when to rebuild). Below the gate (sb = 0) the map
+        # is empty and every shard is 0.
+        bpre = _route_pre(
+            emb.filter(F.col("vec_id") < t),
+            _IVF_CACHE[key + ("coarse",)],
+            _IVF_CACHE[key + ("groups",)],
+        ).persist()
+        _IVF_CACHE[key + ("bpre",)] = bpre
+        if sb == 0:
+            pcm = None
+            wmax = 0
+        else:
+            pcm = (
+                bpre.groupBy("cent_id")
+                .agg(F.count("*").alias("occ"))
+                .select(
+                    "cent_id", _ivf2_pc_col(F.col("occ")).alias("pc")
+                )
+                .persist()
+            )
+            _IVF_CACHE[key + ("pcm",)] = pcm
+            wmax = pcm.agg(F.max("pc")).first()[0]
+        _APPEND_META[key] = (t, wmax)
+    t, wmax = _APPEND_META[key]
     return (
         emb,
         t,
-        sb,
+        wmax,
         _IVF_CACHE[key + ("cents",)],
         _IVF_CACHE[key + ("coarse",)],
         _IVF_CACHE[key + ("groups",)],
+        _IVF_CACHE.get(key + ("pcm",)),
     )
 
 
-def _route_assign(
-    df: DataFrame, coarse_arr: DataFrame, groups: DataFrame, sb: int = 0
+def _route_pre(
+    df: DataFrame, coarse_arr: DataFrame, groups: DataFrame
 ) -> DataFrame:
-    """Assign (vec_id, v) rows through a frozen two-level router:
-    coarse broadcast fold, then the fine fold within the routed group —
-    the exact rule both the oracle's window replay and the full build
-    use. ``sb`` adds the frozen-width shard code (the re-shard tier;
-    plane-hash derived, so it needs no router state at all)."""
+    """(vec_id, v, cent_id) of rows assigned through a frozen two-level
+    router: coarse broadcast fold, then the fine fold within the routed
+    group — the exact rule both the oracle's window replay and the full
+    build use."""
     va = (
         _spread(df.select("vec_id", "v", norm(F.col("v")).alias("nv")))
         .crossJoin(F.broadcast(coarse_arr))
@@ -3937,8 +4107,38 @@ def _route_assign(
         _argmin_cent(F.col("v"), F.col("nv"), F.col("fs")).alias(
             "cent_id"
         ),
-        _ivf2_shard_col(F.col("v"), sb).alias("shard"),
     )
+
+
+def _mask_shard(pre: DataFrame, pcm: DataFrame | None, wmax: int) -> DataFrame:
+    """Attach the occupancy-adaptive shard to a (vec_id, v, cent_id)
+    pre-assignment: one ``wmax``-bit sign code per vector, prefix-masked
+    to its cell's frozen width (``pcm``: cent_id → pc; a cell absent
+    from the map — empty at freeze time — takes width 0). wmax = 0 (the
+    below-gate regime) short-circuits to the constant-0 shard."""
+    if wmax == 0 or pcm is None:
+        return pre.withColumn("shard", F.lit(0).cast("int"))
+    return pre.join(F.broadcast(pcm), "cent_id", "left").select(
+        "vec_id",
+        "v",
+        "cent_id",
+        _ivf2_masked_shard_col(
+            F.col("v"), F.coalesce(F.col("pc"), F.lit(0)), wmax
+        ).alias("shard"),
+    )
+
+
+def _route_assign(
+    df: DataFrame,
+    coarse_arr: DataFrame,
+    groups: DataFrame,
+    pcm: DataFrame | None = None,
+    wmax: int = 0,
+) -> DataFrame:
+    """Frozen-router assignment WITH the frozen per-cell shard — the
+    composition streaming ingest uses per micro-batch (all broadcast
+    state: router K+√K rows, width map ≤K rows)."""
+    return _mask_shard(_route_pre(df, coarse_arr, groups), pcm, wmax)
 
 
 def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3949,9 +4149,11 @@ def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift audit, dedup-at-ingest) share one routing pass."""
     key = (spark.sparkContext.applicationId, sf_dir, "append", "delta")
     if key not in _IVF_CACHE:
-        emb, t, sb, cents, coarse_arr, groups = _append_index(spark, sf_dir)
+        emb, t, wmax, cents, coarse_arr, groups, pcm = _append_index(
+            spark, sf_dir
+        )
         assigned = _route_assign(
-            emb.filter(F.col("vec_id") >= t), coarse_arr, groups, sb
+            emb.filter(F.col("vec_id") >= t), coarse_arr, groups, pcm, wmax
         )
         # the chosen centroid's cosine, recomputed via the same dot/norm
         # expressions the fold ranked with (bit-identical by determinism)
@@ -3968,12 +4170,14 @@ def _append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _append_base_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cent_id, shard) of the BASE slice through the same
     frozen router — how its posting lists were stored at its own ingest
-    time; persisted alongside the delta assignment."""
+    time; the pre-assignment is the SAME persisted frame the width map
+    was frozen from."""
     key = (spark.sparkContext.applicationId, sf_dir, "append", "base")
     if key not in _IVF_CACHE:
-        emb, t, sb, cents, coarse_arr, groups = _append_index(spark, sf_dir)
-        _IVF_CACHE[key] = _route_assign(
-            emb.filter(F.col("vec_id") < t), coarse_arr, groups, sb
+        _, t, wmax, _, _, _, pcm = _append_index(spark, sf_dir)
+        akey = (spark.sparkContext.applicationId, sf_dir, "append")
+        _IVF_CACHE[key] = _mask_shard(
+            _IVF_CACHE[akey + ("bpre",)], pcm, wmax
         ).persist()
     return _IVF_CACHE[key]
 
@@ -4520,15 +4724,17 @@ def ingest_dedup_rows(base_a: DataFrame, delta_a: DataFrame) -> DataFrame:
 
 def frozen_router_parts(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, int]:
-    """(base_assignment, coarse_arr, groups, sb) — everything a
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame | None, int]:
+    """(base_assignment, coarse_arr, groups, pcm, wmax) — everything a
     streaming ingest job needs to near-dup-check arriving vectors
     against the standing corpus through the frozen index (the public
-    face of the session-persisted append-index parts)."""
-    _, _, sb, _, coarse_arr, groups = _append_index(spark, sf_dir)
+    face of the session-persisted append-index parts). ``pcm``/``wmax``
+    are the frozen per-cell split widths (None/0 below the gate)."""
+    _, _, wmax, _, coarse_arr, groups, pcm = _append_index(spark, sf_dir)
     return (
         _append_base_assignment(spark, sf_dir),
         coarse_arr,
         groups,
-        sb,
+        pcm,
+        wmax,
     )

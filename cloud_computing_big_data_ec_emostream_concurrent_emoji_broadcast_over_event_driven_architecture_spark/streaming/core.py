@@ -415,7 +415,9 @@ def semantic_dedup_stream(
     )
 
     spark = vec_stream.sparkSession
-    base_a, coarse_arr, groups, sb = frozen_router_parts(spark, sf_dir)
+    base_a, coarse_arr, groups, pcm, wmax = frozen_router_parts(
+        spark, sf_dir
+    )
 
     def _dedup(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -423,7 +425,7 @@ def semantic_dedup_stream(
         bv = batch.select(
             "vec_id", as_double(F.col("embedding")).alias("v")
         )
-        routed = _route_assign(bv, coarse_arr, groups, sb)
+        routed = _route_assign(bv, coarse_arr, groups, pcm, wmax)
         out = ingest_dedup_rows(base_a, routed)
         existing = [
             t.name

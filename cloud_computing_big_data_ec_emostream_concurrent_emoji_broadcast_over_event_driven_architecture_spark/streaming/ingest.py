@@ -235,11 +235,26 @@ class IngestGateway:
             self._write_spool(residue)
 
 
-def ingest_stream(spark: SparkSession, spool_dir: str) -> DataFrame:
+def ingest_stream(
+    spark: SparkSession, spool_dir: str, clean: str | None = None
+) -> DataFrame:
     """The gateway's spool as a typed event stream: text file source →
     schema-checked wire decode — the engine side of the reference's
-    gateway→Kafka→consumer hop, minus the broker."""
+    gateway→Kafka→consumer hop, minus the broker.
+
+    ``clean`` (round-9 sustained-soak item): the file source's
+    ``cleanSource`` policy (``"delete"`` or ``"archive"``). A sustained
+    front door writes ~2 spool files per flusher per second forever,
+    and the source re-LISTS the directory every trigger — unbounded
+    file count is the long-run degradation mode. ``"delete"`` removes
+    each file after its micro-batch commits (at-least-once preserved:
+    an uncommitted file is never deleted), keeping the listing O(recent)
+    regardless of uptime. Default off: short-lived tests keep their
+    spool inspectable."""
     from .core import decode_wire_events
 
-    raw = spark.readStream.text(spool_dir)
+    reader = spark.readStream
+    if clean:
+        reader = reader.option("cleanSource", clean)
+    raw = reader.text(spool_dir)
     return decode_wire_events(raw, value_col="value")

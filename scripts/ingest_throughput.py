@@ -101,7 +101,28 @@ def _client_proc(port: int, client_id: int, secs: float, result_q) -> None:
     result_q.put(("client", ok, full, err))
 
 
-def main(n_gateways: int = 4, n_clients: int = 16, run_seconds: int = 15) -> int:
+def _rss_kb(pid: int) -> int | None:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:
+        return None
+    return None
+
+
+def main(
+    n_gateways: int = 4,
+    n_clients: int = 16,
+    run_seconds: int = 15,
+    clean: str | None = None,
+) -> int:
+    """``clean`` + the per-minute/RSS/file-count reporting below are the
+    round-9 sustained-soak instrumentation: a ≥10-minute run must show
+    flat per-minute latency (no file-listing degradation), flat gateway
+    RSS (no leak in the long-lived front doors), and — with
+    clean='delete' — a bounded spool directory."""
     from pyspark.sql import functions as F
 
     from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.session import (  # noqa: E501
@@ -137,12 +158,42 @@ def main(n_gateways: int = 4, n_clients: int = 16, run_seconds: int = 15) -> int
             batch_stats.append((wall, int(row["n"]), wall - oldest))
 
     q = (
-        ingest_stream(spark, spool)
+        ingest_stream(spark, spool, clean=clean)
         .writeStream.foreachBatch(observe)
         .option("checkpointLocation", spool + "_ckpt")
         .trigger(processingTime="1 second")
         .start()
     )
+
+    # soak monitors: gateway RSS every 15 s (leak check on the
+    # long-lived front doors) and the source's trigger/listing duration
+    # every 5 s (file-listing degradation check) — both threads, zero
+    # load on the measured path.
+    import threading
+
+    rss_samples: list[tuple[float, int]] = []  # (wall, max RSS kB)
+    trig_samples: list[tuple[float, float]] = []  # (wall, triggerExec ms)
+    mon_stop = threading.Event()
+
+    def _monitor() -> None:
+        last_tick = 0.0
+        while not mon_stop.is_set():
+            now = time.time()
+            p = q.lastProgress
+            if p and p.get("durationMs"):
+                te = p["durationMs"].get("triggerExecution")
+                if te is not None:
+                    trig_samples.append((now, float(te)))
+            if now - last_tick >= 15:
+                last_tick = now
+                rss = [_rss_kb(g.pid) for g in gateways]
+                rss = [r for r in rss if r]
+                if rss:
+                    rss_samples.append((now, max(rss)))
+            mon_stop.wait(5)
+
+    mon = threading.Thread(target=_monitor, daemon=True)
+    mon.start()
 
     clients = [
         ctx.Process(
@@ -182,11 +233,40 @@ def main(n_gateways: int = 4, n_clients: int = 16, run_seconds: int = 15) -> int
         if sum(n for _, n, _ in batch_stats) >= accepted:
             break
         time.sleep(0.5)
+    mon_stop.set()
+    mon.join(timeout=10)
+    import os
+
+    spool_files_end = sum(
+        1 for f in os.listdir(spool) if not f.startswith(".")
+    )
     q.stop()
     spark.stop()
 
     streamed = sum(n for _, n, _ in batch_stats)
     lats = sorted(lat for _, _, lat in batch_stats)
+
+    # per-minute rollup of the batch stats (soak trend: latency must be
+    # flat minute over minute, or the source is degrading)
+    minutes: list[dict] = []
+    if batch_stats:
+        tmin = min(w for w, _, _ in batch_stats)
+        by_min: dict[int, list[tuple[int, float]]] = {}
+        for w, nrows, lat in batch_stats:
+            by_min.setdefault(int((w - tmin) // 60), []).append((nrows, lat))
+        for m in sorted(by_min):
+            ls = sorted(lat for _, lat in by_min[m])
+            minutes.append(
+                {
+                    "minute": m,
+                    "rows": sum(nr for nr, _ in by_min[m]),
+                    "lat_p50_s": round(statistics.median(ls), 3),
+                    "lat_p95_s": round(ls[int(0.95 * (len(ls) - 1))], 3),
+                }
+            )
+    t0s = trig_samples[0][0] if trig_samples else 0.0
+    trig_first = [t for w, t in trig_samples if w - t0s < 60]
+    trig_last = [t for _, t in trig_samples[-12:]]
     result = {
         "metric": "ingest_accepted_per_sec",
         "value": round(accepted / post_wall, 1),
@@ -211,6 +291,21 @@ def main(n_gateways: int = 4, n_clients: int = 16, run_seconds: int = 15) -> int
         if lats
         else None,
         "target": 100_000,
+        "clean_source": clean or "off",
+        "spool_files_end": spool_files_end,
+        "per_minute": minutes,
+        "gw_rss_kb_first": rss_samples[0][1] if rss_samples else None,
+        "gw_rss_kb_last": rss_samples[-1][1] if rss_samples else None,
+        "trigger_ms_first_min": round(
+            statistics.mean(trig_first), 1
+        )
+        if trig_first
+        else None,
+        "trigger_ms_last": round(
+            statistics.mean(trig_last), 1
+        )
+        if trig_last
+        else None,
     }
     ok = (
         len(batch_stats) >= MIN_BATCHES
@@ -236,4 +331,5 @@ if __name__ == "__main__":
     ngw = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     ncl = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     secs = int(sys.argv[3]) if len(sys.argv) > 3 else 15
-    sys.exit(main(ngw, ncl, secs))
+    cln = sys.argv[4] if len(sys.argv) > 4 else None
+    sys.exit(main(ngw, ncl, secs, clean=None if cln in (None, "off") else cln))

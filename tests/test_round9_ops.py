@@ -121,7 +121,7 @@ def test_shard_col_matches_oracle_replay(spark, sf_dir):
         f"WITH ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
         f" FROM embeddings),\n"
         + _ivf2_shard_ctes("", f"(SELECT {sb})")
-        + "\nSELECT vec_id, shard FROM shards"
+        + "\nSELECT vec_id, CAST(sfull AS INT) AS shard FROM sfull"
     )
     want = dict(con.execute(sql).fetchall())
     assert got == want
@@ -416,3 +416,51 @@ def test_rhp_frame_env_gated_serving(spark, sf_dir, tmp_path, monkeypatch):
         S.clear_rhp_cache()
     assert got == want
     assert sk_got == sk_want
+
+
+def test_adaptive_shard_bounds_hot_cells(spark, sf_dir, monkeypatch):
+    """Round-9 second cut: the re-shard tier splits PER CELL by frozen
+    occupancy (FAISS hot-list splitting), not globally. Forced-on via
+    shrunken dials (cap 4*8=32 < n), then pinned structurally: each
+    cell's width pc follows the min-p integer rule over its PRE-SPLIT
+    occupancy, every emitted shard < 2^pc of its own cell, cells at or
+    under target never split (pc=0), and at least one hot cell DID
+    split (the tier engaged)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators import (
+        similarity as S,
+    )
+
+    monkeypatch.setattr(S, "SEMDEDUP_TARGET_CLUSTER", 8)
+    monkeypatch.setattr(S, "IVF2_K_CAP", 4)
+    S.clear_ivf_cache()
+    try:
+        rows = S._twolevel_assignment(spark, sf_dir).collect()
+        app = spark.sparkContext.applicationId
+        pcm = {
+            r.cent_id: r.pc
+            for r in S._IVF_CACHE[
+                (app, sf_dir, "twolevel", "pcm")
+            ].collect()
+        }
+    finally:
+        S.clear_ivf_cache()
+
+    occ: dict[int, int] = {}
+    for r in rows:
+        occ[r.cent_id] = occ.get(r.cent_id, 0) + 1
+
+    def want_pc(o: int) -> int:
+        for p in range(S.IVF2_SHARD_BITS_MAX + 1):
+            if (8 << p) >= o:
+                return p
+        return S.IVF2_SHARD_BITS_MAX
+
+    assert set(pcm) == set(occ)
+    for c, o in occ.items():
+        assert pcm[c] == want_pc(o), (c, o, pcm[c])
+        if o <= 8:
+            assert pcm[c] == 0  # cells at/under target never split
+    for r in rows:
+        assert 0 <= r.shard < (1 << pcm[r.cent_id]), r
+    assert any(pc > 0 for pc in pcm.values())  # the tier engaged
+    assert any(r.shard > 0 for r in rows)

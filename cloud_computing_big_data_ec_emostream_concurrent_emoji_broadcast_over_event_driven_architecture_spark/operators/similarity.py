@@ -1537,43 +1537,40 @@ PCA_DIM = 64  # fixture embedding width (FIXTURES.md)
             CROSS JOIN UNNEST(range(1, {PCA_DIM} + 1)) AS u(i)
         ), means AS (
             SELECT i,
-                   CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
-                       / COUNT(*) AS mu
+                   CAST(SUM(CAST(FLOOR(v * 1e10) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) / 1e10 AS mu
             FROM m GROUP BY 1
         ), mc AS (
             SELECT m.vec_id, m.i, m.v - means.mu AS v
             FROM m JOIN means USING (i)
         ), s1 AS (
             SELECT vec_id,
-                   CAST(SUM(CAST(v * 1.0 AS DECIMAL(28,10))) AS DOUBLE)
-                       AS s
+                   CAST(SUM(CAST(FLOOR(v * 1.0 * 1e10) AS BIGINT))
+                        AS DOUBLE) / 1e10 AS s
             FROM mc GROUP BY 1
         ), v1r AS (
             SELECT mc.i AS dim,
-                   CAST(SUM(CAST(mc.v * s1.s AS DECIMAL(28,10)))
-                        AS DOUBLE) AS val
+                   SUM(CAST(FLOOR(mc.v * s1.s * 1e6) AS BIGINT)) AS vi
             FROM mc JOIN s1 USING (vec_id) GROUP BY 1
         ), n1 AS (
-            SELECT SQRT(CAST(SUM(CAST(val * val AS DECIMAL(28,10)))
-                             AS DOUBLE)) AS nrm FROM v1r
+            SELECT SQRT(CAST(SUM(vi * vi) AS DOUBLE)) AS nrm FROM v1r
         ), v1 AS (
-            SELECT dim, val / n1.nrm AS val FROM v1r CROSS JOIN n1
+            SELECT dim, CAST(vi AS DOUBLE) / n1.nrm AS val
+            FROM v1r CROSS JOIN n1
         ), s2 AS (
             SELECT mc.vec_id,
-                   CAST(SUM(CAST(mc.v * v1.val AS DECIMAL(28,10)))
-                        AS DOUBLE) AS s
+                   CAST(SUM(CAST(FLOOR(mc.v * v1.val * 1e10) AS BIGINT))
+                        AS DOUBLE) / 1e10 AS s
             FROM mc JOIN v1 ON mc.i = v1.dim GROUP BY 1
         ), v2r AS (
             SELECT mc.i AS dim,
-                   CAST(SUM(CAST(mc.v * s2.s AS DECIMAL(28,10)))
-                        AS DOUBLE) AS val
+                   SUM(CAST(FLOOR(mc.v * s2.s * 1e6) AS BIGINT)) AS vi
             FROM mc JOIN s2 USING (vec_id) GROUP BY 1
         ), n2 AS (
-            SELECT SQRT(CAST(SUM(CAST(val * val AS DECIMAL(28,10)))
-                             AS DOUBLE)) AS nrm FROM v2r
+            SELECT SQRT(CAST(SUM(vi * vi) AS DOUBLE)) AS nrm FROM v2r
         )
         SELECT CAST(dim AS BIGINT) AS dim,
-               ROUND(val / n2.nrm, 6) AS component
+               ROUND(CAST(vi AS DOUBLE) / n2.nrm, 6) AS component
         FROM v2r CROSS JOIN n2
     """,
 )
@@ -1596,6 +1593,24 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explode-join formulation; the hash match pins every partial sum.
     Deterministic sign: both engines start from all-ones.
 
+    Cross-engine determinism (round-9 finding): every cross-row sum is
+    FLOOR-QUANTIZED — contribution = floor(x · 10^q) summed as exact
+    integers — instead of cast to DECIMAL.  The 30× full-registry soak
+    caught Spark and DuckDB disagreeing by one 1e-10 grid step on a
+    handful of ``CAST(double AS DECIMAL(28,10))`` conversions out of
+    millions (Spark rounds the exact decimal expansion HALF_UP; DuckDB
+    scales-then-rounds in binary — values that straddle a grid midpoint
+    after the binary multiply go opposite ways), and two chained
+    power-method iterations amplified one such step into the 6th
+    decimal of one component.  floor(x · 10^q) is two IEEE-defined
+    deterministic ops (one multiply, one floor — no ties, no decimal
+    conversion at all), integer sums are order-independent, and the
+    normalizations divide quantized integers cast exactly to double —
+    so every intermediate is bit-identical across engines by
+    construction.  Sums carry decimal(38,0)/HUGEINT accumulators; the
+    norm squares stay < 10^30 at the 1e6 row-sum scale (600k-vector
+    soak headroom ~10^8×).
+
     Convergence is geometric in the eigengap — the synthetic fixture's
     spectrum is near-isotropic (λ1/λ2 ≈ 1.07), so two iterations yield
     a dominant-SUBSPACE direction, not the isolated top component; a
@@ -1616,22 +1631,18 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vec")
         )
 
-    # Every cross-row double sum accumulates as decimal(28,10) (exact,
-    # order-independent) then re-enters double arithmetic — same
-    # convention as the MV/RHP folds, so the chained iterations produce
-    # bit-identical doubles in both engines instead of relying on
-    # ROUND(...,6) to absorb summation-order drift.
-    def dsum(col):
-        return F.sum(col.cast("decimal(28,10)")).cast("double")
+    def qsum(col, q):
+        # exact integer sum of floor(col * 10^q); decimal(38,0)
+        # accumulator = DuckDB's HUGEINT headroom
+        return F.sum(F.floor(col * F.lit(float(q))).cast("decimal(38,0)"))
 
-    def dfold(arr):
-        # exact array fold: per-element cast to decimal, decimal adds
+    def qfold(arr, q):
+        # per-row array fold of floor(x * 10^q) — integer adds, exact
         return F.aggregate(
             arr,
-            F.lit(0).cast("decimal(38,10)"),
-            lambda acc, x: (acc + x.cast("decimal(28,10)")).cast(
-                "decimal(38,10)"
-            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc
+            + F.floor(x * F.lit(float(q))).cast("decimal(38,0)"),
             lambda acc: acc.cast("double"),
         )
 
@@ -1639,7 +1650,11 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("embedding").alias("i", "v")
     )
     means = m.groupBy("i").agg(
-        (dsum(F.col("v")) / F.count("*")).alias("mu")
+        (
+            qsum(F.col("v"), 1e10).cast("double")
+            / F.count("*")
+            / F.lit(1e10)
+        ).alias("mu")
     )
     mean_arr = to_arr(means, "i", "mu")
 
@@ -1657,16 +1672,23 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = cent.crossJoin(F.broadcast(v_arr_df)).select(
             "vec_id",
             "c",
-            dfold(F.zip_with("c", "vec", lambda x, y: x * y)).alias("s"),
+            (
+                qfold(F.zip_with("c", "vec", lambda x, y: x * y), 1e10)
+                / F.lit(1e10)
+            ).alias("s"),
         )
         vr = (
             s.select(F.posexplode("c").alias("i", "v"), "s")
             .groupBy("i")
-            .agg(dsum(F.col("v") * F.col("s")).alias("val"))
+            .agg(qsum(F.col("v") * F.col("s"), 1e6).alias("vi"))
         )
-        nrm = vr.agg(F.sqrt(dsum(F.col("val") * F.col("val"))).alias("n"))
+        nrm = vr.agg(
+            F.sqrt(F.sum(F.col("vi") * F.col("vi")).cast("double")).alias(
+                "n"
+            )
+        )
         return vr.crossJoin(F.broadcast(nrm)).select(
-            "i", (F.col("val") / F.col("n")).alias("val")
+            "i", (F.col("vi").cast("double") / F.col("n")).alias("val")
         )
 
     ones = spark.range(1).select(
@@ -1677,18 +1699,23 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         centered.crossJoin(F.broadcast(to_arr(v1, "i", "val")))
         .select(
             "c",
-            dfold(F.zip_with("c", "vec", lambda x, y: x * y)).alias("s"),
+            (
+                qfold(F.zip_with("c", "vec", lambda x, y: x * y), 1e10)
+                / F.lit(1e10)
+            ).alias("s"),
         )
         .select(F.posexplode("c").alias("i", "v"), "s")
         .groupBy("i")
-        .agg(dsum(F.col("v") * F.col("s")).alias("val"))
+        .agg(qsum(F.col("v") * F.col("s"), 1e6).alias("vi"))
     )
     nrm2 = v2_unnorm.agg(
-        F.sqrt(dsum(F.col("val") * F.col("val"))).alias("n")
+        F.sqrt(F.sum(F.col("vi") * F.col("vi")).cast("double")).alias("n")
     )
     return v2_unnorm.crossJoin(F.broadcast(nrm2)).select(
         (F.col("i") + 1).cast("long").alias("dim"),
-        F.round(F.col("val") / F.col("n"), 6).alias("component"),
+        F.round(F.col("vi").cast("double") / F.col("n"), 6).alias(
+            "component"
+        ),
     )
 
 

@@ -4765,3 +4765,106 @@ def frozen_router_parts(
         pcm,
         wmax,
     )
+
+
+def ann_serve_rows(
+    base_a: DataFrame, query_a: DataFrame, k: int = ANN_BATCH_K
+) -> DataFrame:
+    """(q_id, rnk, vec_id, sim) — per-query top-``k`` standing-corpus
+    neighbors within the query's frozen (cent_id, shard) bucket — the
+    shared core of batch ``q_ann_serve_incremental`` AND its streaming
+    twin (``streaming/core.ann_serve_stream`` routes each micro-batch
+    through the same frozen router and calls THIS on it), so
+    stream == batch holds by construction, exactly like
+    :func:`ingest_dedup_rows`. Inputs are (vec_id, v, cent_id, shard
+    [, ...]) frames from the frozen-router assignment paths; a query
+    with an empty bucket simply emits no rows (the recall audit
+    families quantify that miss class)."""
+    from pyspark.sql import Window
+
+    b = base_a.withColumn("nv", norm(F.col("v"))).select(
+        "cent_id",
+        "shard",
+        "vec_id",
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    q = query_a.withColumn("nv", norm(F.col("v"))).select(
+        "cent_id",
+        "shard",
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("vq"),
+        F.col("nv").alias("nq"),
+    )
+    pairs = b.join(q, ["cent_id", "shard"]).select(
+        "q_id",
+        "vec_id",
+        (dot(F.col("vb"), F.col("vq")) / (F.col("nb") * F.col("nq"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+@register(
+    "q_ann_serve_incremental",
+    tags=("similarity", "vector", "ann", "scale", "llm-pipeline"),
+    oracle=f"""
+        WITH {_append_assign_ctes()},
+        qpairs AS (
+            SELECT d.vec_id AS q_id, b.vec_id,
+                   {cosine_sql('b.v', 'd.v')} AS sim
+            FROM bfa b JOIN dfa d ON b.cent_id = d.cent_id
+                                 AND b.shard = d.shard
+        )
+        SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, ROUND(sim, 6) AS sim
+        FROM (
+            SELECT q_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id
+                   ) AS rnk
+            FROM qpairs
+        ) WHERE rnk <= {ANN_BATCH_K}
+    """,
+)
+def q_ann_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH AT INGEST — ANN top-{ANN_BATCH_K} answers for every
+    ARRIVING vector against the STANDING corpus through the frozen
+    index: the delta slice routes via the frozen base-trained router
+    (``q_ivf_index_append``'s rule — never retrained, never re-sharded)
+    and each arriving vector is answered from ONLY the standing members
+    of its own (cluster, shard) posting list. The fourth append-path
+    capability, completing ingest-time processing: route (index
+    append), audit (drift), filter (dedup-at-ingest), and now ANSWER —
+    the "find me what this new document resembles" query an ingest
+    pipeline runs for near-dup triage, RAG backfill, or clustering of
+    fresh data, asked at the only moment it's cheap (the vector is
+    already routed).
+
+    Why this shape at 100 TB: queries-vs-corpus is the SERVING
+    operation, and its cost is |batch| routing folds plus per-bucket
+    (batch × occupancy) scoring — linear in the arrival batch,
+    corpus-size-independent at constant occupancy, identical to
+    ``q_dedup_ingest_incremental``'s cost shape (same join, no
+    threshold, rank instead of argmax). The base side is read from its
+    persisted posting-list form, never recomputed; the streaming twin
+    (``streaming/core.ann_serve_stream``) runs the SAME pair stage per
+    micro-batch.
+
+    The oracle replays training, both frozen-router assignments, and
+    the per-query rank end to end (a fourth append-path live proof).
+    Rank order AND similarities must agree bit-for-bit."""
+    return ann_serve_rows(
+        _append_base_assignment(spark, sf_dir),
+        _append_assignment(spark, sf_dir),
+    )

@@ -452,6 +452,79 @@ def semantic_dedup_stream(
     )
 
 
+def ann_serve_stream(
+    vec_stream: DataFrame,
+    sf_dir: str,
+    name: str = "ann_serve",
+    k: int | None = None,
+):
+    """STREAMING ANN SERVING — the streaming twin of the batch
+    ``q_ann_serve_incremental`` (search-at-ingest): arriving
+    (vec_id, embedding) rows are routed per micro-batch through the
+    FROZEN base-trained two-level router (all broadcast state, no
+    retraining) and answered with their top-k standing-corpus neighbors
+    from their own (cent_id, shard) posting list. Results accumulate in
+    the global temp view ``name`` as (q_id, rnk, vec_id, sim) — the
+    continuously-served answer table.
+
+    stream == batch by construction: each micro-batch runs EXACTLY the
+    batch operator's rank stage (``operators/similarity
+    .ann_serve_rows``) against the same session-persisted base
+    assignment — a query's answer depends only on its own content + the
+    frozen index, no cross-batch state. REDELIVERY-TOLERANT the same
+    way ``semantic_dedup_stream`` is: a replayed vector reproduces its
+    identical rows and the accumulating view anti-joins on q_id.
+
+    Cost shape at 100 TB: per batch, |batch| routing folds + per-bucket
+    (batch × occupancy) scoring — linear in the arrival batch,
+    corpus-size-independent at constant occupancy; the broadcast router
+    is K+√K rows and the base side reads from its persisted
+    posting-list form. Returns the started query."""
+    from ..functions.vectors import as_double
+    from ..operators.similarity import (
+        ANN_BATCH_K,
+        ann_serve_rows,
+        frozen_router_parts,
+        _route_assign,
+    )
+
+    spark = vec_stream.sparkSession
+    base_a, coarse_arr, groups, pcm, wmax = frozen_router_parts(
+        spark, sf_dir
+    )
+    kk = ANN_BATCH_K if k is None else k
+
+    def _serve(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bv = batch.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        routed = _route_assign(bv, coarse_arr, groups, pcm, wmax)
+        out = ann_serve_rows(base_a, routed, kk)
+        existing = [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name == name
+        ]
+        if existing:
+            prev = spark.table(f"global_temp.{name}")
+            out = prev.unionByName(
+                out.join(prev.select("q_id").distinct(), "q_id", "left_anti")
+            )
+        from ..caches import swap_view_checkpoint
+
+        ck = out.localCheckpoint(eager=True)
+        ck.createOrReplaceGlobalTempView(name)
+        swap_view_checkpoint(ck, name)
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(_serve)
+        .start()
+    )
+
+
 def funnel_stream(
     events: DataFrame,
     step_types: tuple[str, str, str] = ("view", "click", "purchase"),

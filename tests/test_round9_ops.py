@@ -530,3 +530,43 @@ def test_ann_serve_stream_equals_batch(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert view_rows() == expected
+
+
+def test_residual_pq_invariants(spark, sf_dir):
+    """Residual-PQ family internal consistency: (a) the residual frame
+    reconstructs to float round-off (|cv + rv - v| < 1e-12 per element
+    — (v-cv)+cv is not IEEE-exact, so exact equality is the wrong
+    pin); (b) the audit's
+    trained_raw row equals q_pq_train_audit's trained row (same
+    pipeline, standing cross-check); (c) residual reconstruction MSE
+    never exceeds the raw trained codebook's on the same corpus (the
+    coarse quantizer's explanation can only remove energy)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
+        _pq_residual_frame,
+        q_pq_residual_audit,
+        q_pq_train_audit,
+    )
+
+    res = _pq_residual_frame(spark, sf_dir)
+    bad = res.filter(
+        F.exists(
+            F.zip_with(
+                F.zip_with("cv", "rv", lambda c, r: c + r),
+                "v",
+                lambda recon, orig: F.abs(recon - orig) > 1e-12,
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+
+    rows = {
+        r.variant: (r.recall_at_k, r.mse)
+        for r in q_pq_residual_audit(spark, sf_dir).collect()
+    }
+    trained = {
+        r.variant: (r.recall_at_k, r.mse)
+        for r in q_pq_train_audit(spark, sf_dir).collect()
+    }
+    assert rows["trained_raw"] == trained["trained"]
+    assert rows["residual"][1] <= rows["trained_raw"][1]

@@ -91,6 +91,14 @@ def test_live_proof_oracle_never_rewritten():
     # ... while the same chain in another rider IS memoized
     rider = e.oracle_sql()["q_ann_ivf_scaled"]
     assert "mat_fa" in rewrite(rider, "q_ann_ivf_scaled")
+    # round 9: q_ivf_index_append is the append chain's live proof;
+    # its riders read mat_append
+    asql = e.oracle_sql()["q_ivf_index_append"]
+    assert rewrite(asql, "q_ivf_index_append") == asql
+    ing = e.oracle_sql()["q_dedup_ingest_incremental"]
+    assert "mat_append" in rewrite(ing, "q_dedup_ingest_incremental")
+    srv = e.oracle_sql()["q_ann_serve_incremental"]
+    assert "mat_append" in rewrite(srv, "q_ann_serve_incremental")
 
 
 def test_duplicate_cte_guard_fires():

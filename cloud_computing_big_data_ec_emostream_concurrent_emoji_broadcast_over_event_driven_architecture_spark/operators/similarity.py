@@ -3869,7 +3869,12 @@ def _append_assign_ctes() -> str:
     through the SAME frozen router (how its posting lists were stored
     at ingest time; the dedup-at-ingest rider joins the two). CTE names
     are disjoint from ``_twolevel_assign_ctes`` so the soak memo never
-    mistakes one chain for the other (this one stays a live replay)."""
+    mistakes one chain for the other. Since round 9 the chain IS
+    memoizable — ``driver_sim`` rewrites it to one ``mat_append`` temp
+    table for the riders (drift audit, dedup-at-ingest, serve) during
+    soaks — with ``q_ivf_index_append`` held out via ``_LIVE_PROOFS``
+    as the chain's standing fully-inlined live proof; memo == raw is
+    pinned in tests/test_oracle_memo.py."""
     t_sql = (
         f"(SELECT ({IVF_APPEND_NUM} * COUNT(*)) // {IVF_APPEND_DEN}"
         f" FROM embeddings)"
@@ -4280,11 +4285,16 @@ def q_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rider uses; the frozen one is the append fold), each sim is a
     K-row broadcast join, and the final aggregate uses decimal-exact
     sums so the averages are summation-order-independent across
-    engines. The oracle live-replays BOTH training chains side by side
-    (the append chain plus a z-prefixed copy of the two-level chain —
-    prefixed exactly so the soak memo cannot rewrite it), making this
-    the strictest cross-engine proof in the registry: two trainings,
-    two routings, two assignments, one hash."""
+    engines. The oracle composes BOTH training chains side by side:
+    the z-prefixed copy of the two-level chain always replays live
+    (its prefix dodges the soak memo by construction), while the
+    append chain is memo-eligible — during soaks ``driver_sim``
+    rewrites it to the shared ``mat_append`` table (bit-equal by
+    construction, pinned in tests/test_oracle_memo.py) and
+    ``q_ivf_index_append`` stands as that chain's live proof. Outside
+    soaks (and under SPARK_GRAFT_SIM_NO_ORACLE_MEMO=1) both chains
+    replay fully inlined: two trainings, two routings, two
+    assignments, one hash."""
     frozen = _append_assignment(spark, sf_dir).select(
         "vec_id", F.col("sim").alias("sim_frozen")
     )
@@ -4717,8 +4727,11 @@ def q_dedup_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     two already-materialized relations — no corpus-side recompute.
 
     The oracle replays training, both frozen-router assignments, and
-    the thresholded in-cluster pair scan end to end (live chain — the
-    third append-path proof). Pair membership AND similarities must
+    the thresholded in-cluster pair scan end to end. During soaks
+    ``driver_sim`` memoizes the append chain into ``mat_append`` for
+    this rider (``q_ivf_index_append`` stays the chain's live proof
+    via ``_LIVE_PROOFS``; memo == raw pinned in
+    tests/test_oracle_memo.py). Pair membership AND similarities must
     agree bit-for-bit."""
     return ingest_dedup_rows(
         _append_base_assignment(spark, sf_dir),

@@ -214,6 +214,43 @@ def _centroid_memo_rewriter(con):
     return rewrite
 
 
+# --- session cache hygiene (round-10 item 2) --------------------------------
+# The engine's session caches (shingle hash sets, IVF/k-means index
+# parts, RHP bit frames, BPE trainings, growth cells) are per-fixture
+# memos shared by every query of their family. Left in place for a
+# whole-registry soak they accumulate: the round-9 30x soak measured
+# late queries inflating 2-10x (q_contamination_check 194.8 s in-soak
+# vs 20.3 s isolated — persisted-frame storage pressure + GC, not the
+# plans). The fix: run the registry GROUPED by cache family (a query's
+# family = the operator module that defines it — caches are
+# module-local; sampling/graph ride dedup's shingle caches, so they
+# join that family) and release ALL session caches at each family
+# boundary. Clearing is always CORRECT (caches are transparent memos
+# that rebuild lazily); grouping makes it also CHEAP — within a family
+# the memo is shared, across families it is dead weight. Opt out with
+# SPARK_GRAFT_SIM_NO_FAMILY_CLEAR=1 (the pre-round-10 behavior).
+
+_FAMILY_OF_MODULE = {
+    # shingle-tier caches live in dedup.py; sampling + graph queries
+    # call into dedup's cached tiers, so they run inside that family
+    "dedup": "shingle",
+    "sampling": "shingle",
+    "graph": "shingle",
+    "similarity": "vector",  # IVF/k-means/PQ index parts + RHP frames
+    "text": "text",  # BPE trainings
+    "growth": "growth",  # activity cells
+}
+# cache-less modules run first (nothing to hold), then each cached
+# family contiguously; the vector family (largest persisted state)
+# runs last so its frames never sit under anyone else's queries
+_FAMILY_ORDER = ["misc", "growth", "text", "shingle", "vector"]
+
+
+def _family(fn) -> str:
+    mod = getattr(fn, "__module__", "").rsplit(".", 1)[-1]
+    return _FAMILY_OF_MODULE.get(mod, "misc")
+
+
 def norm(v):
     if isinstance(v, float):
         return round(v, 9)
@@ -289,7 +326,41 @@ def main() -> int:
         lines.append(msg)
         print(msg, file=sys.stderr, flush=True)
 
-    for name, fn in sorted(qs.items()):
+    no_family_clear = bool(
+        os.environ.get("SPARK_GRAFT_SIM_NO_FAMILY_CLEAR")
+    )
+    if no_family_clear:
+        ordered = sorted(qs.items())
+    else:
+        ordered = sorted(
+            qs.items(),
+            key=lambda kv: (
+                _FAMILY_ORDER.index(_family(kv[1])),
+                kv[0],
+            ),
+        )
+    fam_last: dict[str, str] = {}
+    for name, fn in ordered:
+        fam_last[_family(fn)] = name
+
+    def _maybe_clear(name: str, fn) -> None:
+        """Release every session cache when ``name`` closes its family
+        (always safe — memos rebuild lazily; later families build their
+        own). Keeps soak walls readable past 30x (round-10 item 2)."""
+        if no_family_clear:
+            return
+        fam = _family(fn)
+        if fam_last.get(fam) != name:
+            return
+        from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.caches import (  # noqa: E501
+            clear_all_session_caches,
+        )
+
+        clear_all_session_caches()
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        emit(f"## released session caches after family '{fam}'")
+
+    for name, fn in ordered:
         t_q = time.perf_counter()
         try:
             sdf = fn(spark, sf)
@@ -334,6 +405,8 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
             emit(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:160]}")
+        finally:
+            _maybe_clear(name, fn)
     print("\n".join(lines))
     print(f"TOTAL {len(qs)} queries, {len(osql)} oracles, FAILED: {fails or 'none'}")
     spark.stop()

@@ -539,8 +539,15 @@ def test_residual_pq_invariants(spark, sf_dir):
     pin); (b) the audit's
     trained_raw row equals q_pq_train_audit's trained row (same
     pipeline, standing cross-check); (c) residual reconstruction MSE
-    never exceeds the raw trained codebook's on the same corpus (the
-    coarse quantizer's explanation can only remove energy)."""
+    does not exceed the raw trained codebook's by more than a small
+    tolerance. (c) is FIXTURE-SPECIFIC, not a mathematical invariant
+    (round-9 ADVICE): both codebooks come from independent 2-iteration
+    Lloyd runs on different inputs, so local optima could invert the
+    inequality on a different fixture — the audit's own docstring
+    stresses the gain is data-dependent (~5% here). The 10% tolerance
+    keeps a future fixture change producing a comprehensible failure
+    here instead of a mystery flip; the measured sf0.001 contract
+    values are residual ≈ raw − 5%."""
     from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.similarity import (
         _pq_residual_frame,
         q_pq_residual_audit,
@@ -569,4 +576,7 @@ def test_residual_pq_invariants(spark, sf_dir):
         for r in q_pq_train_audit(spark, sf_dir).collect()
     }
     assert rows["trained_raw"] == trained["trained"]
-    assert rows["residual"][1] <= rows["trained_raw"][1]
+    # fixture-specific bound with tolerance, not an invariant (see
+    # docstring): residual MSE may exceed raw by Lloyd local-optimum
+    # noise, but a >10% excess means the residual pipeline broke
+    assert rows["residual"][1] <= rows["trained_raw"][1] * 1.10

@@ -25,6 +25,26 @@ from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # load-gated start (round-9 verdict item 8: BENCH_r09 was flagged
+    # not-comparable by its own load warning — a noisy co-tenant made
+    # same-code runs swing 21.8-39.9 s). If the host is already loaded,
+    # WAIT for it to quiet down (poll every 15 s, up to
+    # $SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default 600) before
+    # measuring anything; only after the budget expires do we proceed
+    # and let `readable: false` flag the run. The committed per-round
+    # number is then the min over 2 passes STARTED on a quiet host.
+    wait_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600")
+    )
+    load_waited = 0.0
+    while os.getloadavg()[0] > 2.0 and load_waited < wait_budget:
+        print(
+            f"# load1 {os.getloadavg()[0]:.2f} > 2 — waiting for a "
+            f"quiet host ({load_waited:.0f}/{wait_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load_waited += 15
     # stamp host load BEFORE the run: a loaded host inflates every number
     # uniformly (round-5's apparent 35% "regression" was load-average 4+),
     # so the JSON carries the context needed to read absolutes correctly
@@ -124,6 +144,7 @@ def main() -> None:
                 "noisy_queries": noisy,
                 "readable": readable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_waited_sec": load_waited,
                 "load1": load1_pre,
                 "load1_post": round(os.getloadavg()[0], 2),
             }

@@ -103,13 +103,24 @@ def rhp_band_bits(n: int, shard_bits: int = 0) -> int:
 # q_dedup_embedding; 1 shard bit at sf0.1's n=2000; 5 bits at the 10×
 # soak's n=20000) — the rule, not the constant, is the contract.
 RHP_SHARD_CAP = 1024
-RHP_SHARD_BITS_MAX = 8
+# Sanity ceiling only, NOT a capacity dial (round-10 item 4: the old
+# checked-in 8 was a real ceiling — SURVEY §7.1's 100 TB sizing needs
+# ~13 shard bits at 32G vectors, and raising it meant a manual code
+# edit plus an implicit frame re-fold). 40 bits ≈ 10^15 vectors at the
+# test-scale cap (far more at the production cap): the shard-plane
+# count is now derived from the corpus count by rhp_shard_bits() alone,
+# and the on-disk bit frame grows its stored planes incrementally
+# (rhp_frame_update appends missing planes, one fold per vector per new
+# plane — never a re-fold of standing planes).
+RHP_SHARD_BITS_MAX = 40
 RHP_SHARD_PLANE_BASE = RHP_BANDS * RHP_BAND_BITS_MAX  # 128
 
 
 def rhp_shard_bits(n: int) -> int:
-    """Smallest s in [0, RHP_SHARD_BITS_MAX] with 2^s · RHP_SHARD_CAP ≥
-    n (expected shard size ≤ cap); integer-exact, oracle-replayable."""
+    """Smallest s ≥ 0 with 2^s · RHP_SHARD_CAP ≥ n (expected shard size
+    ≤ cap); integer-exact, oracle-replayable, and unbounded in any
+    practical regime (RHP_SHARD_BITS_MAX is a sanity ceiling ~10^15
+    vectors, not a dial — round-10 item 4)."""
     for s in range(0, RHP_SHARD_BITS_MAX + 1):
         if (1 << s) * RHP_SHARD_CAP >= n:
             return s
@@ -285,20 +296,25 @@ def _rhp_bits_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _RHP_CACHE[key]
 
 
-# --- incremental bit-frame maintenance (round 9) ----------------------------
+# --- incremental bit-frame maintenance (round 9, planes round 10) -----------
 # The in-session frame above rebuilds from scratch per (session, fixture)
 # — ∝ N × plane count, ~150 s at the 100× soak point and growing linearly
 # with the corpus. But the planes are FIXED by hash (the LCG is a pure
 # function of (j, d)), so a vector's sign bits never change once
 # computed: the frame is append-only by construction, exactly like the
 # frozen-router index append. These helpers give it the same treatment —
-# an on-disk store holding the frame at FULL dial-independent width
-# (every band plane up to RHP_BAND_BITS_MAX and every shard plane up to
-# RHP_SHARD_BITS_MAX), so the expensive decimal folds are paid once per
-# vector EVER: growth only changes which PREFIX of the stored arrays the
-# dials read, never the stored bits themselves.
+# an on-disk store holding every band plane up to RHP_BAND_BITS_MAX
+# (the band dial saturates there by design; the shard dial takes over)
+# plus the shard planes THE CORPUS HAS DEMANDED SO FAR, so the expensive
+# decimal folds are paid once per (vector, plane) EVER. The frame grows
+# on BOTH axes incrementally (round-10 item 4):
+#   - new VECTORS fold all current planes (left-anti on vec_id);
+#   - new PLANES (the corpus outgrew the stored shard width) fold once
+#     per standing vector — cost ∝ N × new_planes, never a re-fold of
+#     stored planes, because plane j's bits are hash-fixed forever.
+# Within the stored width, growth only moves the PREFIX the dials read.
 
-RHP_FRAME_BITS = RHP_BANDS * RHP_BAND_BITS_MAX  # 128 — full store width
+RHP_FRAME_BITS = RHP_BANDS * RHP_BAND_BITS_MAX  # 128 — band-plane store width
 
 
 def rhp_frame_update(spark: SparkSession, sf_dir: str, store: str) -> dict:
@@ -306,32 +322,72 @@ def rhp_frame_update(spark: SparkSession, sf_dir: str, store: str) -> dict:
     ``store`` (a parquet directory) for the corpus at ``sf_dir``.
 
     Cost model (the point of the exercise): the decimal sign folds — the
-    heaviest per-row expression in the engine — run ONLY on vectors not
-    yet in the store (one left-anti join on vec_id finds them); standing
-    rows are carried by a column-pruned parquet scan. A delta batch of b
-    rows therefore costs ∝ b × planes + scan(N), vs the full rebuild's
-    ∝ N × planes fold. The rewrite is atomic (write-new-then-rename), so
-    a crashed update never corrupts the standing store. Returns
-    ``{"appended": b, "total": N}``."""
+    heaviest per-row expression in the engine — run ONLY on (vector,
+    plane) cells the store lacks: a delta batch of b rows costs
+    ∝ b × planes + scan(N) (left-anti on vec_id), and a corpus that has
+    outgrown the stored shard-plane width w_old folds ONLY the missing
+    planes [w_old, w_req) for standing vectors — ∝ N × new_planes,
+    joined back to ``embeddings`` for the raw vectors (the store keeps
+    bits, not vectors). A frame built when the dial said 8 therefore
+    serves a corpus demanding 10 after ONE delta update, no manual
+    constant bump, no re-fold (round-10 item 4). The rewrite is atomic
+    (write-new-then-rename), so a crashed update never corrupts the
+    standing store. Returns ``{"appended": b, "total": N,
+    "new_planes": w_req - w_old, "shard_planes": w_new}``."""
     import os
     import shutil
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+    s_req = rhp_shard_bits(n_total)
     old = spark.read.parquet(store) if os.path.exists(store) else None
+    if old is not None:
+        old_w = old.agg(F.max(F.size("sbits"))).first()[0] or 0
+    else:
+        old_w = 0
+    w_new = max(old_w, s_req) if old is not None else s_req
+    new_planes = w_new - old_w if old is not None else 0
+    if old is not None and new_planes > 0:
+        # plane append: fold ONLY the missing shard planes for standing
+        # vectors (hash-fixed planes ⇒ appending columns is exact);
+        # the join to embeddings re-supplies the raw vectors
+        ov = old.join(
+            emb.select(
+                "vec_id", as_double(F.col("embedding")).alias("v")
+            ),
+            "vec_id",
+        )
+        old = _spread(ov).select(
+            "vec_id",
+            "bits",
+            F.concat(
+                "sbits",
+                F.array(
+                    *_rhp_bit_exprs(
+                        F.col("v"),
+                        new_planes,
+                        start=RHP_SHARD_PLANE_BASE + old_w,
+                    )
+                ),
+            ).alias("sbits"),
+        )
     delta = (
         emb.join(old.select("vec_id"), "vec_id", "left_anti")
         if old is not None
         else emb
     )
     v = as_double(F.col("embedding"))
+    sb = (
+        F.array(
+            *_rhp_bit_exprs(v, w_new, start=RHP_SHARD_PLANE_BASE)
+        )
+        if w_new
+        else F.array().cast("array<int>")
+    )
     new_rows = _spread(delta).select(
         "vec_id",
         F.array(*_rhp_bit_exprs(v, RHP_FRAME_BITS)).alias("bits"),
-        F.array(
-            *_rhp_bit_exprs(
-                v, RHP_SHARD_BITS_MAX, start=RHP_SHARD_PLANE_BASE
-            )
-        ).alias("sbits"),
+        sb.alias("sbits"),
     )
     out = old.unionByName(new_rows) if old is not None else new_rows
     tmp = store.rstrip("/") + ".tmp"
@@ -341,7 +397,12 @@ def rhp_frame_update(spark: SparkSession, sf_dir: str, store: str) -> dict:
     if os.path.exists(store):
         shutil.rmtree(store)
     os.replace(tmp, store)
-    return {"appended": appended, "total": total}
+    return {
+        "appended": appended,
+        "total": total,
+        "new_planes": new_planes,
+        "shard_planes": w_new,
+    }
 
 
 def rhp_frame_load(
@@ -351,17 +412,30 @@ def rhp_frame_load(
     ``sf_dir`` — drop-in equal (bit-identical, pinned in
     tests/test_round9_ops.py) to what :func:`_rhp_bits_frame` computes
     from scratch, because both read sign bits of the same fixed planes
-    and a dial change only moves the prefix boundary."""
+    and a dial change only moves the prefix boundary. Callers must
+    :func:`rhp_frame_update` first when the corpus may have grown —
+    the guard below turns a stale-width store into a loud error
+    instead of a silently-short slice."""
     n = table(spark, sf_dir, "embeddings").count()
     bb = rhp_band_bits(n)
     ss = rhp_shard_bits(n)
     nbits = max(RHP_BITS, RHP_BANDS * bb)
+    df = spark.read.parquet(store)
+    if ss:
+        stored_w = df.agg(F.max(F.size("sbits"))).first()[0] or 0
+        if stored_w < ss:
+            raise ValueError(
+                f"RHP frame at {store} holds {stored_w} shard planes "
+                f"but the corpus dial demands {ss} — run "
+                "rhp_frame_update first (it appends missing planes "
+                "incrementally)"
+            )
     sbits = (
         F.slice("sbits", 1, ss)
         if ss
         else F.array().cast("array<int>")
     )
-    return spark.read.parquet(store).select(
+    return df.select(
         "vec_id",
         F.slice("bits", 1, nbits).alias("bits"),
         sbits.alias("sbits"),
@@ -4298,6 +4372,19 @@ def q_ivf_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen = _append_assignment(spark, sf_dir).select(
         "vec_id", F.col("sim").alias("sim_frozen")
     )
+    return drift_audit_rows(spark, sf_dir, frozen)
+
+
+def drift_audit_rows(
+    spark: SparkSession, sf_dir: str, frozen: DataFrame
+) -> DataFrame:
+    """The drift-audit aggregate with the frozen-index side supplied by
+    the caller as (vec_id, sim_frozen) — shared by the batch
+    ``q_ivf_drift_audit`` (session append assignment) and the streamed-
+    index form (``streaming/core.ivf_index_append_stream``'s sink read,
+    round-10 item 5: the audit must be readable off an index whose
+    posting lists grew continuously). The retrain side and the
+    decimal-exact averages are identical either way."""
     full = _twolevel_assignment(spark, sf_dir)
     fcents = _twolevel_centroids(spark, sf_dir)
     full_sim = full.join(F.broadcast(fcents), "cent_id").select(
@@ -5232,32 +5319,252 @@ def q_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", *_pqr_dist_cols_spark())
     )
 
-    def variant(dists: DataFrame, name: str) -> DataFrame:
-        rec = F.least(*[F.col(f"d0_{k}") for k in range(PQ_K)])
-        for s in range(1, PQ_M):
-            rec = rec + F.least(*[F.col(f"d{s}_{k}") for k in range(PQ_K)])
-        mse = dists.agg(
-            F.round(
-                F.sum(rec.cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1))
-                / F.lit(PCA_DIM),
-                6,
-            ).alias("mse")
-        )
-        sel = dists.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-            "vec_id", F.expr(_pq_adc_expr()).alias("adc"), "ex"
-        )
-        ta = sel.orderBy("adc", "vec_id").limit(PQ_TOP).select("vec_id")
-        te = sel.orderBy("ex", "vec_id").limit(PQ_TOP).select("vec_id")
-        nh = ta.join(te, "vec_id").agg(F.count(F.lit(1)).alias("nh"))
-        return nh.crossJoin(mse).select(
-            F.lit(name).alias("variant"),
-            F.round(F.col("nh") * F.lit(1.0) / PQ_TOP, 4).alias(
-                "recall_at_k"
-            ),
-            "mse",
-        )
+    return _pq_audit_variant(tdists, "trained_raw").unionByName(
+        _pq_audit_variant(rdists, "residual")
+    )
 
-    return variant(tdists, "trained_raw").unionByName(
-        variant(rdists, "residual")
+
+def _pq_audit_variant(dists: DataFrame, name: str) -> DataFrame:
+    """One audit row for a PQ scoring relation (the Spark twin of
+    ``_pq_variant_sql``): recall@{PQ_TOP} of ADC-ranked vs exact-ranked
+    top lists plus per-dimension reconstruction MSE — shared by
+    ``q_pq_residual_audit`` (full-corpus relations) and
+    ``q_pq_multiprobe_audit`` (multiprobe candidate relations)."""
+    rec = F.least(*[F.col(f"d0_{k}") for k in range(PQ_K)])
+    for s in range(1, PQ_M):
+        rec = rec + F.least(*[F.col(f"d{s}_{k}") for k in range(PQ_K)])
+    mse = dists.agg(
+        F.round(
+            F.sum(rec.cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(PCA_DIM),
+            6,
+        ).alias("mse")
+    )
+    sel = dists.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", F.expr(_pq_adc_expr()).alias("adc"), "ex"
+    )
+    ta = sel.orderBy("adc", "vec_id").limit(PQ_TOP).select("vec_id")
+    te = sel.orderBy("ex", "vec_id").limit(PQ_TOP).select("vec_id")
+    nh = ta.join(te, "vec_id").agg(F.count(F.lit(1)).alias("nh"))
+    return nh.crossJoin(mse).select(
+        F.lit(name).alias("variant"),
+        F.round(F.col("nh") * F.lit(1.0) / PQ_TOP, 4).alias(
+            "recall_at_k"
+        ),
+        "mse",
+    )
+
+
+# --- residual-PQ multiprobe (round-10 item 7) --------------------------------
+# The single-probe residual query scores only the query's own cell; the
+# production FAISS IndexIVFPQ search composes by_residual ADC with
+# nprobe > 1 — the query visits its nprobe nearest cells and builds ONE
+# LUT PER PROBED CELL from its residual to THAT cell's centroid
+# (q − c_probe), because candidates in cell c encoded r = v − c. Here
+# that is: probe list = top-IVF2_PROBES fine centroids by cosine (the
+# q_ann_ivf_multiprobe_twolevel rule), per-cell query residuals as a
+# ≤nprobe-row broadcast, and every candidate row scored against ITS
+# cell's LUT — the per-cell g-columns ride the same _pqr_dist_cols
+# template, with qrv now varying by cent_id instead of being one row.
+
+
+def _residual_multiprobe_cand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, embedding, rv, qrv, qe) — the multiprobe candidate
+    relation shared by ``q_ann_ivfpq_residual_multiprobe`` and
+    ``q_pq_multiprobe_audit``: candidates from the query's
+    top-{IVF2_PROBES} cells (same shard, the multiprobe-twolevel
+    convention), each carrying the PER-CELL query residual ``qrv`` its
+    LUT is built from."""
+    from pyspark.sql import Window
+
+    res = _pq_residual_frame(spark, sf_dir)
+    cents = _twolevel_centroids(spark, sf_dir)
+    qrow = res.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qe"), F.col("shard").alias("qsh")
+    )
+    qw = Window.orderBy(F.desc("q_sim"), F.asc("cent_id"))
+    probes = (
+        cents.crossJoin(F.broadcast(qrow))
+        .select(
+            "cent_id",
+            "cv",
+            cosine(F.col("cv"), F.col("qe")).alias("q_sim"),
+            "qe",
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= IVF2_PROBES)
+        .select(
+            "cent_id",
+            F.zip_with("qe", "cv", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    return (
+        res.join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(qrow))
+        .filter(
+            (F.col("shard") == F.col("qsh"))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id", F.col("v").alias("embedding"), "rv", "qrv", "qe"
+        )
+    )
+
+
+def _residual_multiprobe_ctes() -> str:
+    """Oracle replay of the multiprobe candidate relation (``mcand``):
+    index training + residual frame (shared ``_rres_ctes`` chain), the
+    probe ranking over the r-prefixed trained centroids, and the
+    per-cell query residuals."""
+    return f"""{_twolevel_assign_ctes()},
+        {_rres_ctes()},
+        rqb2 AS (
+            SELECT shard AS qsh, v AS qe
+            FROM rres WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        mprb AS (
+            SELECT cent_id, cv FROM (
+                SELECT c.cent_id, c.cv,
+                       ROW_NUMBER() OVER (
+                           ORDER BY {cosine_sql('c.cv', 'q.qe')} DESC,
+                                    c.cent_id
+                       ) AS rn
+                FROM rtcents c, rqb2 q
+            ) WHERE rn <= {IVF2_PROBES}
+        ),
+        mqr AS (
+            SELECT p.cent_id, {_residual_list_sql('q.qe', 'p.cv')} AS qrv
+            FROM mprb p, rqb2 q
+        ),
+        mcand AS (
+            SELECT f.vec_id, f.v AS embedding, f.rv, m.qrv, q.qe
+            FROM rres f JOIN mqr m ON f.cent_id = m.cent_id, rqb2 q
+            WHERE f.shard = q.qsh AND f.vec_id <> {QUERY_VEC_ID}
+        )"""
+
+
+def _ivfpq_residual_multiprobe_oracle() -> str:
+    dist_cols = ",\n                   ".join(_pqr_dist_cols("duck"))
+    return f"""
+        WITH {_residual_multiprobe_ctes()},
+        {_pqt_ctes('pr', _pqr_train_src_sql())},
+        mdists AS (
+            SELECT vec_id,
+                   {dist_cols}
+            FROM mcand CROSS JOIN prcbp
+        )
+        SELECT vec_id,
+               ROUND({_pq_adc_expr()}, 6) AS adc_dist,
+               ROUND(ex, 6) AS exact_dist
+        FROM mdists
+        ORDER BY {_pq_adc_expr()}, vec_id
+        LIMIT {PQ_TOP}
+    """
+
+
+@register(
+    "q_ann_ivfpq_residual_multiprobe",
+    tags=("similarity", "ann", "quantization", "scale"),
+    oracle=_ivfpq_residual_multiprobe_oracle(),
+)
+def q_ann_ivfpq_residual_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVFPQ residual search at nprobe = {IVF2_PROBES} — the FULL
+    production FAISS composition (round-10 item 7): the query visits
+    its {IVF2_PROBES} nearest fine-centroid cells (the recall dial
+    ``q_ann_ivf_multiprobe_twolevel`` demonstrates on raw cosines) and
+    scores each cell's candidates by residual ADC with a LUT built
+    PER PROBED CELL from q − c_probe — the IndexIVFPQ by_residual scan
+    rule, which the single-probe ``q_ann_ivfpq_residual`` specializes.
+    Output: ADC top-{PQ_TOP} over the union of probed cells, exact
+    distance alongside as the quantization-error audit.
+
+    Why per-cell LUTs are not optional: a candidate in cell c encoded
+    r = v − c, so its codes only mean anything relative to c — reusing
+    the home cell's LUT for neighbors mis-scores every non-home
+    candidate by the inter-centroid offset. Cost at 100 TB: the probe
+    list is a K-row broadcast window, the per-cell LUT table is ≤nprobe
+    rows of broadcast, candidates are nprobe × occupancy — the recall
+    dial turns without touching the index, and
+    ``q_pq_multiprobe_audit`` measures what the residual step buys at
+    this nprobe. The oracle replays index training, residual frame,
+    probe ranking, per-cell residuals, residual codebook training, and
+    ADC end to end."""
+    cand = _residual_multiprobe_cand(spark, sf_dir)
+    rcbp = _pq_residual_codebook(spark, sf_dir)
+    dists = cand.crossJoin(F.broadcast(rcbp)).select(
+        "vec_id", *_pqr_dist_cols_spark()
+    )
+    adc = F.expr(_pq_adc_expr())
+    return (
+        dists.select("vec_id", adc.alias("adc"), "ex")
+        .orderBy("adc", "vec_id")
+        .limit(PQ_TOP)
+        .select(
+            "vec_id",
+            F.round("adc", 6).alias("adc_dist"),
+            F.round("ex", 6).alias("exact_dist"),
+        )
+    )
+
+
+@register(
+    "q_pq_multiprobe_audit",
+    tags=("similarity", "ann", "quantization", "diagnostics", "scale"),
+    oracle=f"""
+        WITH {{MCAND}},
+        {{PQT}},
+        {{PQR}},
+        mtdists AS (
+            SELECT vec_id, {{TCOLS}}
+            FROM mcand CROSS JOIN pqcbp
+        ),
+        mrdists AS (
+            SELECT vec_id, {{RCOLS}}
+            FROM mcand CROSS JOIN prcbp
+        )
+        {{TROW}}
+        UNION ALL
+        {{RROW}}
+    """.replace("{MCAND}", _residual_multiprobe_ctes())
+    .replace("{PQT}", _pqt_ctes())
+    .replace("{PQR}", _pqt_ctes("pr", _pqr_train_src_sql()))
+    .replace("{TCOLS}", ",\n                   ".join(_pqt_dist_cols("duck")))
+    .replace("{RCOLS}", ",\n                   ".join(_pqr_dist_cols("duck")))
+    .replace("{TROW}", _pq_variant_sql("trained_raw", "mtdists"))
+    .replace("{RROW}", _pq_variant_sql("residual", "mrdists")),
+)
+def q_pq_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPROBE-PQ AUDIT — does residual encoding still pay at
+    nprobe = {IVF2_PROBES}? Both variants score the SAME multiprobe
+    candidate set (the union of the query's {IVF2_PROBES} probed
+    cells): ``trained_raw`` with raw-vector codes against the trained
+    codebook (one global LUT — raw codes are cell-independent, the
+    q_ann_ivf_pq_twolevel arrangement widened to nprobe cells) and
+    ``residual`` with per-cell LUTs (the
+    ``q_ann_ivfpq_residual_multiprobe`` rule). Reports recall@{PQ_TOP}
+    (ADC-ranked vs exact-ranked top lists over the candidate set) and
+    per-dimension reconstruction MSE per variant — the standing
+    measurement behind the round-10 done bar that the residual form's
+    recall is ≥ the raw-code multiprobe form's. As with
+    ``q_pq_residual_audit``, the margin is data-dependent (this
+    fixture's near-uniform embeddings leave the coarse quantizer
+    little energy to explain); the audit exists to MEASURE it, and the
+    oracle replays both codebook trainings, the index training, the
+    probe ranking, and both scoring pipelines end to end."""
+    cand = _residual_multiprobe_cand(spark, sf_dir)
+    cbp = _pq_trained_codebook(spark, sf_dir)
+    rcbp = _pq_residual_codebook(spark, sf_dir)
+    mtdists = cand.crossJoin(F.broadcast(cbp)).select(
+        "vec_id", *_pqt_dist_cols_spark()
+    )
+    mrdists = cand.crossJoin(F.broadcast(rcbp)).select(
+        "vec_id", *_pqr_dist_cols_spark()
+    )
+    return _pq_audit_variant(mtdists, "trained_raw").unionByName(
+        _pq_audit_variant(mrdists, "residual")
     )

@@ -610,6 +610,81 @@ def ann_serve_stream(
     return w.start()
 
 
+def ivf_index_append_batch_fn(spark, sf_dir: str, sink_dir: str):
+    """The foreachBatch body of :func:`ivf_index_append_stream`: route
+    the micro-batch through the FROZEN base-trained router and append
+    its (vec_id, cent_id, shard, sim) posting-list rows — EXACTLY the
+    batch rule of ``q_ivf_index_append`` (frozen centroids, frozen
+    per-cell split widths, cosine to the chosen centroid) — to the
+    delta sink. ``sim`` is stored RAW (riders round): the drift audit
+    aggregates it decimal-exact."""
+    from ..functions.vectors import as_double, cosine
+    from ..operators.similarity import _append_index, _route_assign
+
+    _, _, wmax, cents, coarse_arr, groups, pcm = _append_index(
+        spark, sf_dir
+    )
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bv = batch.select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+        routed = _route_assign(bv, coarse_arr, groups, pcm, wmax)
+        out = routed.join(F.broadcast(cents), "cent_id").select(
+            "vec_id",
+            "cent_id",
+            "shard",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        _append_delta_sink(out, sink_dir, batch_id)
+
+    return _append
+
+
+def ivf_index_append_stream(
+    vec_stream: DataFrame,
+    sf_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """STREAMING INDEX APPEND — the GROW leg that closes the
+    append-path lifecycle (round-10 item 5): arriving vectors are
+    routed per micro-batch through the FROZEN base-trained two-level
+    router (all broadcast state — K+√K router rows plus the ≤K-row
+    per-cell width map; no retraining, no re-split) and their
+    (cent_id, shard) posting-list assignments are appended DELTA-ONLY
+    to ``sink_dir`` — so route (this), audit (drift), filter
+    (dedup-at-ingest), and answer (serve) ALL run continuously, the
+    reference's everything-streaming posture applied to the index
+    lifecycle itself.
+
+    stream == batch by construction: each batch applies EXACTLY
+    ``q_ivf_index_append``'s rule (a vector's assignment depends only
+    on its own content + the frozen index), pinned by parity tests.
+    Idempotency is the delta-sink contract: batch replay overwrites its
+    own partition, source redelivery reproduces identical rows removed
+    at read by :func:`stream_sink_results` on ``vec_id``. The grown
+    index is the base posting lists UNION the sink read — and the
+    drift audit runs off it unchanged
+    (``operators/similarity.drift_audit_rows``), so the "when to
+    rebuild" alarm works on a continuously-grown index too.
+
+    Cost shape at 100 TB: per batch, |batch| routing folds against
+    broadcast state and an O(|batch|) append — linear in the arrival
+    batch, independent of both corpus size and stream lifetime (the
+    accumulate-view trap does not apply: nothing re-reads history on
+    the hot path). Returns the started query."""
+    spark = vec_stream.sparkSession
+    w = vec_stream.writeStream.outputMode("append").foreachBatch(
+        ivf_index_append_batch_fn(spark, sf_dir, sink_dir)
+    )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
 def funnel_stream(
     events: DataFrame,
     step_types: tuple[str, str, str] = ("view", "click", "purchase"),

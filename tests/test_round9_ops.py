@@ -377,15 +377,31 @@ def test_rhp_frame_incremental_parity(spark, sf_dir, tmp_path):
     pq.write_table(t.slice(0, t.num_rows // 2), half_dir / "embeddings.parquet")
     store = str(tmp_path / "frame_store")
 
+    # shard planes: the sf0.001 corpus sits under RHP_SHARD_CAP at both
+    # points, so the dial demands 0 stored planes throughout (the
+    # grow-the-planes leg is pinned by round-10's
+    # test_rhp_frame_plane_append)
     r1 = S.rhp_frame_update(spark, str(half_dir), store)
-    assert r1 == {"appended": t.num_rows // 2, "total": t.num_rows // 2}
+    assert r1 == {
+        "appended": t.num_rows // 2,
+        "total": t.num_rows // 2,
+        "new_planes": 0,
+        "shard_planes": 0,
+    }
     r2 = S.rhp_frame_update(spark, sf_dir, store)
     assert r2 == {
         "appended": t.num_rows - t.num_rows // 2,
         "total": t.num_rows,
+        "new_planes": 0,
+        "shard_planes": 0,
     }
     r3 = S.rhp_frame_update(spark, sf_dir, store)
-    assert r3 == {"appended": 0, "total": t.num_rows}
+    assert r3 == {
+        "appended": 0,
+        "total": t.num_rows,
+        "new_planes": 0,
+        "shard_planes": 0,
+    }
 
     got = _frame_rows(S.rhp_frame_load(spark, sf_dir, store))
     want = _frame_rows(S._rhp_bits_frame(spark, sf_dir))

@@ -120,7 +120,10 @@ def rhp_shard_bits(n: int) -> int:
     """Smallest s ≥ 0 with 2^s · RHP_SHARD_CAP ≥ n (expected shard size
     ≤ cap); integer-exact, oracle-replayable, and unbounded in any
     practical regime (RHP_SHARD_BITS_MAX is a sanity ceiling ~10^15
-    vectors, not a dial — round-10 item 4)."""
+    vectors, not a dial — round-10 item 4). NOTE the packed shard code
+    is an int32 in both engines, so s > 31 would need a BIGINT shard
+    column — that is ≈2.2T vectors at the test-scale cap (petabytes of
+    fp32×768), far past where the production cap re-derives s anyway."""
     for s in range(0, RHP_SHARD_BITS_MAX + 1):
         if (1 << s) * RHP_SHARD_CAP >= n:
             return s

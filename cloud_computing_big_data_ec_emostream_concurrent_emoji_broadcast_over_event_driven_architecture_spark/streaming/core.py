@@ -331,6 +331,8 @@ def bloom_probe_stream(
     docs_stream: DataFrame,
     seen_bits: DataFrame,
     name: str = "bloom_probe",
+    sink_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """STREAM-STATIC Bloom membership — incremental-crawl dedup as a
     stream job: incoming documents are shingled and probed against the
@@ -343,36 +345,34 @@ def bloom_probe_stream(
     stream == batch by construction (pinned in tests), there is no
     cross-batch streaming state at all — the membership decision is
     per-document — and the bit set stays a broadcast bounded by m rows
-    no matter how much reference corpus it summarizes.  Returns the
-    started query writing to the global temp view ``name``."""
+    no matter how much reference corpus it summarizes.
+
+    Sinks: same contract as :func:`semantic_dedup_stream` — with
+    ``sink_dir`` set (the production form) each batch's per-document
+    rows append DELTA-ONLY via :func:`_append_delta_sink` (per-batch
+    cost O(|batch|), flat over stream life, replay-idempotent;
+    redelivery removed at read by :func:`stream_sink_results` on
+    ``doc_id``); without it the rows accumulate in global temp view
+    ``name`` — the DEMO form whose per-batch re-checkpoint cost grows
+    with history (:func:`_accumulate_view`). Returns the started
+    query."""
     from ..operators.corpus import bloom_probe, shingle_rows
 
     spark = docs_stream.sparkSession
 
     def _probe(batch: DataFrame, batch_id: int) -> None:
         out = bloom_probe(shingle_rows(batch), seen_bits)
-        existing = [
-            t.name
-            for t in spark.catalog.listTables("global_temp")
-            if t.name == name
-        ]
-        if existing:
-            out = spark.table(f"global_temp.{name}").unionByName(out)
-        # eager localCheckpoint materializes the accumulated view so the
-        # next batch's union doesn't re-execute prior batches' plans;
-        # swap_view_checkpoint releases the batch it replaces (bounded
-        # storage over an unbounded stream)
-        from ..caches import swap_view_checkpoint
+        if sink_dir is not None:
+            _append_delta_sink(out, sink_dir, batch_id)
+        else:
+            _accumulate_view(spark, out, name, "doc_id")
 
-        ck = out.localCheckpoint(eager=True)
-        ck.createOrReplaceGlobalTempView(name)
-        swap_view_checkpoint(ck, name)
-
-    return (
-        docs_stream.writeStream.outputMode("append")
-        .foreachBatch(_probe)
-        .start()
+    w = docs_stream.writeStream.outputMode("append").foreachBatch(
+        _probe
     )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
 
 
 def _accumulate_view(spark, out: DataFrame, name: str, key: str) -> None:

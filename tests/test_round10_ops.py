@@ -349,3 +349,75 @@ def test_delta_sink_batch_replay_idempotent(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(sink).count() == len(first)
     )
+
+
+def test_bloom_probe_stream_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Round-10 item 1 extended to the crawl-dedup stream: the
+    delta-append sink form of bloom_probe_stream converges to the
+    batch q_dedup_bloom_shingles result exactly, and redelivering a
+    whole chunk changes nothing after the read-side doc_id dedup —
+    the same O(|batch|)-per-batch contract as the dedup/serve twins
+    (the last per-row accumulate-view user in streaming/core)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.catalog import (
+        table,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.corpus import (
+        bloom_bits,
+        q_dedup_bloom_shingles,
+        shingle_rows,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.streaming.core import (
+        bloom_probe_stream,
+        stream_sink_results,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen_bits = bloom_bits(
+        shingle_rows(docs.filter(F.col("doc_id") % 2 == 0))
+    ).localCheckpoint(eager=True)
+    probe_docs = docs.filter(F.col("doc_id") % 2 == 1)
+
+    directory = str(tmp_path / "docs_replay")
+    sink = str(tmp_path / "bloom_sink")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    rows = probe_docs.collect()
+    schema = probe_docs.schema
+    per = max(1, len(rows) // 3)
+    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(directory)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    q = bloom_probe_stream(
+        stream, seen_bits, sink_dir=sink, checkpoint_dir=ckpt
+    )
+    q.processAllAvailable()
+
+    def sink_rows():
+        return {
+            r.doc_id: (r.n_shingles, r.n_seen, r.seen_ratio)
+            for r in stream_sink_results(
+                spark, sink, ("doc_id",)
+            ).collect()
+        }
+
+    expected = {
+        r.doc_id: (r.n_shingles, r.n_seen, r.seen_ratio)
+        for r in q_dedup_bloom_shingles(spark, sf_dir).collect()
+    }
+    assert expected
+    assert sink_rows() == expected
+
+    # source redelivery: identical rows under a later batch id are
+    # removed by the read-side key dedup
+    spark.createDataFrame(chunks[0], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(directory)
+    q.processAllAvailable()
+    q.stop()
+    assert sink_rows() == expected

@@ -120,12 +120,17 @@ def release_transients() -> None:
 
 
 def _clearers():
+    from .catalog import clear_table_memo
     from .operators.dedup import clear_hashset_cache, clear_pair_cache
     from .operators.growth import clear_cells_cache
     from .operators.similarity import clear_ivf_cache, clear_rhp_cache
     from .operators.text import clear_bpe_cache
 
     return {
+        # plan-handle memo only (no persisted blocks): reader DataFrames
+        # keyed per session — cleared here so no stale JVM refs outlive
+        # a clear-all (round-10 optimization)
+        "table_reader_plans": clear_table_memo,
         "dedup_shingle_hashsets": clear_hashset_cache,
         # owns BOTH its handles and its checkpoint blocks (dedup-local
         # RDD-id list) — no ordering dependency on iterative_transients

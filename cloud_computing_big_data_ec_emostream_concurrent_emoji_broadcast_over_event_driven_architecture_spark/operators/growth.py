@@ -133,7 +133,18 @@ def growth_accounting_from_cells(cells: DataFrame) -> DataFrame:
     """Growth flows from an arbitrary distinct (user_id, day) cell
     table — factored out so property tests can drive it with synthetic
     activity patterns (hypothesis model check in
-    tests/test_properties.py)."""
+    tests/test_properties.py).
+
+    ROUND-10 OPTIMIZATION (guide §2.4 — remove shuffles outright): the
+    original form unioned two branches that each re-derived the same
+    lag/lead window, so the physical plan shuffled + sorted + windowed
+    the cell table TWICE (2× Exchange/Sort/Window; see
+    plans/r10/q_growth_accounting_before.txt). Each cell row now emits
+    its classification flow and (conditionally) its churn flow from ONE
+    window pass via an array explode — flow rows are identical by
+    construction (same predicates, same values, union order never
+    mattered because the next step is a day-keyed aggregate). At 100 TB
+    this halves the only data-sized shuffle in the query."""
     w = Window.partitionBy("user_id").orderBy("day")
     seq = cells.select(
         "user_id",
@@ -147,18 +158,29 @@ def growth_accounting_from_cells(cells: DataFrame) -> DataFrame:
         .when(F.datediff("day", "prev_day") == 1, F.lit("retained"))
         .otherwise(F.lit("resurrected"))
     )
-    classified = seq.select("day", flow.alias("flow"))
-    churned = (
-        seq.filter(
-            F.col("next_day").isNull()
-            | (F.datediff("next_day", "day") > 1)
-        )
-        .crossJoin(F.broadcast(max_day))
-        .filter(F.date_add("day", 1) <= F.col("max_day"))
-        .select(F.date_add("day", 1).alias("day"), F.lit("churned").alias("flow"))
+    churn_emit = (
+        F.col("next_day").isNull()
+        | (F.datediff("next_day", "day") > 1)
+    ) & (F.date_add("day", 1) <= F.col("max_day"))
+    emitted = F.concat(
+        F.array(F.struct(F.col("day").alias("day"), flow.alias("flow"))),
+        F.when(
+            churn_emit,
+            F.array(
+                F.struct(
+                    F.date_add("day", 1).alias("day"),
+                    F.lit("churned").alias("flow"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<day:date,flow:string>>")),
+    )
+    flows = (
+        seq.crossJoin(F.broadcast(max_day))
+        .select(F.explode(emitted).alias("e"))
+        .select(F.col("e.day").alias("day"), F.col("e.flow").alias("flow"))
     )
     return (
-        classified.unionByName(churned)
+        flows
         .groupBy("day")
         .agg(
             F.count(F.when(F.col("flow") == "new", 1)).alias("n_new"),

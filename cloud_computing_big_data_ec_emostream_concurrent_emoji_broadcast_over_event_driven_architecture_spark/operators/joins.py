@@ -764,16 +764,32 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in range(BJ_K)
     ]
-    passed = probed.filter(hits[0] & hits[1] & hits[2])
-    joined = passed.join(
-        F.broadcast(sel), passed["l_orderkey"] == sel["o_orderkey"], "left"
+    # ROUND-10 OPTIMIZATION (guide §1.2 — don't scan twice): n_fact was
+    # previously a SEPARATE count subtree over lineitem crossJoined onto
+    # the stats row, i.e. a second full pass over the fact table (see
+    # plans/r10/q_join_bloom_pruned_before.txt). The bloom verdict now
+    # rides each row as a `pass` column, the (broadcast) dim join keys on
+    # `pass AND key equality`, and ONE conditional aggregation pass
+    # produces every audit counter — same values (matched implies pass;
+    # decimal revenue sum is order-independent), one fact scan, no cross
+    # join. At 100 TB this halves fact-table I/O for the query.
+    withpass = probed.withColumn("pass", hits[0] & hits[1] & hits[2])
+    joined = withpass.join(
+        F.broadcast(sel),
+        (withpass["l_orderkey"] == sel["o_orderkey"]) & F.col("pass"),
+        "left",
     ).select(
-        F.col("o_orderkey").isNotNull().alias("matched"), "l_extendedprice"
+        "pass",
+        F.col("o_orderkey").isNotNull().alias("matched"),
+        "l_extendedprice",
     )
-    stats = joined.agg(
-        F.count("*").alias("n_pass"),
+    return joined.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_pass"),
         F.sum(F.when(F.col("matched"), 1).otherwise(0)).alias("n_joined"),
-        F.sum(F.when(F.col("matched"), 0).otherwise(1)).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("pass") & ~F.col("matched"), 1).otherwise(0)
+        ).alias("n_false_pos"),
         F.round(
             F.sum(
                 F.when(
@@ -785,11 +801,7 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("revenue"),
-    )
-    tot = li.agg(F.count("*").alias("n_fact"))
-    return F.broadcast(tot).crossJoin(stats).select(
-        "n_fact", "n_pass", "n_joined", "n_false_pos", "revenue"
-    )
+    ).select("n_fact", "n_pass", "n_joined", "n_false_pos", "revenue")
 
 
 ATTR_WINDOW_DAYS = 3  # attribution lookback

@@ -315,43 +315,58 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: hash = per-row projection (scan-bound); candidates = equi-join
     on (band_idx, 16-bit band value); verify reuses the carried band
-    values (no join back to the corpus)."""
+    values (no join back to the corpus).
+
+    ROUND-10 OPTIMIZATION (guide §7.2 duplicated-subtree audit): the
+    original carried b0..b3 as plain projected columns, and the
+    null-intolerant downstream predicates (join keys, ``hamming <=``)
+    made Catalyst infer ``isnotnull(b_j)`` filters and push them below
+    the explode — where each b_j re-derives the FULL 16-md5 block hash,
+    so the scan-side Filter evaluated ~64 md5() + re-encoded the payload
+    per row per side (see plans/r10/q_multimodal_phash_before.txt,
+    Filter (2)). The band values now ride INSIDE the exploded struct:
+    generator output is a pushdown barrier, so the inferred filters
+    stay above the Generate and reference the already-computed struct
+    fields. ``ph`` itself is computed once per row in its own projection
+    (CollapseProject keeps multi-referenced non-cheap aliases
+    un-inlined). Identical rows: same bands, same coverage predicate,
+    same Hamming arithmetic."""
     bf = binary_frame(spark, sf_dir).select(
         "doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
     )
     h = bf.select(
         "doc_id", "n_bytes", F.expr(_ph_hex_expr("spark")).alias("ph")
     )
-    b = h.select(
-        "doc_id",
-        "n_bytes",
+    bvals = [
+        F.expr(_ph_band_sql("spark", j)).cast("long")
+        for j in range(PH_BANDS)
+    ]
+    band_structs = F.array(
         *[
-            F.expr(_ph_band_sql("spark", j)).cast("long").alias(f"b{j}")
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                bvals[j].alias("band_val"),
+                *[bvals[k].alias(f"b{k}") for k in range(PH_BANDS)],
+            )
             for j in range(PH_BANDS)
-        ],
+        ]
     )
-    expl = b.select(
-        "doc_id",
-        "n_bytes",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
-        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(PH_BANDS)])).alias(
-            "band_idx", "band_val"
-        ),
-    ).filter(F.col("band_idx") * PH_BAND_BYTES < F.col("n_bytes"))
+    covered = F.filter(
+        band_structs,
+        lambda s: s["band_idx"] * PH_BAND_BYTES < F.col("n_bytes"),
+    )
+    expl = h.select("doc_id", F.explode(covered).alias("bk"))
     a = expl.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{j}").alias(f"a{j}") for j in range(PH_BANDS)],
-        "band_idx",
-        "band_val",
+        *[F.col(f"bk.b{j}").alias(f"a{j}") for j in range(PH_BANDS)],
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
     )
     c = expl.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{j}").alias(f"c{j}") for j in range(PH_BANDS)],
-        "band_idx",
-        "band_val",
+        *[F.col(f"bk.b{j}").alias(f"c{j}") for j in range(PH_BANDS)],
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
     )
     hamming = sum(
         F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}")))

@@ -29,6 +29,9 @@ def test_registry_covers_every_cache_family():
         "ivf_assignments",
         "rhp_sketches",
         "iterative_transients",
+        # round-10 optimization: reader-plan memo (no persisted blocks —
+        # holds unresolved scan plans only, cleared for ref hygiene)
+        "table_reader_plans",
     }
 
 

@@ -475,49 +475,60 @@ def q_multimodal_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape is identical: per-row hash projection, band equi-join
     (band key = the 16-hex string; Hamming folds over 32-bit words so
     the xor arithmetic stays in int64 in both engines), carried-value
-    verify, empty-tail-band guard."""
+    verify, empty-tail-band guard.
+
+    ROUND-10 OPTIMIZATION: same band-in-struct restructuring as the
+    base operator (see q_multimodal_phash) — the plain-column form let
+    inferred isnotnull filters push below the explode and re-derive the
+    full 16-md5 wide hash per filter term (the round-10 plan audit
+    counted 256 md5() evaluations inside one scan Filter). Band keys
+    and Hamming words now ride inside the generated struct; identical
+    rows by construction."""
     bf = binary_frame(spark, sf_dir).select(
         "doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
     )
     h = bf.select(
         "doc_id", "n_bytes", F.expr(_phw_hex_expr("spark")).alias("ph")
     )
-    word_cols = [
+    word_fields = [
         F.expr(_phw_word_sql("spark", j, w)).alias(f"w{j}_{w}")
         for j in range(PH_BANDS)
         for w in range(2)
     ]
-    band_cols = [
-        F.expr(_phw_band_sql("spark", j)).alias(f"bk{j}")
-        for j in range(PH_BANDS)
-    ]
-    b = h.select("doc_id", "n_bytes", *band_cols, *word_cols)
-    expl = b.select(
-        "doc_id",
-        *[F.col(f"w{j}_{w}") for j in range(PH_BANDS) for w in range(2)],
-        F.posexplode(
-            F.array(*[F.col(f"bk{j}") for j in range(PH_BANDS)])
-        ).alias("band_idx", "band_val"),
-    ).filter(F.col("band_idx") * PH_BAND_BYTES < F.col("n_bytes"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.expr(_phw_band_sql("spark", j)).alias("band_val"),
+                *word_fields,
+            )
+            for j in range(PH_BANDS)
+        ]
+    )
+    covered = F.filter(
+        band_structs,
+        lambda s: s["band_idx"] * PH_BAND_BYTES < F.col("n_bytes"),
+    )
+    expl = h.select("doc_id", F.explode(covered).alias("bk"))
     a = expl.select(
         F.col("doc_id").alias("doc_a"),
         *[
-            F.col(f"w{j}_{w}").alias(f"a{j}_{w}")
+            F.col(f"bk.w{j}_{w}").alias(f"a{j}_{w}")
             for j in range(PH_BANDS)
             for w in range(2)
         ],
-        "band_idx",
-        "band_val",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
     )
     c = expl.select(
         F.col("doc_id").alias("doc_b"),
         *[
-            F.col(f"w{j}_{w}").alias(f"c{j}_{w}")
+            F.col(f"bk.w{j}_{w}").alias(f"c{j}_{w}")
             for j in range(PH_BANDS)
             for w in range(2)
         ],
-        "band_idx",
-        "band_val",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
     )
     hamming = sum(
         F.bit_count(F.col(f"a{j}_{w}").bitwiseXOR(F.col(f"c{j}_{w}")))

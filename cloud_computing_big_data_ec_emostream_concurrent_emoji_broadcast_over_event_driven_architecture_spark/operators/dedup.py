@@ -117,7 +117,7 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     band together."""
     # Keyed by applicationId so a cached plan never outlives its
     # SparkSession (a stale entry would reference a stopped context);
-    # both persist levels are retained so clear_hashset_cache() can
+    # the persisted frame is retained so clear_hashset_cache() can
     # actually free the blocks.
     key = (spark.sparkContext.applicationId, sf_dir, "hs")
     if key not in _HASHSET_CACHE:
@@ -139,16 +139,25 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(shingles(tokens(F.col("text"))), md5_long)
             )
         )
-        # Two-level cache: `base` materializes the shingle+md5 expression
-        # exactly once and acts as a projection-collapse barrier — without
-        # it Catalyst pushes the size() filter below the projection and
-        # inlines `hs` into every downstream expression (16 signature
-        # mins would each re-shingle the document; measured ~16× slower).
-        # The enriched level adds sizes and the per-row minhash signature
-        # (cheap array ops over the cached `hs`) so every consumer branch
-        # (LSH banding ×2, candidate verification ×2, inverted index,
-        # Jaccard sizes) is a straight cache read.
-        base = docs.select("doc_id", hs.alias("hs")).persist()
+        # ROUND-10 OPTIMIZATION (guide §2.4/§5 — one materialization, not
+        # two): `base` used to be a SECOND persisted frame whose only job
+        # was (a) evaluating the shingle+md5 expression once and (b)
+        # acting as a projection-collapse barrier — without a barrier
+        # Catalyst inlines `hs` into every downstream expression (16
+        # signature mins would each re-shingle the document; measured
+        # ~16× slower). A Generate node is the same barrier for free:
+        # explode(array(hs)) evaluates the pipeline ONCE per row and
+        # downstream projections reference the generator's output
+        # attribute, which CollapseProject cannot inline (plan proof:
+        # the enriched build contains exactly one md5() per Generate
+        # branch, plans/r10/cache_build_after.txt). The hot-list branch
+        # re-derives `hs` once more instead of reading a cache — at
+        # fixture scale that is cheaper than the cache write it replaces
+        # (build 1.40 s -> 0.93 s min-of-3 at sf0.1), and at 100 TB it
+        # removes a corpus-sized executor cache that was read twice and
+        # never touched again (guide §5: cache only when reuse outweighs
+        # the memory pressure).
+        gen = docs.select("doc_id", F.explode(F.array(hs)).alias("hs"))
         sig = F.array(
             *[
                 F.array_min(F.transform(F.col("hs"), _universal_hash(a, b)))
@@ -162,14 +171,14 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # it as a cache column instead of re-deriving the df aggregation
         # on both sides of the join (measured 3.4× slower that way).
         hot_arr = (
-            base.select(F.explode("hs").alias("h"))
+            gen.select(F.explode("hs").alias("h"))
             .groupBy("h")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > JACCARD_DF_CAP)
             .agg(F.collect_list("h").alias("hot"))
         )
         enriched = (
-            base.filter(F.size("hs") > 0)
+            gen.filter(F.size("hs") > 0)
             .crossJoin(F.broadcast(hot_arr))
             .select(
                 "doc_id",
@@ -180,7 +189,7 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        _HASHSET_CACHE[key] = (enriched, base)
+        _HASHSET_CACHE[key] = (enriched,)
     return _HASHSET_CACHE[key][0]
 
 
@@ -875,15 +884,32 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     """Convergence-checked connected components via min-label propagation.
 
     ``edges`` must be a SYMMETRIZED (src, dst) edge list. Each round every
-    node takes the min label among itself and its neighbors; the loop stops
-    at the first round that changes zero labels (a true fixed point), not
-    after a fixed unroll — so chain-shaped components of any diameter
-    converge to one cluster id. Each round is ``localCheckpoint()``-ed:
-    the per-round changed-label count (the only driver-side action) reuses
-    the materialized round, and lineage is truncated so an iterative plan
-    never accretes — the standard requirement for iterative graph
-    algorithms on Spark at scale. Labels (not documents) shuffle each
-    round; the edge list is persisted by the caller.
+    node takes the min label among itself and its neighbors, then
+    POINTER-JUMPS (label <- label of its label — the shortcutting step of
+    the classic Shiloach-Vishkin / large-star family): a chain that plain
+    propagation crosses one hop per round collapses in O(log diameter)
+    rounds instead of O(diameter). ROUND-10 OPTIMIZATION (guide §1.2 —
+    fix the distributed algorithm first): the jump step is one extra
+    equi-join on the label table per round; measured on sf0.01
+    driver_sim runs it cut q_dedup_cluster_sizes from 94.6 s to 15.0 s
+    (first-in-family, includes cache build), q_dedup_clusters from
+    15.4 s to 6.1 s and q_dedup_keep_best from 12.7 s to 6.3 s, all
+    oracles MATCH (tests pin a diameter-31 chain converging within 8
+    combined rounds, where plain propagation needs 31). The fixed point is
+    UNCHANGED: labels only decrease, every label value is a member
+    doc_id, and a round that changes zero labels is in particular stable
+    under plain neighbor-min — the termination certificate the oracle's
+    recursive-reachability CTE checks.
+
+    The loop stops at the first round that changes zero labels (a true
+    fixed point), not after a fixed unroll — so chain-shaped components
+    of any diameter converge to one cluster id. Each round is
+    ``localCheckpoint()``-ed: the per-round changed-label count (the only
+    driver-side action) reuses the materialized round, and lineage is
+    truncated so an iterative plan never accretes — the standard
+    requirement for iterative graph algorithms on Spark at scale. Labels
+    (not documents) shuffle each round; the edge list is persisted by
+    the caller.
 
     Returns (doc_id, lbl) with lbl = min doc_id of the component.
     """
@@ -904,17 +930,31 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             .groupBy("src")
             .agg(F.min("nlbl").alias("nmin"))
         )
+        half = labels.join(
+            neighbor_min.withColumnRenamed("src", "doc_id"),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            F.col("lbl").alias("prev_lbl"),
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # shortcut: follow the label pointer once (lbl <- lbl of lbl).
+        # `half` appears as two subtrees of the one materializing job —
+        # at label-table scale that duplicate is far cheaper than the
+        # extra checkpoint job it would take to share it.
+        jump = half.select(
+            F.col("doc_id").alias("j_doc"), F.col("lbl").alias("j_lbl")
+        )
         stepped = (
-            labels.join(
-                neighbor_min.withColumnRenamed("src", "doc_id"),
-                "doc_id",
-                "left",
-            )
+            half.join(jump, half["lbl"] == jump["j_doc"], "left")
             .select(
                 "doc_id",
-                F.col("lbl").alias("prev_lbl"),
+                "prev_lbl",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("j_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint()

@@ -31,15 +31,33 @@ def test_chain_diameter_5_converges_to_one_component(spark):
     edges.unpersist()
 
 
-def test_three_round_unroll_is_insufficient_on_the_same_chain(spark):
-    # Regression guard for WHY the fixpoint loop exists: capping the same
-    # loop at 3 rounds splits the diameter-5 chain into >1 cluster ids.
-    edges = _sym_edges(spark, _chain(6)).persist()
+def test_three_round_unroll_is_insufficient_on_a_deep_chain(spark):
+    # Regression guard for WHY the fixpoint loop exists: a truncated
+    # iteration count splits a deep chain into >1 cluster ids. Since the
+    # round-10 pointer-jumping optimization a round covers multiple hops
+    # (the diameter-5 chain now converges within 3 rounds — that speedup
+    # is the point), so the guard uses a diameter-63 chain, far past the
+    # ~3x-per-round reach of 3 combined propagate+jump rounds.
+    edges = _sym_edges(spark, _chain(64)).persist()
     truncated = {
         r["doc_id"]: r["lbl"]
         for r in connected_components(edges, max_iters=3).collect()
     }
     assert len(set(truncated.values())) > 1
+    edges.unpersist()
+
+
+def test_pointer_jumping_converges_deep_chain_in_few_rounds(spark):
+    # The shortcutting step must collapse a diameter-31 chain in
+    # O(log n) combined rounds: 8 rounds would take >=31 plain
+    # propagation rounds without the jump, so convergence inside 8
+    # proves the label-of-label join is live.
+    edges = _sym_edges(spark, _chain(32)).persist()
+    labels = {
+        r["doc_id"]: r["lbl"]
+        for r in connected_components(edges, max_iters=8).collect()
+    }
+    assert labels == {f"a{i}": "a0" for i in range(32)}
     edges.unpersist()
 
 

@@ -3240,6 +3240,16 @@ def q_dedup_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
+    # ROUND-10 NOTE (guide §3.1 — strategy picked by measurement, kept
+    # deliberate): the bucket self-join runs as SortMergeJoin. A
+    # SHUFFLE_HASH hint was tried (bucket occupancy is capped, so the
+    # build side is bounded and SHJ is safe) and measured SLOWER at
+    # sf0.1 — noop min 0.57 s (SMJ) vs 1.24 s (SHJ) under identical
+    # load: building per-partition hash relations over rows that carry
+    # the full embedding arrays costs more than sorting them, and the
+    # sort feeds the join's (cent_id, shard) clustering for free. Keep
+    # SMJ; it also spills gracefully if a future corpus breaks the
+    # occupancy cap.
     pairs = (
         a.join(b, ["cent_id", "shard"])
         .filter(F.col("keep_cand") < F.col("drop_id"))

@@ -1350,10 +1350,11 @@ _BPE_CACHE: dict[tuple[str, str], tuple] = {}
 def clear_bpe_cache() -> None:
     """Unpersist + drop all memoized BPE trainings (test hygiene)."""
     for cached, _ in _BPE_CACHE.values():
-        try:
-            cached.unpersist()
-        except Exception:
-            pass
+        for df in cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     _BPE_CACHE.clear()
 
 
@@ -1385,7 +1386,23 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         )
         .persist()
     )
+    # ROUND-10 OPTIMIZATION (guide §3.3/§5 — materialize the steps of an
+    # iterative loop): `cur` used to chain declaratively across the four
+    # merge iterations, so iteration k's argmax subtree replayed the
+    # whole fold chain below it and the main branch replayed it again —
+    # 2^k copies of every earlier iteration in the final plan (the plan
+    # audit counted 60+ Exchange nodes; driver_sim sf0.01 measured
+    # q_bpe_tokenize_cost at 28.2 s and q_bpe_train_merges at 15.1 s
+    # spark wall). Persisting each iteration's vocab-sized `cur` (tens
+    # of thousands of rows at ANY corpus scale — this is the aggregated
+    # word-frequency table, never the corpus) makes every iteration
+    # read the materialized previous one: the chain is evaluated once,
+    # and the 2^k replay is gone (measured after: 9.3 s first-touch /
+    # 1.8 s rider on the same driver_sim run, oracle MATCH). All five
+    # frames are registered in _BPE_CACHE and released by
+    # clear_bpe_cache / the family clearer.
     cur = base
+    persisted = [base]
     merge_rows = []
     for it in range(1, BPE_ITERS + 1):
         syms = F.split(F.col("sym"), " ")
@@ -1442,13 +1459,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 ),
             ).otherwise(F.concat(acc, F.lit(" "), x)),
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
-            "w", "freq", folded.alias("sym")
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select("w", "freq", folded.alias("sym"))
+            .persist()
         )
+        persisted.append(cur)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
-    _BPE_CACHE[key] = (base, (cur, out))
+    _BPE_CACHE[key] = (persisted, (cur, out))
     return cur, out
 
 

@@ -738,8 +738,19 @@ def test_scd2_pit_join_no_join_single_user_shuffle(spark, sf_dir):
 def test_bpe_train_chains_from_cached_vocab(spark, sf_dir):
     """BPE training: the corpus is scanned once into the persisted
     word-frequency cache; every merge iteration (and each union branch
-    of the 4-row output) chains from vocab-sized data — no live corpus
-    scan, no sort-merge joins (argmax rows ride 1-row broadcasts)."""
+    of the 4-row output) chains from vocab-sized persisted data — no
+    live corpus scan, no sort-merge joins (argmax rows ride 1-row
+    broadcasts). The cache is cleared first so the explain shows the
+    UNMATERIALIZED stored plans: once an AQE-executed cache is printed,
+    its nested ResultQueryStage blocks reset indentation and defeat
+    ``_strip_cached_subtrees``'s indent heuristic (the round-10
+    per-iteration persist made the stored plans nested, which is where
+    the suite first hit that)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.text import (
+        clear_bpe_cache,
+    )
+
+    clear_bpe_cache()
     plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_bpe_train_merges"))
     assert "FileScan parquet" not in plan
     assert "SortMergeJoin" not in plan
@@ -748,7 +759,13 @@ def test_bpe_train_chains_from_cached_vocab(spark, sf_dir):
 def test_bpe_tokenize_cost_single_corpus_scan(spark, sf_dir):
     """Tokenizer apply: one corpus explode scan; the word->token-count
     vocab joins as a broadcast (memoized segmentation, never a re-fold
-    per occurrence)."""
+    per occurrence). Fresh cache for the same stripping reason as
+    test_bpe_train_chains_from_cached_vocab."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.operators.text import (
+        clear_bpe_cache,
+    )
+
+    clear_bpe_cache()
     plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_bpe_tokenize_cost"))
     assert plan.count("FileScan parquet") == 1
     assert "BroadcastHashJoin" in plan

@@ -903,7 +903,19 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     words × pairs, independent of event count, and is EXACT (the KMV
     twin ``q_sketch_kmv_setops`` is the bounded-memory estimate when
     even word tables are too big). Sign-safe pmod keying as in
-    ``q_bitmap_distinct``."""
+    ``q_bitmap_distinct``.
+
+    ROUND-10 OPTIMIZATION (guide §1.2/§2.4): the previous form built the
+    word table FOUR times (a/b join sides + the two per-type size
+    branches — Catalyst does not reuse the exchange across them,
+    measured 0 ReusedExchange in the executed plan) and attached sizes
+    via two extra joins. The diagonal of the intersection matrix IS the
+    set size (popcount(w AND w) = popcount(w), and the (type, word_id)
+    agg makes each diagonal word pair join exactly once), so the
+    self-join now keeps ``type_a <= type_b`` and the per-type sizes are
+    recovered from the (t, t) rows by two windows over the ≤ |types|²
+    aggregated rows — 4 fact aggregations → 2 (the unavoidable
+    self-join sides), 3 joins → 1, at every scale."""
     ev = table(spark, sf_dir, "events")
     words = (
         ev.select(
@@ -920,9 +932,6 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "word_id")
         .agg(F.bit_or("bit").alias("word"))
     )
-    sizes = words.groupBy("event_type").agg(
-        F.sum(F.bit_count("word")).cast("bigint").alias("n_users")
-    )
     a = words.select(
         F.col("event_type").alias("type_a"),
         "word_id",
@@ -933,9 +942,9 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_id",
         F.col("word").alias("wb"),
     )
-    inter = (
+    inter_all = (
         a.join(b, "word_id")
-        .filter(F.col("type_a") < F.col("type_b"))
+        .filter(F.col("type_a") <= F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(
             F.sum(F.bit_count(F.expr("wa & wb")))
@@ -943,15 +952,15 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_overlap")
         )
     )
-    sa = sizes.select(
-        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
-    )
-    sb = sizes.select(
-        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
-    )
+    diag = F.when(F.col("type_a") == F.col("type_b"), F.col("n_overlap"))
     out = (
-        inter.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
+        inter_all.withColumn(
+            "users_a", F.max(diag).over(Window.partitionBy("type_a"))
+        )
+        .withColumn(
+            "users_b", F.max(diag).over(Window.partitionBy("type_b"))
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
     )
     union_sz = F.col("users_a") + F.col("users_b") - F.col("n_overlap")
     return out.select(

@@ -86,14 +86,19 @@ def q_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (within- or cross-document — planted near-dup docs share aligned
     spans, which is exactly what this catches).
 
-    Plan: the passage list is built NARROW (transform over a sequence —
-    no explode until the passage hash is a scalar), then one shuffle on
-    the 32-hex passage key for the occurrence count and one shuffle back
-    on doc_id for the per-doc rollup.  At 100 TB that is the canonical
-    2-shuffle dedup-stats shape; the passage-key shuffle carries ~N/10
-    fixed-width rows (never the text), and hot keys (boilerplate
-    passages) are bounded because the count aggregate partial-combines
-    map-side before the exchange."""
+    Plan (ROUND-10 OPTIMIZATION, guide §2.4/§1.2): the passage list is
+    built NARROW (transform over a sequence — no explode until the
+    passage hash is a scalar), and the corpus-wide occurrence count is a
+    WINDOW over the passage key instead of a groupBy + self-join — the
+    join form derived the exploded passage table TWICE (two full
+    scan+tokenize+md5 branches) and at cluster scale shuffles it twice
+    (count build + join probe); the window form derives it once and
+    shuffles it exactly once, then one shuffle back on doc_id for the
+    per-doc rollup.  The key that shuffles is the 16-byte unhexed md5
+    (half the bytes of the 32-hex string; unhex is injective so the
+    occurrence counts are unchanged).  Hot keys (boilerplate passages)
+    land in one window partition either way — same locality as the join
+    form's probe side, minus the second copy."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     P = PASSAGE_TOKENS
     d = docs.select("doc_id", _toks().alias("toks"))
@@ -105,21 +110,25 @@ def q_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         npass > 0,
         F.transform(
             F.sequence(F.lit(0).cast("long"), npass - 1),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(F.col("toks"), i * P + 1, P))
+            lambda i: F.unhex(
+                F.md5(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i * P + 1, P))
+                )
             ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
     p = d.select("doc_id", F.explode(passages).alias("ph"))
-    cnt = p.groupBy("ph").agg(F.count("*").alias("occ"))
-    dup = F.when(F.col("occ") >= 2, 1).otherwise(0)
+    from pyspark.sql import Window
+
+    occ = F.count("*").over(Window.partitionBy("ph"))
+    dup = F.when(occ >= 2, 1).otherwise(0)
     return (
-        p.join(cnt, "ph")
+        p.select("doc_id", dup.alias("is_dup"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_passages"),
-            F.sum(dup).alias("n_dup_passages"),
-            F.round(F.sum(dup) / F.count("*"), 6).alias("dup_ratio"),
+            F.sum("is_dup").alias("n_dup_passages"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_ratio"),
         )
     )
 

@@ -829,11 +829,24 @@ def test_growth_accounting_single_data_shuffle(spark, sf_dir):
 
 def test_audience_overlap_no_raw_pair_shuffle(spark, sf_dir):
     """The pairwise stage joins WORD tables (word_id key), never raw
-    (type, user) rows; sizes are broadcast onto the pair rollup."""
+    (type, user) rows. Round-10 shape: the word self-join is the ONLY
+    join — per-type sizes come from the diagonal (t, t) rows via two
+    windows over the aggregated pair table, not from broadcast size
+    joins (which each rebuilt the word aggregation from the fact
+    table)."""
     plan = _strip_cached_subtrees(_plan(spark, sf_dir, "q_audience_overlap"))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # sa and sb joins
+    joins = (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1  # the word_id self-join, and nothing else
+    assert plan.count("Window") == 2  # users_a / users_b off the diagonal
     assert "Expand" not in plan  # no count-distinct expand anywhere
+    # the fact table feeds exactly the two self-join sides, not four
+    # independent aggregation branches
+    assert plan.count("events.parquet") <= 2
 
 
 def test_xcorr_grid_join_is_equi_not_nested_loop(spark, sf_dir):

@@ -429,7 +429,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles in the whole query are the LSH band join and the candidate
     # verification joins.
     hdf = _hashed_shingle_sets(spark, sf_dir)
-    cand = minhash_candidate_pairs(spark, sf_dir)
+    # ROUND-10 OPTIMIZATION (guide §2.3/§2.4, same rationale and
+    # measurement family as q_dedup_ngram_jaccard): candidates arrive
+    # RAW (one row per shared band, duplication ≤ NUM_BANDS, measured
+    # 2.1× at sf0.1) and the distinct runs on the survivor stream —
+    # duplicate candidates verify to identical (ids, rounded jaccard)
+    # rows, so the final row set is unchanged (oracle MATCH), while the
+    # full exchange + two hash aggregates over every collision pair are
+    # skipped (measured 1.06 s → 0.49 s at sf0.1).
+    # ``minhash_candidate_pairs`` keeps the distinct form — it is the
+    # pinned audit surface for candidate COUNTS (tests/test_skew.py).
+    from ..streaming.minhash import lsh_candidates_raw
+
+    cand = lsh_candidates_raw(hdf.select("doc_id", "sig")).withColumnsRenamed(
+        {"id_a": "doc_id_a", "id_b": "doc_id_b"}
+    )
     # Exact verification of candidates only: join each candidate pair back
     # to the doc-level hashed sets and intersect the ARRAYS — join
     # cardinality is one row per candidate pair (vs one per shingle
@@ -447,6 +461,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+        .distinct()
     )
 
 
@@ -484,11 +499,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of running both tiers over 100 TB is one extra filter over the
     already-joined candidate rows. Jaccard is emitted alongside so
     downstream can distinguish true near-dups from containment-only
-    pairs."""
-    from ..streaming.minhash import lsh_candidates
+    pairs. Candidates arrive RAW (distinct deferred to survivors — see
+    q_dedup_minhash's round-10 note; identical rows, one exchange
+    saved)."""
+    from ..streaming.minhash import lsh_candidates_raw
 
     hdf = _hashed_shingle_sets(spark, sf_dir)
-    cand = lsh_candidates(hdf.select("doc_id", "sig")).withColumnsRenamed(
+    cand = lsh_candidates_raw(hdf.select("doc_id", "sig")).withColumnsRenamed(
         {"id_a": "doc_id_a", "id_b": "doc_id_b"}
     )
     ha = hdf.select(
@@ -508,11 +525,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = F.col("c") / F.least("na", "nb")
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return verified.filter(cont >= CONTAINMENT_THRESHOLD).select(
-        "doc_id_a",
-        "doc_id_b",
-        F.round(cont, 6).alias("containment"),
-        F.round(jac, 6).alias("jaccard"),
+    return (
+        verified.filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .distinct()
     )
 
 

@@ -89,12 +89,17 @@ def lsh_band_rows(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).select(id_col, "bk.band", "bk.band_key")
 
 
-def lsh_candidates(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """The periodic batch half: banded equi-join over a signature table →
-    distinct candidate pairs (id_a < id_b). Cost is O(docs × bands) keyed
-    on (band, band_key) — never an all-pairs join. Verification (exact
-    Jaccard over the shingle sets) happens downstream against the corpus,
-    exactly as in q_dedup_minhash."""
+def lsh_candidates_raw(
+    sig_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band-collision pairs WITHOUT the distinct — one row per shared
+    band (a pair colliding in k bands appears k times, k ≤ NUM_BANDS).
+    ROUND-10 OPTIMIZATION (guide §2.3/§2.4): verifiers whose per-pair
+    output is deterministic defer the dedup to the (tiny) survivor
+    stream instead of paying a full exchange + two hash aggregates over
+    every collision here — measured 1.06 s → 0.49 s for q_dedup_minhash
+    at sf0.1 (duplication factor 2.1, candidate count 14.7k; the
+    deferred exchange cost more than double-verification)."""
     bands = lsh_band_rows(sig_df, id_col)
     # rename-then-join-on-key-list: sidesteps self-join attribute
     # ambiguity (both sides share one lineage); the id_a < id_b filter is
@@ -105,5 +110,14 @@ def lsh_candidates(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         x.join(y, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+
+
+def lsh_candidates(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The periodic batch half: banded equi-join over a signature table →
+    distinct candidate pairs (id_a < id_b). Cost is O(docs × bands) keyed
+    on (band, band_key) — never an all-pairs join. Verification (exact
+    Jaccard over the shingle sets) happens downstream against the corpus,
+    exactly as in q_dedup_minhash (which, like the other batch verifiers,
+    rides :func:`lsh_candidates_raw` and dedups survivors instead)."""
+    return lsh_candidates_raw(sig_df, id_col).distinct()

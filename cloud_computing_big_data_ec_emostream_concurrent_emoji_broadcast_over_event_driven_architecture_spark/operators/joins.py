@@ -1223,24 +1223,43 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     with full weight, so per-channel attributed_purchases sums exactly
     to the purchase count (conservation pinned by test).
 
-    Plan: each touch finds ITS next purchase via the forward as-of
-    window (no join node, no hot-user range blowup); the per-purchase
-    touch count is one purchase-keyed aggregation and the credit join
-    is co-partitioned on that same key. Fractional credits round to 10
-    dp in double (identical IEEE on both engines) then accumulate as
-    decimal(28,10) — exact, order-free summation — before the final
-    rounded readout. Conservation is EXACT, not to-the-grain: the
-    FIRST touch of each purchase (ts, event_id order) takes the
-    remainder ``1 − (n−1)·round(1/n, 10)`` so per-purchase credit sums
-    to precisely 1 (and weighted value to round(p_value, 10)) in exact
-    decimal arithmetic; the remainder product stays in DECIMAL(12,10)
-    × DECIMAL(7,0) lanes, inside both engines' no-truncation precision
-    rules (documented bound: < 10^7 touches per purchase)."""
+    Plan (ROUND-10 OPTIMIZATION, guide §1.2/§2.4 — the old form
+    replayed the user-window chain FOUR times: once under the credit
+    rows, once under the per-purchase count, and once under each side
+    of the direct anti-join): the whole query is now ONE tree over ONE
+    events scan. Each touch finds ITS next purchase via the forward
+    as-of window; a BACKWARD window in the SAME user partition (same
+    exchange+sort) marks each purchase as direct — a purchase is
+    credited iff its latest preceding touch after the previous purchase
+    is inside the lookback (earlier touches have smaller ts, so the
+    latest is the easiest to qualify). Credited touches and direct
+    purchases then flow through one partition-keyed Window: touches key
+    on their purchase's id, direct purchases on their OWN event_id
+    (collision-free — a direct purchase, by definition, is nobody's
+    p_id), so count-over-window replaces the per-purchase aggregation
+    AND the credit join, and a direct purchase degenerates to n=1,
+    rn=1, making the remainder formula yield exactly w=1,
+    wv=round(value, 10) — the same expression covers both row classes.
+    Fractional credits round to 10 dp in double (identical IEEE on both
+    engines) then accumulate as decimal(28,10) — exact, order-free
+    summation — before the final rounded readout. Conservation is
+    EXACT, not to-the-grain: the FIRST touch of each purchase (ts,
+    event_id order) takes the remainder ``1 − (n−1)·round(1/n, 10)`` so
+    per-purchase credit sums to precisely 1 (and weighted value to
+    round(p_value, 10)) in exact decimal arithmetic; the remainder
+    product stays in DECIMAL(12,10) × DECIMAL(7,0) lanes, inside both
+    engines' no-truncation precision rules (documented bound: < 10^7
+    touches per purchase)."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(1, Window.unboundedFollowing)
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
 
     def nxt_of(col: str):
@@ -1249,6 +1268,9 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ignorenulls=True,
         ).over(w)
 
+    is_touch = F.col("event_type").isin(*ATTR_TOUCHES)
+    is_purchase = F.col("event_type") == "purchase"
+    pos = F.struct("ts", "event_id")
     nxt = ev.select(
         "event_id",
         "event_type",
@@ -1257,63 +1279,70 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt_of("ts").alias("p_ts"),
         nxt_of("event_id").alias("p_id"),
         nxt_of("value").alias("p_value"),
+        F.last(F.when(is_touch, pos), ignorenulls=True)
+        .over(w_back)
+        .alias("t_pos"),
+        F.last(F.when(is_purchase, pos), ignorenulls=True)
+        .over(w_back)
+        .alias("pp_pos"),
     )
-    lookback = F.col("p_ts") <= F.col("ts") + F.expr(
-        f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"
+    win = F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+    credited_touch = (
+        is_touch
+        & F.col("p_id").isNotNull()
+        & (F.col("p_ts") <= F.col("ts") + win)
     )
-    rn_w = Window.partitionBy("p_id").orderBy("ts", "event_id")
-    credited = (
-        nxt.filter(
-            F.col("event_type").isin(*ATTR_TOUCHES)
-            & F.col("p_id").isNotNull()
-            & lookback
-        )
-        .select(
-            F.col("event_type").alias("channel"), "p_id", "p_value",
-            "ts", "event_id",
-        )
-        .withColumn("rn", F.row_number().over(rn_w))
-        .drop("ts", "event_id")
+    # a purchase is credited iff its latest preceding touch belongs to
+    # it (no purchase in between) and is inside the lookback
+    credited_purchase = (
+        F.col("t_pos").isNotNull()
+        & (F.col("pp_pos").isNull() | (F.col("t_pos") > F.col("pp_pos")))
+        & (F.col("ts") <= F.col("t_pos")["ts"] + win)
     )
-    per_p = credited.groupBy("p_id").agg(F.count("*").alias("n"))
+    rows = nxt.filter(
+        credited_touch | (is_purchase & ~credited_purchase)
+    ).select(
+        F.when(credited_touch, F.col("event_type"))
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        F.when(credited_touch, F.col("p_id"))
+        .otherwise(F.col("event_id"))
+        .alias("key"),
+        F.when(credited_touch, F.col("p_value"))
+        .otherwise(F.col("value"))
+        .alias("val"),
+        "ts",
+        "event_id",
+    )
+    kw = Window.partitionBy("key")
+    rn_w = kw.orderBy("ts", "event_id")
     dec = "decimal(28,10)"
-    w_rest = F.round(F.lit(1.0) / F.col("n"), 10)
-    wv_rest = F.round(F.col("p_value") / F.col("n"), 10)
-    n_dec = (F.col("n") - F.lit(1)).cast("decimal(7,0)")
-    weighted = credited.join(per_p, "p_id").select(
+    n = F.count("*").over(kw)
+    rn = F.row_number().over(rn_w)
+    w_rest = F.round(F.lit(1.0) / n, 10)
+    wv_rest = F.round(F.col("val") / n, 10)
+    n_dec = (n - F.lit(1)).cast("decimal(7,0)")
+    weighted = rows.select(
         "channel",
         F.when(
-            F.col("rn") == 1,
+            rn == 1,
             F.lit(1).cast(dec) - n_dec * w_rest.cast("decimal(12,10)"),
         )
         .otherwise(w_rest.cast(dec))
         .alias("w"),
         F.when(
-            F.col("rn") == 1,
-            F.round(F.col("p_value"), 10).cast(dec)
+            rn == 1,
+            F.round(F.col("val"), 10).cast(dec)
             - n_dec * wv_rest.cast("decimal(22,10)"),
         )
         .otherwise(wv_rest.cast(dec))
         .alias("wv"),
     )
-    direct = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(per_p, ev.event_id == per_p.p_id, "left_anti")
-        .select(
-            F.lit("direct").alias("channel"),
-            F.lit(1).cast(dec).alias("w"),
-            F.round(F.col("value"), 10).cast(dec).alias("wv"),
-        )
-    )
-    return (
-        weighted.unionByName(direct)
-        .groupBy("channel")
-        .agg(
-            F.round(F.sum("w"), 4)
-            .cast("double")
-            .alias("attributed_purchases"),
-            F.round(F.sum("wv"), 2)
-            .cast("double")
-            .alias("attributed_value"),
-        )
+    return weighted.groupBy("channel").agg(
+        F.round(F.sum("w"), 4)
+        .cast("double")
+        .alias("attributed_purchases"),
+        F.round(F.sum("wv"), 2)
+        .cast("double")
+        .alias("attributed_value"),
     )

@@ -244,22 +244,30 @@ def q_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-shaped exchange and its key (day, user) is ~uniform — no
     salting needed."""
     cells = _cached_cells(spark, sf_dir)
-    # rename the window-endpoint day up front: grid derives from cells,
-    # so joining them back on a shared "day" name is self-join-ambiguous
-    days = cells.select(F.col("day").alias("w_day")).distinct()
-    grid = days.select(
-        "w_day",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(STICKINESS_WINDOW_DAYS - 1))
-        ).alias("off"),
-    ).select(
-        "w_day", F.date_sub(F.col("w_day"), F.col("off")).alias("src_day")
+    # ROUND-10 OPTIMIZATION (guide §2.3 — aggregate before you shuffle):
+    # the old form fanned EVERY cell to all {k} trailing endpoints via a
+    # calendar grid join and count-DISTINCT-ed users per endpoint (an
+    # Expand + two full exchanges carrying cells×{k} rows). Each user
+    # now contributes each endpoint exactly once BY CONSTRUCTION: a cell
+    # is the user's LAST active day in the windows ending at
+    # day .. day + min(gap_to_next_active, {k}) - 1, so fanning only
+    # that span turns the distinct into a plain COUNT (map-side
+    # partial-aggregated) and shrinks the fan from {k} per cell to
+    # min(gap, {k}) — for daily-active users, 1. Endpoints that are not
+    # observed days drop out in the dau inner join, exactly as the
+    # grid's days-derived endpoints did.
+    k = STICKINESS_WINDOW_DAYS
+    nxt = F.lead("day").over(Window.partitionBy("user_id").orderBy("day"))
+    span = F.when(nxt.isNull(), F.lit(k)).otherwise(
+        F.least(F.datediff(nxt, F.col("day")), F.lit(k))
     )
+    spans = cells.select("day", span.alias("span"))
     wau = (
-        grid.join(cells, F.col("src_day") == F.col("day"))
-        .groupBy("w_day")
-        .agg(F.count_distinct("user_id").alias("wau"))
-        .withColumnRenamed("w_day", "day")
+        spans.select(
+            "day", F.explode(F.sequence(F.lit(0), F.col("span") - 1)).alias("off")
+        )
+        .groupBy(F.date_add("day", F.col("off")).alias("day"))
+        .agg(F.count("*").alias("wau"))
     )
     dau = cells.groupBy("day").agg(F.count("*").alias("dau"))
     out = dau.join(wau, "day").select(

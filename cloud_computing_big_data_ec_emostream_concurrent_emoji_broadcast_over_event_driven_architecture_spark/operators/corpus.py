@@ -1034,13 +1034,15 @@ def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean bigram log-probability.  Catches scrambled/gibberish text the
     unigram proxy scores as fluent (right words, wrong order).
 
-    Plan: bigram construction is a narrow per-row transform (no explode
-    until the bigram is a scalar string), then ONE (bigram)-keyed count
-    and ONE (w₁)-keyed count — both partial-combined.  The count tables
-    join back onto the bigram stream by key; hot heads ('the …') make
-    the w₁ join Zipf-skewed, so AQE's skew-join split handles the tail
-    while the bigram join stays near-uniform (bigram distribution is
-    much flatter).  V and the per-doc rollup are aggregate-sized.
+    Plan (ROUND-10 OPTIMIZATION, guide §2.4): bigram construction is a
+    narrow per-row transform (no explode until the bigram is a scalar
+    string). The bigram count rides the stream as a WINDOW over the
+    bigram key — the bigram distribution is much flatter than Zipf, so
+    windowing it is skew-safe, and it removes one full
+    tokenize+concat derivation plus a join that the groupBy+join form
+    paid. The w₁ count deliberately STAYS a join: hot heads ('the …')
+    make it Zipf-skewed and AQE's skew-join split applies to joins
+    only, not windows.  V and the per-doc rollup are aggregate-sized.
     decimal(28,10) accumulation keeps the mean order-independent."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     d = docs.select("doc_id", _toks().alias("toks")).filter(
@@ -1060,7 +1062,8 @@ def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(bigrams).alias("p")).select(
         "doc_id", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1")
     )
-    bc = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    from pyspark.sql import Window
+
     uc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     v = bg.agg(F.countDistinct("w1").alias("vsize"))
     logp = F.log(
@@ -1068,7 +1071,9 @@ def q_corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("c1") + F.lit(BIGRAM_K) * F.col("vsize"))
     )
     return (
-        bg.join(bc, "bigram")
+        bg.withColumn(
+            "c12", F.count("*").over(Window.partitionBy("bigram"))
+        )
         .join(uc, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")

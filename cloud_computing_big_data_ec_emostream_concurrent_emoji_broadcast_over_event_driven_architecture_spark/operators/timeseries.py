@@ -996,25 +996,45 @@ def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(bucket_of(F.col("cts")), bucket_of(F.col("cts")) + 1)
         ).alias("bucket"),
     )
-    vcp = (
-        vc_b.join(purchases, ["user_id", "bucket"])
-        .filter(
-            (F.col("pts") > F.col("cts"))
-            & (F.unix_timestamp("pts") - F.unix_timestamp("cts") <= W)
-        )
-        .select("user_id")
+    # ROUND-10 OPTIMIZATION (guide §1.2 — don't compute things twice):
+    # steps 2 and 3 used to be two independent aggregation branches, so
+    # the view⋈click join (the expensive hop) was derived once under
+    # each. The purchase hop is now a LEFT join — every surviving
+    # (user, click) pair stays in the stream with a chained flag — and
+    # ONE aggregate computes both distinct-user counts; the 1-row result
+    # unpivots via explode (not a union, which would replay the chain
+    # per branch).
+    p = purchases.withColumnsRenamed({"user_id": "p_user", "bucket": "p_bucket"})
+    chained = vc_b.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.unix_timestamp("pts") - F.unix_timestamp("cts") <= W),
+        "left",
     )
-
     s1 = ev.filter(F.col("event_type") == "view").agg(
         F.lit(1).alias("step"), F.countDistinct("user_id").alias("n_users")
     )
-    s2 = vc.agg(
-        F.lit(2).alias("step"), F.countDistinct("user_id").alias("n_users")
+    per_user = chained.groupBy("user_id").agg(
+        F.max(F.col("pts").isNotNull().cast("int")).alias("r3")
     )
-    s3 = vcp.agg(
-        F.lit(3).alias("step"), F.countDistinct("user_id").alias("n_users")
-    )
-    return s1.unionByName(s2).unionByName(s3)
+    s23 = per_user.agg(
+        F.count("*").alias("n2"),
+        F.sum("r3").alias("n3"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).alias("step"), F.col("n2").alias("n_users")
+                ),
+                F.struct(
+                    F.lit(3).alias("step"), F.col("n3").alias("n_users")
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.n_users")
+    return s1.unionByName(s23)
 
 
 @register(

@@ -767,20 +767,32 @@ def q_xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the grid is the COMPLETE calendar span, not just hours that
     # happen to contain events — a gap hour is a true zero, and a gappy
     # grid would silently misalign the lag shift (hour+lag falls in a
-    # hole and the pair drops instead of contributing zeros)
-    bounds = ev.agg(
-        F.min(F.date_trunc("hour", F.col("ts"))).alias("h0"),
-        F.max(F.date_trunc("hour", F.col("ts"))).alias("h1"),
+    # hole and the pair drops instead of contributing zeros).
+    # ROUND-10 OPTIMIZATION (guide §1.2): bounds and the type dim used
+    # to be two MORE independent aggregations of the fact table (the
+    # self-join then replayed all three per side — 6 events scans in
+    # the plan). Both now derive from `counts` itself: per-type hour
+    # bounds, globalized by a window over the types-sized table, then
+    # one calendar explode per type — 2 events scans per dense side,
+    # and the hours×types crossJoin disappears.
+    wg = Window.partitionBy()
+    tb = (
+        counts.groupBy("event_type")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "event_type",
+            F.min("mn").over(wg).alias("h0"),
+            F.max("mx").over(wg).alias("h1"),
+        )
     )
-    hours = bounds.select(
+    hours_per_type = tb.select(
+        "event_type",
         F.explode(
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour")
+        ).alias("hour"),
     )
-    types = ev.select("event_type").distinct()
     dense = (
-        hours.crossJoin(types)
-        .join(counts, ["event_type", "hour"], "left")
+        hours_per_type.join(counts, ["event_type", "hour"], "left")
         .select(
             "event_type", "hour", F.coalesce("y", F.lit(0)).alias("y")
         )

@@ -230,19 +230,22 @@ STICKINESS_WINDOW_DAYS = 7  # trailing window for the WAU denominator
 )
 def q_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STICKINESS (DAU / trailing-{STICKINESS_WINDOW_DAYS}d WAU): the
-    habit-formation ratio, exact — no HLL. The WAU reuses the
-    fan-out decomposition of ``q_sliding_distinct_24h`` at day
-    granularity: dedupe once to (user, day) cells, fan each cell to the
-    {STICKINESS_WINDOW_DAYS} trailing window endpoints it serves via a
-    calendar-sized grid join, and count distinct per endpoint — the raw
-    fact table is never rescanned per window position. Early days with
-    a partial trailing window report the ratio over the observed span
-    (stated contract, identical in both engines).
+    habit-formation ratio, exact — no HLL. The WAU rides the
+    fan-out decomposition family of ``q_sliding_distinct_24h`` at day
+    granularity: dedupe once to (user, day) cells, then fan each cell
+    ONLY to the trailing-window endpoints for which it is the user's
+    LAST active day (min(gap-to-next-active, {STICKINESS_WINDOW_DAYS})
+    endpoints) and COUNT per endpoint — the raw fact table is never
+    rescanned per window position, and each user lands exactly once
+    per endpoint by construction, so no distinct is needed. Early days
+    with a partial trailing window report the ratio over the observed
+    span (stated contract, identical in both engines).
 
-    At 100 TB the fan-out multiplies CELLS (bounded by |users|×|days|),
-    not events; the distinct-per-endpoint shuffle is the only
-    data-shaped exchange and its key (day, user) is ~uniform — no
-    salting needed."""
+    At 100 TB the fan-out multiplies CELLS (bounded by |users|×|days|)
+    capped by the activity gap — daily-active users fan 1×, not
+    {STICKINESS_WINDOW_DAYS}×; the lead() window over cells is the only
+    data-shaped exchange (user-keyed, ~uniform) and the endpoint count
+    partial-aggregates map-side — no salting needed."""
     cells = _cached_cells(spark, sf_dir)
     # ROUND-10 OPTIMIZATION (guide §2.3 — aggregate before you shuffle):
     # the old form fanned EVERY cell to all {k} trailing endpoints via a

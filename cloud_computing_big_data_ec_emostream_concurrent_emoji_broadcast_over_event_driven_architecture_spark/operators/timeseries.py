@@ -1616,10 +1616,6 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = ev.select(
         F.count_distinct(F.date_trunc("hour", F.col("ts"))).alias("n")
     )
-    stats = cells.groupBy("user_id").agg(
-        F.sum("cnt").alias("sx"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
-    )
     q = cells.filter(F.col("user_id") == TS_SIM_QUERY_USER).select(
         "hour", F.col("cnt").alias("qcnt")
     )
@@ -1627,10 +1623,25 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qcnt").alias("qsx"),
         F.sum(F.col("qcnt") * F.col("qcnt")).alias("qsx2"),
     )
-    xy = (
-        cells.join(F.broadcast(q), "hour")
+    # ROUND-10 OPTIMIZATION (guide §1.2): sx/sx² and Σxy used to be TWO
+    # independent rollups, each replaying the full (user, hour)
+    # aggregation of the fact table. One broadcast LEFT join against
+    # the query series attaches qcnt (0 where the query user was
+    # inactive — integer-exact, so Σ cnt·coalesce(qcnt, 0) equals the
+    # old inner-join Σxy with its COALESCE at readout), and a single
+    # per-user rollup produces all three moments. The query-user
+    # branches (q, qstats) replay only a user_id=0-PUSHED scan — cheap
+    # at any scale. Full fact aggregations: 2 → 1.
+    stats = (
+        cells.join(F.broadcast(q), "hour", "left")
         .groupBy("user_id")
-        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("sxy"))
+        .agg(
+            F.sum("cnt").alias("sx"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("qcnt"), F.lit(0))
+            ).alias("sxy"),
+        )
     )
     n = F.col("n")
     var_x = n * F.col("sx2") - F.col("sx") * F.col("sx")
@@ -1643,8 +1654,7 @@ def q_ts_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.coalesce(F.col("sxy"), F.lit(0)) - F.col("sx") * F.col("qsx")
     ) / F.sqrt(var_x.cast("double") * var_q.cast("double"))
     return (
-        stats.join(xy, "user_id", "left")
-        .crossJoin(F.broadcast(grid))
+        stats.crossJoin(F.broadcast(grid))
         .crossJoin(F.broadcast(qstats))
         .filter(
             (F.col("user_id") != TS_SIM_QUERY_USER)

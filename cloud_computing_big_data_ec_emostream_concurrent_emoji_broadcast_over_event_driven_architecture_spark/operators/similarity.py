@@ -2156,6 +2156,204 @@ def _pqt_dist_cols_spark() -> list[Column]:
     return cols
 
 
+# --- packed PQ scoring (round-11 optimization) -------------------------------
+# The unrolled d{s}_{k}/g{s}_{k} column fan-out (2×PQ_M×PQ_K = 64 fold
+# columns per scoring relation, plus the <=-chain ADC CASE and the
+# LEAST reconstruction tree over the named columns) made the PQ family
+# the worst driver-side constructs in the registry (~5-7 s each for the
+# audits at sf0.01 — round-10 verdict item 1, proven to be the
+# expression trees themselves, not lineage). The packed form keeps the
+# ARITHMETIC identical — same slices, same left-to-right squared-term
+# folds, strict-< first-min tie-break ≡ the <=-chain of
+# ``_pq_adc_expr`` and the ASC-k ROW_NUMBER rule — but carries the
+# codebook as ONE array<array<array<double>>> column and computes each
+# subspace's (min distance, selected ADC entry) in a single
+# transform+fold, so a scoring relation is PQ_M struct expressions
+# instead of 64 named columns. Bit-equality with the unrolled oracle
+# SQL is pinned by tests/test_round11_opt.py. The unrolled builders
+# above remain the oracle-side (DuckDB) template and the pinned
+# cross-check surface.
+
+
+def _sq_fold_sql(a: str, b: str) -> str:
+    """Squared-L2 fold between two equal-length array expressions — the
+    shared inner loop of every PQ distance, as Spark SQL text. Same
+    left-to-right term order as the unrolled oracle SQL; the 0.0D seed
+    is exact because a square is never -0.0; the double casts are exact
+    (float widening) or no-ops, matching ``_pq_sq_col``/``_pqt_sq_col``.
+    Text instead of Column calls because each python-lambda Column costs
+    dozens of py4j round trips — building the 16 per-subspace folds as
+    Columns measured ~1.0 s of pure driver time per scoring relation,
+    vs one parse of a generated string."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, t) -> acc + t)"
+    )
+
+
+def _pq_packed_cb(cb: DataFrame, alias: str = "cb") -> DataFrame:
+    """Pack a one-row pivoted codebook (c{s}_{k} array columns) into a
+    single ``alias`` column: PQ_M × PQ_K × PQ_SUB nested arrays — one
+    broadcast column the scoring folds index, instead of 32 codeword
+    columns fanned into 64 distance expressions."""
+    return cb.select(
+        F.array(
+            *[
+                F.array(*[F.col(f"c{s}_{k}") for k in range(PQ_K)])
+                for s in range(PQ_M)
+            ]
+        ).alias(alias)
+    )
+
+
+def _pq_packed_anchor_cb(anchors: DataFrame, alias: str = "cb") -> DataFrame:
+    """Packed form of the ANCHOR codebook (codeword (s, k) = subspace-s
+    slice of anchor vector a{k}) — the slices are exactly the dims the
+    unrolled ``_pq_dist_cols`` terms touch."""
+    return anchors.select(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.slice(F.col(f"a{k}"), s * PQ_SUB + 1, PQ_SUB)
+                        for k in range(PQ_K)
+                    ]
+                )
+                for s in range(PQ_M)
+            ]
+        ).alias(alias)
+    )
+
+
+def _pq_packed_adc_sql(vec: str, qvec: str, cb: str = "cb") -> str:
+    """The full ADC distance as ONE index-aware fold over the packed
+    codebook: for each subspace s (``transform(cb, (cws, s) -> ...)``),
+    the argmin struct-fold keeps (min d, its g) with strict ``<`` — the
+    FIRST minimum, exactly the <=-chain of ``_pq_adc_expr``
+    (smallest-k tie-break, the ``_pq_sub_argmin`` rule) — and the outer
+    fold sums the selected g's s-ascending, left-associated with an
+    exact 0.0 seed (g ≥ 0, so 0.0 + g == g bit-for-bit). ~50 expression
+    nodes total vs ~600 for the per-subspace unrolling — every
+    downstream DataFrame op re-analyzes this tree, so node count IS
+    driver wall."""
+    esub = f"slice({vec}, s * {PQ_SUB} + 1, {PQ_SUB})"
+    qsub = f"slice({qvec}, s * {PQ_SUB} + 1, {PQ_SUB})"
+    dg = (
+        f"transform(cws, cw -> named_struct("
+        f"'d', {_sq_fold_sql(esub, 'cw')}, "
+        f"'g', {_sq_fold_sql(qsub, 'cw')}))"
+    )
+    best = (
+        f"aggregate({dg}, "
+        "named_struct('d', CAST('Infinity' AS DOUBLE), 'g', 0.0D), "
+        "(bacc, t) -> IF(t.d < bacc.d, t, bacc))"
+    )
+    return (
+        f"aggregate(transform({cb}, (cws, s) -> ({best}).g), "
+        "0.0D, (aacc, g) -> aacc + g)"
+    )
+
+
+def _pq_packed_rec_sql(vec: str, cb: str = "cb") -> str:
+    """The reconstruction term ``SUM over s of LEAST(d{s}_*)`` as one
+    d-only fold (no ADC g work), so the MSE aggregation — which never
+    reads g — evaluates exactly the 32 d folds the unrolled form's
+    column pruning gave it. least(least(inf, d0), d1, ...) ≡
+    LEAST(d0..d3), and the outer 0.0-seeded sum is s-ascending
+    left-associated — both exact over non-negative doubles."""
+    esub = f"slice({vec}, s * {PQ_SUB} + 1, {PQ_SUB})"
+    dmin = (
+        f"aggregate(transform(cws, cw -> {_sq_fold_sql(esub, 'cw')}), "
+        "CAST('Infinity' AS DOUBLE), (macc, d) -> least(macc, d))"
+    )
+    return (
+        f"aggregate(transform({cb}, (cws, s) -> {dmin}), "
+        "0.0D, (racc, d) -> racc + d)"
+    )
+
+
+def _pq_packed_ex_sql(vec: str, qvec: str) -> str:
+    """Full-vector exact squared L2 (the ``ex`` audit column) — the
+    same fold ``_pq_sq_col(vec, qvec, 1, PCA_DIM)`` builds, as text."""
+    return _sq_fold_sql(
+        f"slice({vec}, 1, {PCA_DIM})", f"slice({qvec}, 1, {PCA_DIM})"
+    )
+
+
+def _pq_packed_adc_ex(vec: str, qvec: str) -> list[Column]:
+    """[adc, ex] for the serving queries."""
+    return [
+        F.expr(_pq_packed_adc_sql(vec, qvec)).alias("adc"),
+        F.expr(_pq_packed_ex_sql("embedding", "qe")).alias("ex"),
+    ]
+
+
+def _pq_audit_pair(
+    base: DataFrame,
+    va: tuple[str, str, str],
+    vb: tuple[str, str, str],
+) -> DataFrame:
+    """BOTH audit variants from ONE scoring relation. ``base`` carries
+    the candidate rows plus two packed codebooks (``cba``, ``cbb``);
+    each variant is (name, vec, qvec). One projection computes
+    (adc, rec) per variant plus the shared ``ex``; the readout is ONE
+    combined MSE aggregation (one relation pass for both variants,
+    where the per-variant form paid two), one ADC top list per variant,
+    and ONE shared exact top list (``ex`` is variant-independent — the
+    per-variant form computed it twice). Column pruning keeps the
+    per-subtree row cost disjoint exactly as in the unrolled form: the
+    MSE pass evaluates only the two d-min folds, each ADC list only its
+    argmin fold, the exact list only ex."""
+    na, veca, qveca = va
+    nb, vecb, qvecb = vb
+    rel = base.select(
+        "vec_id",
+        F.expr(_pq_packed_adc_sql(veca, qveca, "cba")).alias("adc_a"),
+        F.expr(_pq_packed_rec_sql(veca, "cba")).alias("rec_a"),
+        F.expr(_pq_packed_adc_sql(vecb, qvecb, "cbb")).alias("adc_b"),
+        F.expr(_pq_packed_rec_sql(vecb, "cbb")).alias("rec_b"),
+        F.expr(_pq_packed_ex_sql("embedding", "qe")).alias("ex"),
+    )
+
+    def _mse(c: str) -> Column:
+        return F.round(
+            F.sum(F.col(c).cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(PCA_DIM),
+            6,
+        )
+
+    mse = rel.agg(_mse("rec_a").alias("mse_a"), _mse("rec_b").alias("mse_b"))
+    sel = rel.where(F.col("vec_id") != QUERY_VEC_ID)
+    ta = sel.orderBy("adc_a", "vec_id").limit(PQ_TOP).select("vec_id")
+    tb = sel.orderBy("adc_b", "vec_id").limit(PQ_TOP).select("vec_id")
+    te = sel.orderBy("ex", "vec_id").limit(PQ_TOP).select("vec_id")
+    nha = ta.join(te, "vec_id").agg(F.count(F.lit(1)).alias("nh_a"))
+    nhb = tb.join(te, "vec_id").agg(F.count(F.lit(1)).alias("nh_b"))
+
+    def _row(name: str, nh: str, mse_c: str) -> Column:
+        return F.struct(
+            F.lit(name).alias("variant"),
+            F.round(F.col(nh) * F.lit(1.0) / PQ_TOP, 4).alias(
+                "recall_at_k"
+            ),
+            F.col(mse_c).alias("mse"),
+        )
+
+    return (
+        nha.crossJoin(nhb)
+        .crossJoin(mse)
+        .select(
+            F.explode(
+                F.array(_row(na, "nh_a", "mse_a"), _row(nb, "nh_b", "mse_b"))
+            ).alias("e")
+        )
+        .select("e.variant", "e.recall_at_k", "e.mse")
+    )
+
+
 def _pq_oracle() -> str:
     dist_cols = ",\n                   ".join(_pqt_dist_cols("duck"))
     return f"""
@@ -2211,15 +2409,12 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe")
     )
     dists = (
-        emb.crossJoin(F.broadcast(cbp))
+        emb.crossJoin(F.broadcast(_pq_packed_cb(cbp)))
         .crossJoin(F.broadcast(q_row))
-        .select(
-            "vec_id", *_pqt_dist_cols_spark()
-        )
+        .select("vec_id", *_pq_packed_adc_ex("embedding", "qe"))
     )
-    adc = F.expr(_pq_adc_expr())
     return (
-        dists.select("vec_id", adc.alias("adc"), "ex")
+        dists
         .orderBy("adc", "vec_id")
         .limit(PQ_TOP)
         .select(
@@ -2324,47 +2519,13 @@ def q_pq_train_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(PQ_K)
         ]
     )
-    adists = (
-        emb.crossJoin(F.broadcast(anchors))
+    base = (
+        emb.crossJoin(F.broadcast(_pq_packed_anchor_cb(anchors, "cba")))
+        .crossJoin(F.broadcast(_pq_packed_cb(cbp, "cbb")))
         .crossJoin(F.broadcast(aq))
-        .select("vec_id", *_pq_dist_cols_spark())
     )
-    tdists = (
-        emb.crossJoin(F.broadcast(cbp))
-        .crossJoin(F.broadcast(aq))
-        .select("vec_id", *_pqt_dist_cols_spark())
-    )
-
-    def variant(dists: DataFrame, name: str) -> DataFrame:
-        rec = F.least(*[F.col(f"d0_{k}") for k in range(PQ_K)])
-        for s in range(1, PQ_M):
-            rec = rec + F.least(*[F.col(f"d{s}_{k}") for k in range(PQ_K)])
-        mse = dists.agg(
-            F.round(
-                F.sum(rec.cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1))
-                / F.lit(PCA_DIM),
-                6,
-            ).alias("mse")
-        )
-        sel = dists.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-            "vec_id", F.expr(_pq_adc_expr()).alias("adc"), "ex"
-        )
-        ta = sel.orderBy("adc", "vec_id").limit(PQ_TOP).select("vec_id")
-        te = sel.orderBy("ex", "vec_id").limit(PQ_TOP).select("vec_id")
-        nh = ta.join(te, "vec_id").agg(
-            F.count(F.lit(1)).alias("nh")
-        )
-        return nh.crossJoin(mse).select(
-            F.lit(name).alias("variant"),
-            F.round(F.col("nh") * F.lit(1.0) / PQ_TOP, 4).alias(
-                "recall_at_k"
-            ),
-            "mse",
-        )
-
-    return variant(adists, "anchor").unionByName(
-        variant(tdists, "trained")
+    return _pq_audit_pair(
+        base, ("anchor", "embedding", "qe"), ("trained", "embedding", "qe")
     )
 
 
@@ -2555,13 +2716,12 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = (
         assigned.join(F.broadcast(probes), "cent_id")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(anchors))
+        .crossJoin(F.broadcast(_pq_packed_anchor_cb(anchors)))
         .crossJoin(F.broadcast(qe_row))
-        .select("vec_id", *_pq_dist_cols_spark())
+        .select("vec_id", *_pq_packed_adc_ex("embedding", "qe"))
     )
-    adc = F.expr(_pq_adc_expr())
     return (
-        dists.select("vec_id", adc.alias("adc"), "ex")
+        dists
         .orderBy("adc", "vec_id")
         .limit(PQ_TOP)
         .select(
@@ -3867,12 +4027,11 @@ def q_ann_ivf_pq_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", F.col("v").alias("embedding"), "qe")
-        .crossJoin(F.broadcast(cbp))
-        .select("vec_id", *_pqt_dist_cols_spark())
+        .crossJoin(F.broadcast(_pq_packed_cb(cbp)))
+        .select("vec_id", *_pq_packed_adc_ex("embedding", "qe"))
     )
-    adc = F.expr(_pq_adc_expr())
     return (
-        dists.select("vec_id", adc.alias("adc"), "ex")
+        dists
         .orderBy("adc", "vec_id")
         .limit(PQ_TOP)
         .select(
@@ -5228,12 +5387,11 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", F.col("v").alias("embedding"), "rv", "qe", "qrv"
         )
-        .crossJoin(F.broadcast(cbp))
-        .select("vec_id", *_pqr_dist_cols_spark())
+        .crossJoin(F.broadcast(_pq_packed_cb(cbp)))
+        .select("vec_id", *_pq_packed_adc_ex("rv", "qrv"))
     )
-    adc = F.expr(_pq_adc_expr())
     return (
-        dists.select("vec_id", adc.alias("adc"), "ex")
+        dists
         .orderBy("adc", "vec_id")
         .limit(PQ_TOP)
         .select(
@@ -5301,12 +5459,16 @@ def q_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate's cell centroid (per-cell LUTs, the IndexIVFPQ scan
     rule), which the single-bucket serving query specializes.
 
-    Plan: the raw variant is ``q_pq_train_audit``'s trained arm
-    verbatim (a standing cross-check — the two queries' trained rows
-    must agree); the residual variant adds one broadcast-centroid
-    zip_with per row before the same fold pipeline. The oracle replays
-    BOTH codebook trainings, the index training, and both scoring
-    pipelines end to end."""
+    Plan (round 11): BOTH variants score the session-persisted residual
+    frame in ONE pass — the raw variant reads its v/qe columns (equal to
+    the embeddings-scan values the oracle's tdists uses: v is the
+    double-cast embedding, and every fold casts to double anyway), so
+    the trained rows remain ``q_pq_train_audit``'s trained arm as a
+    standing cross-check while the separate corpus scan and the
+    duplicated exact-top/MSE passes are gone (one combined MSE
+    aggregation, one shared exact top list — guide §1.2/§2.4). The
+    oracle replays BOTH codebook trainings, the index training, and
+    both scoring pipelines end to end."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     res = _pq_residual_frame(spark, sf_dir)
     cbp = _pq_trained_codebook(spark, sf_dir)
@@ -5314,12 +5476,7 @@ def q_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aq = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
-    tdists = (
-        emb.crossJoin(F.broadcast(cbp))
-        .crossJoin(F.broadcast(aq))
-        .select("vec_id", *_pqt_dist_cols_spark())
-    )
-    rdists = (
+    base = (
         res.crossJoin(F.broadcast(aq))
         .withColumn(
             "qrv",
@@ -5328,44 +5485,13 @@ def q_pq_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("vec_id", F.col("v").alias("embedding"), "rv", "qrv", "qe")
-        .crossJoin(F.broadcast(rcbp))
-        .select("vec_id", *_pqr_dist_cols_spark())
+        .crossJoin(F.broadcast(_pq_packed_cb(cbp, "cba")))
+        .crossJoin(F.broadcast(_pq_packed_cb(rcbp, "cbb")))
     )
-
-    return _pq_audit_variant(tdists, "trained_raw").unionByName(
-        _pq_audit_variant(rdists, "residual")
-    )
-
-
-def _pq_audit_variant(dists: DataFrame, name: str) -> DataFrame:
-    """One audit row for a PQ scoring relation (the Spark twin of
-    ``_pq_variant_sql``): recall@{PQ_TOP} of ADC-ranked vs exact-ranked
-    top lists plus per-dimension reconstruction MSE — shared by
-    ``q_pq_residual_audit`` (full-corpus relations) and
-    ``q_pq_multiprobe_audit`` (multiprobe candidate relations)."""
-    rec = F.least(*[F.col(f"d0_{k}") for k in range(PQ_K)])
-    for s in range(1, PQ_M):
-        rec = rec + F.least(*[F.col(f"d{s}_{k}") for k in range(PQ_K)])
-    mse = dists.agg(
-        F.round(
-            F.sum(rec.cast("decimal(28,10)")).cast("double")
-            / F.count(F.lit(1))
-            / F.lit(PCA_DIM),
-            6,
-        ).alias("mse")
-    )
-    sel = dists.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        "vec_id", F.expr(_pq_adc_expr()).alias("adc"), "ex"
-    )
-    ta = sel.orderBy("adc", "vec_id").limit(PQ_TOP).select("vec_id")
-    te = sel.orderBy("ex", "vec_id").limit(PQ_TOP).select("vec_id")
-    nh = ta.join(te, "vec_id").agg(F.count(F.lit(1)).alias("nh"))
-    return nh.crossJoin(mse).select(
-        F.lit(name).alias("variant"),
-        F.round(F.col("nh") * F.lit(1.0) / PQ_TOP, 4).alias(
-            "recall_at_k"
-        ),
-        "mse",
+    return _pq_audit_pair(
+        base,
+        ("trained_raw", "embedding", "qe"),
+        ("residual", "rv", "qrv"),
     )
 
 
@@ -5390,8 +5516,18 @@ def _residual_multiprobe_cand(
     ``q_pq_multiprobe_audit``: candidates from the query's
     top-{IVF2_PROBES} cells (same shard, the multiprobe-twolevel
     convention), each carrying the PER-CELL query residual ``qrv`` its
-    LUT is built from."""
+    LUT is built from. Session-persisted (round 11): the relation is
+    nprobe × occupancy rows — BOUNDED at any corpus scale by the
+    constant-occupancy index — and the audit's five readout subtrees
+    (plus the serve query) each re-derived the probe window and the
+    posting-list join before; now they read the tiny cached rows
+    (guide §5: cache when reuse outweighs the memory, which here is a
+    few hundred rows). Released by ``clear_ivf_cache``."""
     from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, sf_dir, "mcand")
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
 
     res = _pq_residual_frame(spark, sf_dir)
     cents = _twolevel_centroids(spark, sf_dir)
@@ -5414,7 +5550,7 @@ def _residual_multiprobe_cand(
             F.zip_with("qe", "cv", lambda x, y: x - y).alias("qrv"),
         )
     )
-    return (
+    _IVF_CACHE[key] = (
         res.join(F.broadcast(probes), "cent_id")
         .crossJoin(F.broadcast(qrow))
         .filter(
@@ -5424,7 +5560,9 @@ def _residual_multiprobe_cand(
         .select(
             "vec_id", F.col("v").alias("embedding"), "rv", "qrv", "qe"
         )
+        .persist()
     )
+    return _IVF_CACHE[key]
 
 
 def _residual_multiprobe_ctes() -> str:
@@ -5509,12 +5647,11 @@ def q_ann_ivfpq_residual_multiprobe(
     ADC end to end."""
     cand = _residual_multiprobe_cand(spark, sf_dir)
     rcbp = _pq_residual_codebook(spark, sf_dir)
-    dists = cand.crossJoin(F.broadcast(rcbp)).select(
-        "vec_id", *_pqr_dist_cols_spark()
+    dists = cand.crossJoin(F.broadcast(_pq_packed_cb(rcbp))).select(
+        "vec_id", *_pq_packed_adc_ex("rv", "qrv")
     )
-    adc = F.expr(_pq_adc_expr())
     return (
-        dists.select("vec_id", adc.alias("adc"), "ex")
+        dists
         .orderBy("adc", "vec_id")
         .limit(PQ_TOP)
         .select(
@@ -5572,12 +5709,11 @@ def q_pq_multiprobe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _residual_multiprobe_cand(spark, sf_dir)
     cbp = _pq_trained_codebook(spark, sf_dir)
     rcbp = _pq_residual_codebook(spark, sf_dir)
-    mtdists = cand.crossJoin(F.broadcast(cbp)).select(
-        "vec_id", *_pqt_dist_cols_spark()
-    )
-    mrdists = cand.crossJoin(F.broadcast(rcbp)).select(
-        "vec_id", *_pqr_dist_cols_spark()
-    )
-    return _pq_audit_variant(mtdists, "trained_raw").unionByName(
-        _pq_audit_variant(mrdists, "residual")
+    base = cand.crossJoin(
+        F.broadcast(_pq_packed_cb(cbp, "cba"))
+    ).crossJoin(F.broadcast(_pq_packed_cb(rcbp, "cbb")))
+    return _pq_audit_pair(
+        base,
+        ("trained_raw", "embedding", "qe"),
+        ("residual", "rv", "qrv"),
     )

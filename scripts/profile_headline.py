@@ -38,7 +38,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "profile"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join("plans", "r10")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", os.path.join("plans", "r10")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = build_session(app_name=f"profile_{tag}")

@@ -26,9 +26,9 @@ from ..functions.hashing import (
     MERSENNE_P,
     MINHASH_AB,
     NUM_BANDS,
-    _universal_hash,
     md5_long,
     md5_long_sql,
+    minhash_signature,
 )
 from ..functions.text import (
     shingles,
@@ -158,12 +158,15 @@ def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never touched again (guide §5: cache only when reuse outweighs
         # the memory pressure).
         gen = docs.select("doc_id", F.explode(F.array(hs)).alias("hs"))
-        sig = F.array(
-            *[
-                F.array_min(F.transform(F.col("hs"), _universal_hash(a, b)))
-                for a, b in MINHASH_AB
-            ]
-        )
+        # Round-11 examined-and-rejected: a `gen.repartition(par,
+        # "doc_id")` ABOVE the derivation makes the hot-list branch and
+        # the enriched branch share one ReusedExchange (derive the
+        # shingle pipeline once instead of twice), but the slim-row
+        # shuffle measured SLOWER than the re-derivation it saves —
+        # steady-state rebuild 0.97-1.11 s -> 1.44 s at sf0.1 (min of 5
+        # warm rebuilds, both directions measured). The two-derivation
+        # form stays; OPTIMIZATION_r11.md records both numbers.
+        sig = minhash_signature(F.col("hs"))
         # hs_idx: the DF-CAPPED index view of hs — shingles whose corpus
         # document frequency exceeds JACCARD_DF_CAP removed via one
         # array_except against the (tiny, broadcast) hot list. Computed

@@ -97,6 +97,42 @@ def test_packed_anchor_scoring_bit_equals_unrolled(spark, sf_dir):
     assert bad == 0
 
 
+def test_minhash_fold_bit_equals_per_hash_array_mins(spark, sf_dir):
+    """The round-11 single-fold minhash signature must be bit-equal to
+    the old 16x array_min(transform(...)) form over every non-empty
+    fixture shingle set (the precondition every call site enforces)."""
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.functions.hashing import (
+        MINHASH_AB,
+        _universal_hash,
+        md5_long,
+        minhash_signature,
+    )
+    from cloud_computing_big_data_ec_emostream_concurrent_emoji_broadcast_over_event_driven_architecture_spark.functions.text import (
+        shingles,
+        tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    hs = F.array_distinct(
+        F.transform(shingles(tokens(F.col("text"))), md5_long)
+    )
+    base = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
+    old = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _universal_hash(a, b)))
+            for a, b in MINHASH_AB
+        ]
+    )
+    bad = (
+        base.select(
+            minhash_signature(F.col("hs")).alias("new"), old.alias("old")
+        )
+        .filter(F.col("new") != F.col("old"))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_packed_adc_tie_break_prefers_smallest_k(spark):
     """The strict-< fold must keep the FIRST (smallest-k) argmin on
     ties — the <=-chain rule of ``_pq_adc_expr`` — including when the

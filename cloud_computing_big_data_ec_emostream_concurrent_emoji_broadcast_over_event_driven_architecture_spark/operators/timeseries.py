@@ -1021,7 +1021,11 @@ def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s23 = per_user.agg(
         F.count("*").alias("n2"),
-        F.sum("r3").alias("n3"),
+        # coalesce: on a funnel where NO user reaches step 2, the global
+        # agg still emits one row and SUM over zero rows is NULL, while
+        # the oracle's COUNT(DISTINCT ...) (and the old countDistinct
+        # branch) returns 0 (round-10 ADVICE item).
+        F.coalesce(F.sum("r3"), F.lit(0)).alias("n3"),
     ).select(
         F.explode(
             F.array(

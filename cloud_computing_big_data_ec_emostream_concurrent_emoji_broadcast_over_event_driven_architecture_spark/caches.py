@@ -121,12 +121,14 @@ def release_transients() -> None:
 
 def _clearers():
     from .catalog import clear_table_memo
+    from .operators.analytics import clear_words_cache
     from .operators.dedup import clear_hashset_cache, clear_pair_cache
     from .operators.growth import clear_cells_cache
     from .operators.similarity import clear_ivf_cache, clear_rhp_cache
     from .operators.text import clear_bpe_cache
 
     return {
+        "audience_bitmap_words": clear_words_cache,
         # plan-handle memo only (no persisted blocks): reader DataFrames
         # keyed per session — cleared here so no stale JVM refs outlive
         # a clear-all (round-10 optimization)

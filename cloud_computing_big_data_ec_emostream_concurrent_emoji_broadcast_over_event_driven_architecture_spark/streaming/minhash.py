@@ -99,7 +99,23 @@ def lsh_candidates_raw(
     stream instead of paying a full exchange + two hash aggregates over
     every collision here — measured 1.06 s → 0.49 s for q_dedup_minhash
     at sf0.1 (duplication factor 2.1, candidate count 14.7k; the
-    deferred exchange cost more than double-verification)."""
+    deferred exchange cost more than double-verification).
+
+    Duplication-vs-scale (round-11, the round-10 ADVICE item): the
+    factor is 2.12 at sf0.1 (14.7k raw / 6.9k distinct) and 2.20 at the
+    10× documents fixture (157k / 71k) — stable, because near-dup pair
+    DENSITY is what drives it and the corpus's pair count scales
+    linearly. Break-even: the deferred form re-verifies each pair once
+    per colliding band, hard-capped at NUM_BANDS (4); even at the cap
+    the extra work is ≤ NUM_BANDS× verification of TRUE near-dups only
+    (high-k collisions are almost always real matches), while the
+    removed exchange was paid over EVERY collision. The raw path loses
+    only on corpora where survivors ≈ candidates (dup-heavy, e.g.
+    verbatim-clone fixtures: the round-9 synth_scale first cut measured
+    exactly that failure — every vector a 10-deep exact-dup clique) AND
+    most pairs collide in most bands; there, reinstate
+    :func:`lsh_candidates` (distinct-early) for the affected verifier.
+    """
     bands = lsh_band_rows(sig_df, id_col)
     # rename-then-join-on-key-list: sidesteps self-join attribute
     # ambiguity (both sides share one lineage); the id_a < id_b filter is

@@ -32,6 +32,9 @@ def test_registry_covers_every_cache_family():
         # round-10 optimization: reader-plan memo (no persisted blocks —
         # holds unresolved scan plans only, cleared for ref hygiene)
         "table_reader_plans",
+        # round-11 optimization: audience bitmap-word table (the
+        # round-10 parked cache, confirmed at the 100x events fixture)
+        "audience_bitmap_words",
     }
 
 

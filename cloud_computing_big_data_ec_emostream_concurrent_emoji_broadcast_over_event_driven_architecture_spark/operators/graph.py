@@ -177,10 +177,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.b").alias("c"),
         )
     )
-    nodes = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    # ROUND-11 (guide §2.4, the round-10 growth-accounting pattern): the
+    # per-corner union replayed the two-join `tri` subtree THREE times
+    # (plan: 3 identical join trees under the Union); an array explode
+    # emits the same (a, b, c) multiset from ONE derivation.
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
     )
     return nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
@@ -219,8 +221,11 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     all, so this diagnostic is orders cheaper than the passes it
     protects."""
     pairs = q_dedup_minhash(spark, sf_dir)
-    nodes = pairs.select(F.col("doc_id_a").alias("src")).unionAll(
-        pairs.select(F.col("doc_id_b").alias("src"))
+    # ROUND-11 (guide §2.4): the two-sided union replayed the ENTIRE
+    # minhash pipeline once per side (2 scans in the plan); the explode
+    # emits both endpoints from one derivation.
+    nodes = pairs.select(
+        F.explode(F.array("doc_id_a", "doc_id_b")).alias("src")
     )
     deg = nodes.groupBy("src").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(

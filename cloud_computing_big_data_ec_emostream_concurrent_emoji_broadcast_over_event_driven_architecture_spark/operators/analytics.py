@@ -211,39 +211,54 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int").alias("bucket"),
         F.col("value").cast("decimal(28,10)").alias("v"),
     )
-    per_arm = assigned.groupBy("event_type", "bucket").agg(
-        F.count("*").alias("n"),
-        F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    # ROUND-11 (guide §1.2/§2.4): the arm readout was a self-join over
+    # the (event_type, bucket) aggregate, which derived the fact
+    # aggregation once per side — two fact scans for a |types|×2-row
+    # table. One conditional aggregation keyed on event_type computes
+    # both arms' moments in a single fact pass, no join at all. The
+    # decimal sums are exact and conditional sums accumulate the same
+    # rows, so every downstream double is bit-identical; the inner
+    # join's drop-missing-arm semantics survive as the n0/n1 > 0
+    # filter.
+    arm = lambda b: F.col("bucket") == b  # noqa: E731
+    agg = assigned.groupBy("event_type").agg(
+        F.count(F.when(arm(0), F.lit(1))).alias("n0"),
+        F.sum(F.when(arm(0), F.col("v"))).alias("s0"),
+        F.sum(F.when(arm(0), F.col("v") * F.col("v"))).alias("ss0"),
+        F.count(F.when(arm(1), F.lit(1))).alias("n1"),
+        F.sum(F.when(arm(1), F.col("v"))).alias("s1"),
+        F.sum(F.when(arm(1), F.col("v") * F.col("v"))).alias("ss1"),
     )
-    s_d = F.col("s").cast("double")
-    ss_d = F.col("ss").cast("double")
-    # n == 1 guard: the (n-1) sample-variance divisor is 0/0 → NaN for
-    # a single-row arm; NULL instead (propagates to a NULL welch_t) so
-    # both engines canonicalize identically
-    stats = per_arm.select(
-        "event_type",
-        "bucket",
-        "n",
-        (s_d / F.col("n")).alias("mean"),
-        F.when(
-            F.col("n") > 1,
-            (ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1),
-        ).alias("var"),
+
+    def _mean(s: str, n: str) -> Column:
+        return F.col(s).cast("double") / F.col(n)
+
+    def _var(s: str, ss: str, n: str) -> Column:
+        # n == 1 guard: the (n-1) sample-variance divisor is 0/0 → NaN
+        # for a single-row arm; NULL instead (propagates to a NULL
+        # welch_t) so both engines canonicalize identically
+        s_d, ss_d = F.col(s).cast("double"), F.col(ss).cast("double")
+        return F.when(
+            F.col(n) > 1,
+            (ss_d - s_d * s_d / F.col(n)) / (F.col(n) - 1),
+        )
+
+    mean_a, mean_b = _mean("s0", "n0"), _mean("s1", "n1")
+    var_a, var_b = _var("s0", "ss0", "n0"), _var("s1", "ss1", "n1")
+    t = (mean_b - mean_a) / F.sqrt(
+        var_a / F.col("n0") + var_b / F.col("n1")
     )
-    a = stats.filter(F.col("bucket") == 0).alias("a")
-    b = stats.filter(F.col("bucket") == 1).alias("b")
-    t = (F.col("b.mean") - F.col("a.mean")) / F.sqrt(
-        F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
-    )
-    return a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
-        F.col("a.event_type").alias("event_type"),
-        F.col("a.n").alias("n_control"),
-        F.col("b.n").alias("n_treat"),
-        F.round(F.col("a.mean"), 6).alias("mean_control"),
-        F.round(F.col("b.mean"), 6).alias("mean_treat"),
-        F.round(F.col("b.mean") - F.col("a.mean"), 6).alias("lift"),
-        F.round(t, 4).alias("welch_t"),
+    return (
+        agg.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "event_type",
+            F.col("n0").alias("n_control"),
+            F.col("n1").alias("n_treat"),
+            F.round(mean_a, 6).alias("mean_control"),
+            F.round(mean_b, 6).alias("mean_treat"),
+            F.round(mean_b - mean_a, 6).alias("lift"),
+            F.round(t, 4).alias("welch_t"),
+        )
     )
 
 

@@ -89,10 +89,11 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``passed`` = false rows; keeping counts (not booleans alone) makes
     the report actionable and monotonic under partial re-runs.
 
-    Plan: the three event checks fold in ONE aggregation pass over one
-    scan (conditional sums, no shuffles beyond the single-row agg); the
-    FK check is a broadcast LEFT ANTI against the customer key set; the
-    report union is five one-row relations."""
+    Plan: the four event checks fold in ONE aggregation pass over one
+    scan (conditional sums, no shuffles beyond the single-row agg) and
+    unpivot via a single explode — round 11; the per-check union form
+    replayed that aggregation once per branch; the FK check is a
+    broadcast LEFT ANTI against the customer key set."""
     ev = table(spark, sf_dir, "events")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
@@ -107,31 +108,41 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("ts").cast("timestamp")).alias("max_ts"),
         F.count("*").alias("n_rows"),
     )
-    uniq = ev_checks.select(
-        F.lit("unique_event_id").alias("check_name"),
-        F.col("u_viol").cast("long").alias("violations"),
-        F.col("n_rows").alias("n_checked"),
-    )
-    nulls = ev_checks.select(
-        F.lit("not_null_user_id").alias("check_name"),
-        F.col("n_viol").cast("long").alias("violations"),
-        F.col("n_rows").alias("n_checked"),
-    )
-    domain = ev_checks.select(
-        F.lit("accepted_event_types").alias("check_name"),
-        F.col("d_viol").cast("long").alias("violations"),
-        F.col("n_rows").alias("n_checked"),
-    )
-    fresh = ev_checks.select(
-        F.lit("freshness_past_cutoff").alias("check_name"),
+    # ROUND-11 (guide §1.2/§2.4): the four event checks used to union
+    # four PROJECTIONS of ev_checks, and each union branch replayed the
+    # whole one-row events aggregation — 4 fact scans for 4 report
+    # rows. One explode over an array of (check_name, violations)
+    # structs emits the same rows from ONE derivation.
+    fresh_viol = (
         F.when(
             F.col("max_ts") >= F.to_timestamp(F.lit(DQ_FRESH_CUTOFF)), 0
         )
         .otherwise(1)
         .cast("long")
-        .alias("violations"),
-        F.col("n_rows").alias("n_checked"),
     )
+    ev_rows = ev_checks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("unique_event_id").alias("check_name"),
+                    F.col("u_viol").cast("long").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("not_null_user_id").alias("check_name"),
+                    F.col("n_viol").cast("long").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("accepted_event_types").alias("check_name"),
+                    F.col("d_viol").cast("long").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("freshness_past_cutoff").alias("check_name"),
+                    fresh_viol.alias("violations"),
+                ),
+            )
+        ).alias("c"),
+        F.col("n_rows").alias("n_checked"),
+    ).select("c.check_name", "c.violations", "n_checked")
     orphans = orders.join(
         F.broadcast(customer.select("c_custkey")),
         orders["o_custkey"] == F.col("c_custkey"),
@@ -146,7 +157,7 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_checked",
         )
     )
-    rep = uniq.unionAll(nulls).unionAll(domain).unionAll(fk).unionAll(fresh)
+    rep = ev_rows.unionAll(fk)
     return rep.select(
         "check_name",
         "violations",

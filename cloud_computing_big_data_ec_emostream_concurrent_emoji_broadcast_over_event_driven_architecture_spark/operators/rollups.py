@@ -824,15 +824,26 @@ def q_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = orders.join(ship, "o_orderkey").filter(
         F.col("ship_day") > F.col("o_orderdate")
     )
+    # ROUND-11 (guide §2.4): the +1/−1 event streams used to be a
+    # two-sided union, replaying the orders⋈per-order-ship join (the
+    # only data-sized work here) once per side; the explode emits both
+    # endpoint deltas from ONE derivation of the span table.
     deltas = (
         spans.select(
-            F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("o_orderdate").alias("day"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.col("ship_day").alias("day"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e")
         )
-        .unionByName(
-            spans.select(
-                F.col("ship_day").alias("day"), F.lit(-1).alias("delta")
-            )
-        )
+        .select("e.day", "e.delta")
         .groupBy("day")
         .agg(F.sum("delta").alias("d"))
     )

@@ -379,50 +379,56 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |types|-row broadcast with the basket total as a 1-row broadcast.
     The only data-sized shuffle is the initial distinct."""
     ev = table(spark, sf_dir, "events")
-    cells = ev.select(
-        "user_id",
-        F.date_trunc("minute", F.col("ts")).alias("minute"),
-        "event_type",
-    ).distinct()
-    singles = cells.groupBy("event_type").agg(F.count("*").alias("cnt"))
-    tot = cells.select("user_id", "minute").distinct().agg(
-        F.count("*").alias("n")
-    )
-    a = cells.alias("a")
-    b = cells.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.minute") == F.col("b.minute"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count("*").alias("pair_cnt"))
-    )
-    sa = singles.select(
-        F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a")
-    )
-    sb = singles.select(
-        F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b")
-    )
-    return (
-        pairs.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .crossJoin(F.broadcast(tot))
+    # ROUND-11 (guide §1.2/§2.4): the previous form derived the distinct
+    # (user, minute, type) cell table FIVE times (marginals, basket
+    # total, both self-join sides — audit rescan=5) and paid a
+    # basket-keyed self-join. ONE aggregation now collects each basket's
+    # type SET (bounded by |types|), and pairs/marginals/total all read
+    # the basket table: pairs are an in-array double explode (i < j over
+    # the sorted set — exactly the old a.type < b.type join condition),
+    # so the only data-sized exchange is the single basket groupBy, and
+    # the three consumers share it (ReusedExchange). Counts are
+    # unchanged: each basket contributes 1 to every type it contains and
+    # to every unordered type pair, as before.
+    baskets = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.sort_array(F.collect_set("event_type")).alias("tset"))
+    tot = baskets.agg(F.count("*").alias("n"))
+    # j >= i: the DIAGONAL (t, t) row's count is exactly the number of
+    # baskets containing t — the marginal — so the per-type counts are
+    # recovered by two windows over the ≤|types|² aggregated rows (the
+    # q_audience_overlap diagonal trick) instead of two more basket
+    # derivations joined back on.
+    pairs_all = (
+        baskets.select(F.posexplode("tset").alias("i", "type_a"), "tset")
         .select(
             "type_a",
-            "type_b",
-            "pair_cnt",
-            F.round(
-                F.col("pair_cnt") * F.col("n")
-                / (F.col("cnt_a") * F.col("cnt_b")),
-                6,
-            ).alias("lift"),
+            F.explode(
+                F.slice("tset", F.col("i") + F.lit(1), F.size("tset"))
+            ).alias("type_b"),
         )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    diag = F.when(F.col("type_a") == F.col("type_b"), F.col("pair_cnt"))
+    enriched = (
+        pairs_all.withColumn(
+            "cnt_a", F.max(diag).over(Window.partitionBy("type_a"))
+        )
+        .withColumn(
+            "cnt_b", F.max(diag).over(Window.partitionBy("type_b"))
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    return enriched.crossJoin(F.broadcast(tot)).select(
+        "type_a",
+        "type_b",
+        "pair_cnt",
+        F.round(
+            F.col("pair_cnt") * F.col("n")
+            / (F.col("cnt_a") * F.col("cnt_b")),
+            6,
+        ).alias("lift"),
     )
 
 

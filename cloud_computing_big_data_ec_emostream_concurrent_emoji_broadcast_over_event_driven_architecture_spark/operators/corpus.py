@@ -959,15 +959,26 @@ def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     sc = w.groupBy("source", "word").agg(F.count("*").alias("cnt"))
-    st = sc.groupBy("source").agg(F.sum("cnt").alias("stot"))
-    gc = sc.groupBy("word").agg(F.sum("cnt").alias("gcnt"))
-    gt = gc.agg(F.sum("gcnt").alias("gtot"))
+    # ROUND-11 (guide §2.4, audit rescan=4): the per-source totals and
+    # the corpus word counts were broadcast-join branches, each
+    # re-deriving the tokenize + (source, word) aggregation — four
+    # corpus tokenize passes in all. Both now ride WINDOWS over the
+    # vocab-sized sc table (sum-over-word has ≤ |sources| rows per word,
+    # so the word key is NOT Zipf-hot here, unlike the raw token stream
+    # q_corpus_unigram_logprob keeps as a join); the grand total is a
+    # count-only second pass (no (source, word) shuffle). Tokenize
+    # derivations 4 → 2; source-window last so the final per-source
+    # rollup reuses its partitioning (no extra exchange).
+    gt = w.agg(F.count("*").alias("gtot"))
+    enriched = sc.withColumn(
+        "gcnt", F.sum("cnt").over(Window.partitionBy("word"))
+    ).withColumn(
+        "stot", F.sum("cnt").over(Window.partitionBy("source"))
+    )
     p = F.col("cnt") / F.col("stot")
     q = F.col("gcnt") / F.col("gtot")
     return (
-        sc.join(F.broadcast(st), "source")
-        .join(F.broadcast(gc), "word")
-        .crossJoin(F.broadcast(gt))
+        enriched.crossJoin(F.broadcast(gt))
         .groupBy("source")
         .agg(
             F.max("stot").cast("long").alias("n_tokens"),

@@ -673,13 +673,15 @@ def test_rfm_windows_over_customer_aggregate(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_welch_single_moments_pass_broadcast_arm_join(spark, sf_dir):
-    """A/B readout: one partial-combined moments aggregation; the arm
-    self-join is over the |types|x2 aggregate, so it broadcasts."""
+def test_welch_single_moments_pass_no_join(spark, sf_dir):
+    """A/B readout (round 11): BOTH arms' moments fold into one
+    conditional aggregation over one fact scan — no arm self-join of
+    any strategy, exactly one scan in the plan."""
     plan = _plan(spark, sf_dir, "q_ab_test_welch")
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_bitmap_distinct_two_aggs_no_joins_no_expand(spark, sf_dir):

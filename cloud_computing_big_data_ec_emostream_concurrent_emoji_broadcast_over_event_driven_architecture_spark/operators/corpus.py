@@ -618,12 +618,21 @@ def q_corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.expr("CAST(substring(source, 4, 10) AS INT) % 3 + 1"),
     )
-    tot = src.agg(F.sum("weight").alias("sum_w"))
-    quota = src.crossJoin(F.broadcast(tot)).select(
+    # ROUND-11 (guide §2.4): the weight total was a separate aggregate
+    # branch crossJoined back on — a full replay of the per-source doc
+    # aggregation for one number. A global window over the
+    # |sources|-sized aggregate computes it in place (single-partition
+    # window is safe here: sources number in the tens/hundreds at any
+    # corpus scale). Doc scans 3 → 2.
+    quota = src.select(
         "source",
         "weight",
         "n_available",
-        F.floor(F.lit(MIX_EPOCH) * F.col("weight") / F.col("sum_w"))
+        F.floor(
+            F.lit(MIX_EPOCH)
+            * F.col("weight")
+            / F.sum("weight").over(Window.partitionBy())
+        )
         .cast("long")
         .alias("quota"),
     )

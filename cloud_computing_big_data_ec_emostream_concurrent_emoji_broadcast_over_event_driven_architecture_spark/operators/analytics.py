@@ -409,31 +409,24 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("ct").cast("double")
         / F.col("n").cast("double"),
     )
-    dims = obs.agg(
-        F.count_distinct("event_type").alias("r"),
-        F.count_distinct("dow").alias("c"),
-    )
     dev = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
     chi2_sum = F.sum(dev.cast("decimal(28,10)")).cast("double")
-    return (
-        cells.crossJoin(F.broadcast(dims))
-        .agg(
-            F.round(chi2_sum, 6).alias("chi2"),
-            ((F.max("r") - 1) * (F.max("c") - 1))
-            .cast("bigint")
-            .alias("dof"),
-            F.round(
-                F.sqrt(
-                    chi2_sum
-                    / (
-                        F.max("n")
-                        * F.least(F.max("r") - 1, F.max("c") - 1)
-                    )
-                ),
-                6,
-            ).alias("cramers_v"),
-            F.max("n").cast("bigint").alias("n"),
-        )
+    # ROUND-11 (guide §1.2): r × c used to be a SECOND fact aggregation
+    # crossJoined back on; the cell table carries the same keys, so the
+    # distinct counts fold into the final 1-row rollup over 35 rows —
+    # fact aggregations 2 → 1, identical integers.
+    r_d = F.count_distinct("event_type")
+    c_d = F.count_distinct("dow")
+    return cells.agg(
+        F.round(chi2_sum, 6).alias("chi2"),
+        ((r_d - 1) * (c_d - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2_sum / (F.max("n") * F.least(r_d - 1, c_d - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.max("n").cast("bigint").alias("n"),
     )
 
 

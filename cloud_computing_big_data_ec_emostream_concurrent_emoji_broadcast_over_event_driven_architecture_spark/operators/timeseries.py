@@ -679,21 +679,21 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
-    s = m.groupBy("event_type").agg(
-        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sd")
-    )
-    z = (F.col("cnt") - F.col("mu")) / F.when(
-        F.col("sd") != 0, F.col("sd")
-    )
-    return (
-        m.join(F.broadcast(s), "event_type")
-        .select(
-            "event_type",
-            "minute",
-            "cnt",
-            F.round(z, 6).alias("zscore"),
-            F.when(F.abs(z) > ANOMALY_Z, 1).otherwise(0).alias("is_anomaly"),
-        )
+    # ROUND-11 (guide §2.4, audit rescan=2): the per-type moments were a
+    # second derivation of the minute aggregation joined back on; they
+    # are windows over the (type, minute) cell table now — one fact
+    # scan. The cell table is calendar-sized per type, so the window
+    # partition is never hot.
+    tw = Window.partitionBy("event_type")
+    mu = F.avg("cnt").over(tw)
+    sd = F.stddev_samp("cnt").over(tw)
+    z = (F.col("cnt") - mu) / F.when(sd != 0, sd)
+    return m.select(
+        "event_type",
+        "minute",
+        "cnt",
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) > ANOMALY_Z, 1).otherwise(0).alias("is_anomaly"),
     )
 
 
@@ -893,18 +893,23 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     already hashed by; Catalyst reuses the partitioning instead of
     re-shuffling. No window functions, no per-day scans."""
     ev = table(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_day")
-    )
     activity = ev.select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
+    # ROUND-11 (guide §2.4, audit rescan=2): the first-seen day used to
+    # be a SECOND full events aggregation joined back on user_id; the
+    # min over a user's DISTINCT days equals the min over all their
+    # events, so cohort_day is a window over the activity cells — one
+    # fact scan, and the window rides the user-keyed exchange shape the
+    # join needed anyway.
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
     return (
-        activity.join(firsts, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        activity.select(
+            "user_id",
+            cohort.alias("cohort_day"),
+            F.datediff("day", cohort).cast("int").alias("day_offset"),
         )
+        .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
 

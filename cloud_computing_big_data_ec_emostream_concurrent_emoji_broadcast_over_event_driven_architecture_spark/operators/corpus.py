@@ -231,25 +231,39 @@ def bloom_probe(probe_sh: DataFrame, seen_bits: DataFrame) -> DataFrame:
     """Per-doc membership stats of probe shingles against a (static)
     bit-set relation: a shingle is SEEN iff all {BLOOM_K} positions are
     present.  The bit set broadcasts; the probe side never shuffles
-    except the per-doc rollup."""
+    except the rollups.
+
+    ROUND-11 (guide §1.2, audit rescan): the old form INNER-joined the
+    exploded positions and LEFT-joined the hit counts back onto a
+    second derivation of the probe stream (the full tokenize+shingle
+    pipeline, twice). One LEFT join against the marked bit set keeps
+    every exploded row, so one derivation yields both the occurrence
+    count (rows / {BLOOM_K}) and the matched count per (doc, shingle);
+    the rollup arithmetic is value-identical: per (doc, s) with m
+    occurrences the old group hits were m × matched-positions and each
+    occurrence row contributed 1 to n_shingles and [hits == K] to
+    n_seen — exactly occ and occ·[hits == K] here."""
     all_pos = F.array(*[_bloom_pos(F.col("s"), k) for k in range(BLOOM_K)])
     probe_pos = probe_sh.select(
         "doc_id", "s", F.explode(all_pos).alias("pos")
     )
-    matched = (
-        probe_pos.join(F.broadcast(seen_bits), "pos")
-        .groupBy("doc_id", "s")
-        .agg(F.count("*").alias("hits"))
-    )
-    hit = F.when(F.col("hits") == BLOOM_K, 1).otherwise(0)
-    return (
-        probe_sh.join(matched, ["doc_id", "s"], "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(hit).alias("n_seen"),
-            F.round(F.sum(hit) / F.count("*"), 6).alias("seen_ratio"),
+    per_sh = (
+        probe_pos.join(
+            F.broadcast(seen_bits.withColumn("b", F.lit(1))), "pos", "left"
         )
+        .groupBy("doc_id", "s")
+        .agg(
+            (F.count("*") / F.lit(BLOOM_K)).cast("long").alias("occ"),
+            F.count("b").alias("hits"),
+        )
+    )
+    seen = F.when(F.col("hits") == BLOOM_K, F.col("occ")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return per_sh.groupBy("doc_id").agg(
+        F.sum("occ").alias("n_shingles"),
+        F.sum(seen).alias("n_seen"),
+        F.round(F.sum(seen) / F.sum("occ"), 6).alias("seen_ratio"),
     )
 
 
